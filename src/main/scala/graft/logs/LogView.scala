@@ -1,0 +1,93 @@
+package graft.logs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Pond-shaped log records derived from the `events` testdata table.
+  *
+  * The reference's record is a `Net::Log::Datagram` (see
+  * reference client/FormatJson.cxx:25-97 for the full field list:
+  * timestamp, remote_host, host, site, generator, method, uri,
+  * status, duration, traffic, message, type). The driver testdata has
+  * no log table, so we derive one deterministically from `events` —
+  * the derivation is plain SQL so the DuckDB oracle can reproduce it
+  * bit-for-bit ([[LogView.sqlCte]]).
+  *
+  * At 100 TB the real input would be a partitioned parquet log table
+  * with exactly [[LogSchema.schema]]; every operator downstream takes
+  * a DataFrame with these columns, so swapping the source is free.
+  */
+object LogView {
+
+  /** Column derivations, Spark-SQL side. Must stay semantically
+    * identical to [[sqlCte]] (DuckDB side).
+    */
+  def apply(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .select(
+        col("event_id"),
+        col("ts").as("timestamp"),
+        concat(lit("site_"), (col("user_id") % 10).cast("string")).as("site"),
+        concat(lit("h"), (col("user_id") % 5).cast("string"),
+          lit(".example.com")).as("host"),
+        concat(lit("gen"), (col("event_id") % 3).cast("string")).as("generator"),
+        concat(lit("10."), (col("user_id") % 200).cast("string"), lit("."),
+          (col("event_id") % 250).cast("string"), lit("."),
+          ((col("event_id") * 7) % 250).cast("string")).as("remote_host"),
+        expr("CASE event_type WHEN 'error' THEN 'http_error' " +
+          "WHEN 'signup' THEN 'submission' WHEN 'purchase' THEN 'job' " +
+          "ELSE 'http_access' END").as("type"),
+        expr("CASE WHEN event_type = 'purchase' THEN 'POST' " +
+          "WHEN event_type = 'signup' THEN 'PUT' " +
+          "WHEN event_type = 'error' AND k % 2 = 0 THEN 'DELETE' " +
+          "ELSE 'GET' END").as("method"),
+        concat(lit("/"), col("event_type"), lit("/item"),
+          (col("k") % 50).cast("string")).as("uri"),
+        expr("CAST(CASE WHEN event_type = 'error' THEN 500 + (k % 12) " +
+          "WHEN k % 7 = 0 THEN 404 ELSE 200 END AS INT)").as("status"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("duration_us"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("traffic_sent"),
+        expr("CAST(floor(value * 10) AS BIGINT)").as("traffic_received"),
+        col("props").as("message"),
+        col("user_id"),
+        col("value"))
+  }
+
+  /** DuckDB CTE producing the identical view; prepend to oracle SQL. */
+  val sqlCte: String =
+    """WITH log AS (
+      |  SELECT
+      |    event_id,
+      |    ts AS timestamp,
+      |    'site_' || CAST(user_id % 10 AS VARCHAR) AS site,
+      |    'h' || CAST(user_id % 5 AS VARCHAR) || '.example.com' AS host,
+      |    'gen' || CAST(event_id % 3 AS VARCHAR) AS generator,
+      |    '10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+      |      CAST(event_id % 250 AS VARCHAR) || '.' ||
+      |      CAST((event_id * 7) % 250 AS VARCHAR) AS remote_host,
+      |    CASE event_type WHEN 'error' THEN 'http_error'
+      |      WHEN 'signup' THEN 'submission' WHEN 'purchase' THEN 'job'
+      |      ELSE 'http_access' END AS type,
+      |    CASE WHEN event_type = 'purchase' THEN 'POST'
+      |      WHEN event_type = 'signup' THEN 'PUT'
+      |      WHEN event_type = 'error' AND k % 2 = 0 THEN 'DELETE'
+      |      ELSE 'GET' END AS method,
+      |    '/' || event_type || '/item' || CAST(k % 50 AS VARCHAR) AS uri,
+      |    CAST(CASE WHEN event_type = 'error' THEN 500 + (k % 12)
+      |      WHEN k % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+      |    CAST(floor(value * 1000) AS BIGINT) AS duration_us,
+      |    CAST(floor(value * 100) AS BIGINT) AS traffic_sent,
+      |    CAST(floor(value * 10) AS BIGINT) AS traffic_received,
+      |    props AS message,
+      |    user_id,
+      |    value
+      |  FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |        FROM events)
+      |)""".stripMargin
+
+  /** Wrap a SELECT over `log` with the CTE. */
+  def oracle(select: String): String = s"$sqlCte\n$select"
+}
