@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession configuration for the engine.
+  *
+  * Centralised so Verify, Bench and every test build identical
+  * sessions. Settings that matter:
+  *
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the `events` testdata
+  *    stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4.x refuses
+  *    to read by default. With this flag the column surfaces as BIGINT
+  *    nanoseconds and [[graft.logs.LogView]] normalises it to
+  *    epoch-microseconds (pond's native resolution, see reference
+  *    src/net — `Net::Log::TimePoint` is a µs time_point).
+  *  - shuffle partitions sized to the local core count (32 in CI);
+  *    on a real cluster this would be a multiple of executor cores.
+  *  - AQE on: runtime coalescing + skew-join handling is part of the
+  *    100 TB story and costs nothing locally.
+  */
+object GraftSession {
+  def builder(master: String, cpus: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cpus]", cpus).getOrCreate()
+}

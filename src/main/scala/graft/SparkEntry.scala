@@ -1,13 +1,429 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Analytics
+import graft.logs.{Enrich, LogFilter, LogView, Shaping, TimeParse}
+import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.streaming.Follow
+
+/** Driver contract: one `queries` entry (+ DuckDB `oracleSql` where
+  * SQL-expressible) per operator in SURVEY.md §2.
+  *
+  * Oracle conventions (SURVEY §6): BIGINT epoch-µs timestamps both
+  * sides; DECIMAL(38,6) for summed measures; counts cast to BIGINT;
+  * explicit ORDER BY on a unique key both sides; identical column
+  * aliases both sides. Hash-style ops (minhash/simhash/LSH/HLL) have
+  * no oracle entry → rows-only check by design.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared constants (oracle literals = TimeParse results) ----
+  val SinceUs = 1704844800000000L // 2024-01-10T00:00:00Z
+  val UntilUs = 1705708800000000L // 2024-01-20T00:00:00Z
+  val FollowSinceUs = 1706140800000000L // 2024-01-25T00:00:00Z
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1Agg(spark, "/root/testdata/sf0.001")
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def fq(f: LogFilter): Q =
+    (s, d) => LogView(s, d).filter(f.predicate).orderBy("timestamp", "event_id")
+
+  private val logCols = LogView.columns.mkString(", ")
+
+  private def logSql(where: String, order: String = "timestamp, event_id"): String =
+    LogView.oracle(s"SELECT $logCols FROM log WHERE $where ORDER BY $order")
+
+  // ---- §2A filters ----
+
+  private val combinedFilter = LogFilter(
+    sites = Set("site_0", "site_1", "site_2", "site_3", "site_4"),
+    tpe = Some("http_access"),
+    sinceUs = Some(SinceUs), untilUs = Some(UntilUs),
+    statusBegin = 200, statusEnd = 300,
+    durationLongerUs = Some(100000L),
+    uriPrefix = Some("/view/"))
+
+  private val filterQueries: Seq[(String, Q, Option[String])] = Seq(
+    ("log_schema",
+      (s: SparkSession, d: String) =>
+        LogView(s, d).orderBy("timestamp", "event_id"),
+      Some(LogView.oracle(
+        s"SELECT $logCols FROM log ORDER BY timestamp, event_id"))),
+    ("filter_site", fq(LogFilter(sites = Set("site_2", "site_7"))),
+      Some(logSql("site IN ('site_2', 'site_7')"))),
+    ("filter_type", fq(LogFilter(tpe = Some("http_error"))),
+      Some(logSql("type = 'http_error'"))),
+    ("filter_host",
+      fq(LogFilter(hosts = Set("h1.example.com", "h3.example.com"))),
+      Some(logSql("host IN ('h1.example.com', 'h3.example.com')"))),
+    ("filter_generator", fq(LogFilter(generators = Set("gen0"))),
+      Some(logSql("generator = 'gen0'"))),
+    ("filter_since_until",
+      fq(LogFilter(sinceUs = Some(SinceUs), untilUs = Some(UntilUs))),
+      Some(logSql(s"timestamp >= $SinceUs AND timestamp <= $UntilUs"))),
+    ("filter_status", fq(LogFilter(statusBegin = 400, statusEnd = 500)),
+      Some(logSql("status >= 400 AND status < 500"))),
+    ("filter_duration_longer",
+      fq(LogFilter(durationLongerUs = Some(500000L))),
+      Some(logSql("duration_us >= 500000"))),
+    ("filter_uri_exact", fq(LogFilter(uriExact = Some("/view/item7"))),
+      Some(logSql("uri = '/view/item7'"))),
+    ("filter_uri_prefix", fq(LogFilter(uriPrefix = Some("/purchase/"))),
+      Some(logSql("starts_with(uri, '/purchase/')"))),
+    ("filter_method", fq(LogFilter(methods = Set("POST", "PUT"))),
+      Some(logSql("method IN ('POST', 'PUT')"))),
+    ("filter_unsafe_method", fq(LogFilter(unsafeMethod = true)),
+      Some(logSql(
+        "method IS NOT NULL AND method NOT IN ('GET', 'HEAD', 'OPTIONS', 'TRACE')"))),
+    ("filter_combined", fq(combinedFilter),
+      Some(logSql(
+        "site IN ('site_0','site_1','site_2','site_3','site_4') " +
+          "AND type = 'http_access' " +
+          s"AND timestamp >= $SinceUs AND timestamp <= $UntilUs " +
+          "AND status >= 200 AND status < 300 " +
+          "AND duration_us >= 100000 " +
+          "AND starts_with(uri, '/view/')"))),
+    // exercises the ISO8601/relative parser in the query path; the
+    // oracle pins the expected epoch-µs values
+    ("time_parse",
+      fq(LogFilter(
+        sinceUs = Some(TimeParse.parseUs("2024-01-10T12:30Z", nowUs = 0L)),
+        untilUs = Some(TimeParse.parseUs("2024-01-20T06:15:30+02:00", nowUs = 0L)))),
+      Some(logSql(
+        "timestamp >= 1704889800000000 AND timestamp <= 1705724130000000"))))
+
+  // ---- §2B query-shaping ----
+
+  private val shapingQueries: Seq[(String, Q, Option[String])] = Seq(
+    ("window",
+      (s: SparkSession, d: String) => Shaping.window(
+        LogView(s, d).filter(LogFilter(tpe = Some("http_access")).predicate),
+        max = 100, skip = 50),
+      Some(logSql("type = 'http_access'") + " LIMIT 100 OFFSET 50")),
+    ("last",
+      (s: SparkSession, d: String) => Shaping.last(
+        LogView(s, d).filter(LogFilter(sites = Set("site_3")).predicate)),
+      Some(LogView.oracle(
+        s"SELECT $logCols FROM log WHERE site = 'site_3' " +
+          "ORDER BY timestamp DESC, event_id DESC LIMIT 1"))),
+    ("group_site",
+      (s: SparkSession, d: String) => Shaping.groupSite(LogView(s, d), max = 3, skip = 2),
+      Some(LogView.oracle(
+        s"SELECT $logCols FROM log WHERE site IN " +
+          "(SELECT site FROM (SELECT DISTINCT site FROM log ORDER BY site LIMIT 3 OFFSET 2)) " +
+          "ORDER BY site, timestamp, event_id"))),
+    ("accumulate_top",
+      (s: SparkSession, d: String) => Shaping.accumulateTop(LogView(s, d), "remote_host", 10),
+      Some(LogView.oracle(
+        "SELECT remote_host AS value, CAST(count(*) AS BIGINT) AS n FROM log " +
+          "WHERE remote_host IS NOT NULL GROUP BY 1 ORDER BY n DESC, value LIMIT 10"))),
+    ("accumulate_more",
+      (s: SparkSession, d: String) => Shaping.accumulateMore(LogView(s, d), "site", 1000L),
+      Some(LogView.oracle(
+        "SELECT site AS value, CAST(count(*) AS BIGINT) AS n FROM log " +
+          "WHERE site IS NOT NULL GROUP BY 1 HAVING count(*) >= 1000 ORDER BY value"))),
+    ("stats",
+      (s: SparkSession, d: String) => Shaping.stats(LogView(s, d)),
+      Some(LogView.oracle(
+        "SELECT CAST(count(*) AS BIGINT) AS record_count, " +
+          "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent, " +
+          "CAST(sum(traffic_received) AS BIGINT) AS bytes_received, " +
+          "min(timestamp) AS first_us, max(timestamp) AS last_us FROM log"))),
+    ("per_site_out",
+      (s: SparkSession, d: String) => Shaping.perSiteManifest(LogView(s, d)),
+      Some(LogView.oracle(
+        "SELECT site, CAST(count(*) AS BIGINT) AS n_rows FROM log " +
+          "GROUP BY site ORDER BY site"))),
+    ("jsonl",
+      (s: SparkSession, d: String) => Shaping.jsonl(
+        LogView(s, d).filter(col("site") === "site_1")).orderBy("event_id"),
+      Some(LogView.oracle(
+        "SELECT event_id, CAST(to_json(struct_pack(" +
+          "\"time\" := strftime(make_timestamp(timestamp), '%Y-%m-%dT%H:%M:%S.%f') || 'Z', " +
+          "remote_host := remote_host, host := host, site := site, " +
+          "generator := generator, method := method, uri := uri, " +
+          "message := message, status := CAST(status AS VARCHAR), " +
+          "traffic_received := traffic_received, traffic_sent := traffic_sent, " +
+          "duration := duration_us, \"type\" := type)) AS VARCHAR) AS json " +
+          "FROM log WHERE site = 'site_1' ORDER BY event_id"))),
+    ("follow",
+      (s: SparkSession, d: String) => Follow.followTail(s, d, FollowSinceUs),
+      Some(logSql(s"timestamp >= $FollowSinceUs"))),
+    ("max_age_retention",
+      (s: SparkSession, d: String) =>
+        Shaping.maxAgeRetention(LogView(s, d), 7L * 86400000000L)
+          .orderBy("timestamp", "event_id"),
+      Some(LogView.oracle(
+        s"SELECT $logCols FROM log " +
+          s"WHERE timestamp >= (SELECT max(timestamp) FROM log) - ${7L * 86400000000L} " +
+          "ORDER BY timestamp, event_id"))),
+    ("rate_limit",
+      (s: SparkSession, d: String) =>
+        Shaping.rateLimit(LogView(s, d), n = 2, bucketUs = 3600000000L)
+          .orderBy("timestamp", "event_id"),
+      Some(LogView.oracle(
+        s"SELECT $logCols FROM (" +
+          "SELECT *, row_number() OVER (PARTITION BY site, timestamp // 3600000000 " +
+          "ORDER BY timestamp, event_id) AS rn FROM log) " +
+          "WHERE rn <= 2 ORDER BY timestamp, event_id"))))
+
+  // ---- §2C enrichment ----
+
+  private val enrichQueries: Seq[(String, Q, Option[String])] = Seq(
+    ("anonymize_ip",
+      (s: SparkSession, d: String) =>
+        Enrich.anonymize(LogView(s, d))
+          .select("event_id", "remote_host").orderBy("event_id"),
+      Some(LogView.oracle(
+        "SELECT event_id, regexp_replace(remote_host, '\\.[0-9]+$', '.0') " +
+          "AS remote_host FROM log ORDER BY event_id"))),
+    ("track_visitors",
+      (s: SparkSession, d: String) =>
+        Enrich.trackVisitors(LogView(s, d))
+          .select(col("event_id"), col("timestamp"), col("remote_host"),
+            col("visitor_id"))
+          .orderBy("event_id"),
+      Some(LogView.oracle(
+        "SELECT event_id, timestamp, remote_host, " +
+          "md5(remote_host || ':' || CAST(visit_seq AS VARCHAR)) AS visitor_id FROM (" +
+          "SELECT event_id, timestamp, remote_host, " +
+          "sum(is_new) OVER (PARTITION BY remote_host ORDER BY timestamp, event_id " +
+          "ROWS UNBOUNDED PRECEDING) AS visit_seq FROM (" +
+          "SELECT event_id, timestamp, remote_host, " +
+          "CASE WHEN lag(timestamp) OVER (PARTITION BY remote_host " +
+          "ORDER BY timestamp, event_id) IS NULL " +
+          "OR timestamp - lag(timestamp) OVER (PARTITION BY remote_host " +
+          "ORDER BY timestamp, event_id) >= 1800000000 THEN 1 ELSE 0 END AS is_new " +
+          "FROM log)) ORDER BY event_id"))),
+    ("geoip",
+      (s: SparkSession, d: String) =>
+        Enrich.geoip(s, LogView(s, d))
+          .select("event_id", "remote_host", "country").orderBy("event_id"),
+      Some(LogView.oracle(
+        "SELECT event_id, remote_host, " +
+          Enrich.geoCountryCase + " AS country FROM (" +
+          "SELECT event_id, remote_host, " +
+          "CAST(split_part(remote_host, '.', 2) AS INTEGER) AS octet2 FROM log) " +
+          "ORDER BY event_id"))),
+    ("visitor_stats",
+      (s: SparkSession, d: String) => Enrich.visitorStats(LogView(s, d)),
+      Some(LogView.oracle(
+        "SELECT site, CAST(count(*) AS BIGINT) AS n_hits, " +
+          "CAST(count(DISTINCT visitor_id) AS BIGINT) AS n_visits, " +
+          "CAST(count(DISTINCT remote_host) AS BIGINT) AS n_hosts FROM (" +
+          "SELECT site, remote_host, " +
+          "md5(remote_host || ':' || CAST(sum(is_new) OVER (PARTITION BY remote_host " +
+          "ORDER BY timestamp, event_id ROWS UNBOUNDED PRECEDING) AS VARCHAR)) AS visitor_id " +
+          "FROM (SELECT site, event_id, timestamp, remote_host, " +
+          "CASE WHEN lag(timestamp) OVER (PARTITION BY remote_host " +
+          "ORDER BY timestamp, event_id) IS NULL " +
+          "OR timestamp - lag(timestamp) OVER (PARTITION BY remote_host " +
+          "ORDER BY timestamp, event_id) >= 1800000000 THEN 1 ELSE 0 END AS is_new " +
+          "FROM log)) GROUP BY site ORDER BY site"))))
+
+  // ---- §2D analytics ----
+
+  private val decSum = "CAST(sum(CAST(%s AS DECIMAL(38,6))) AS DECIMAL(38,6))"
+
+  private val analyticsQueries: Seq[(String, Q, Option[String])] = Seq(
+    ("q1_agg", (s: SparkSession, d: String) => Analytics.q1Agg(s, d),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        decSum.format("l_quantity") + " AS sum_qty, " +
+        decSum.format("l_extendedprice") + " AS sum_base_price, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_disc_price, " +
+        "CAST(count(*) AS BIGINT) AS count_order " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q3_topn", (s: SparkSession, d: String) => Analytics.q3TopN(s, d),
+      Some("SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10")),
+    ("q5_join", (s: SparkSession, d: String) => Analytics.q5Join(s, d),
+      Some("SELECT n_name, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY 1 ORDER BY revenue DESC, n_name")),
+    ("q_window", (s: SparkSession, d: String) => Analytics.qWindow(s, d),
+      Some("SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "CAST(row_number() OVER w AS BIGINT) AS rn, " +
+        "CAST(sum(CAST(value AS DECIMAL(38,6))) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS running_value " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+        "ORDER BY user_id, rn")),
+    ("q_distinct", (s: SparkSession, d: String) => Analytics.qDistinct(s, d),
+      Some("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(count(*) AS BIGINT) AS n_events " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+    // HLL sketch internals are engine-specific → rows-only
+    ("q_approx_distinct",
+      (s: SparkSession, d: String) => Analytics.qApproxDistinct(s, d), None),
+    ("q_exists", (s: SparkSession, d: String) => Analytics.qExists(s, d),
+      Some("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey")),
+    ("q_funnel", (s: SparkSession, d: String) => Analytics.qFunnel(s, d),
+      Some("WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us " +
+        "FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "p AS (SELECT user_id, max(epoch_us(ts)) AS last_purchase_us " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_signup_users, " +
+        "CAST(count(CASE WHEN last_purchase_us >= signup_us THEN 1 END) AS BIGINT) " +
+        "AS n_converted FROM s LEFT JOIN p USING (user_id)")),
+    ("q_sessionize", (s: SparkSession, d: String) => Analytics.qSessionize(s, d),
+      Some("SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
+        "CAST(count(*) AS BIGINT) AS n_events, " +
+        "max(ts_us) - min(ts_us) AS duration_us FROM (" +
+        "SELECT user_id, ts_us, " +
+        "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS session_seq FROM (" +
+        "SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= 1800000000 " +
+        "THEN 1 ELSE 0 END AS is_new FROM events)) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_json", (s: SparkSession, d: String) => Analytics.qJson(s, d),
+      Some("SELECT k % 10 AS k_bucket, CAST(count(*) AS BIGINT) AS n, " +
+        decSum.format("value") + " AS sum_value FROM (" +
+        "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value " +
+        "FROM events) GROUP BY 1 ORDER BY 1")),
+    ("q_rollup", (s: SparkSession, d: String) => Analytics.qRollup(s, d),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        decSum.format("l_quantity") + " AS sum_qty, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+    ("q_asof", (s: SparkSession, d: String) => Analytics.qAsof(s, d),
+      Some("WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'view'), " +
+        "p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT p.event_id, p.user_id, p.ts_us, v.ts_us AS last_view_us " +
+        "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us " +
+        "ORDER BY p.event_id")))
+
+  // ---- §2E training-data pipeline ----
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private def markerCountSql(words: Seq[String]): String =
+    words.map { w =>
+      s"(length(' ' || txt || ' ') - length(regexp_replace(' ' || txt || ' ', '\\s$w\\s', '', 'g'))) / ${w.length + 2}"
+    }.mkString(" + ")
+
+  private val langIdSql: String = {
+    val markers = TextAnalysis.langMarkers
+    val counts = markers.map { case (l, ws) =>
+      s"CAST(${markerCountSql(ws)} AS BIGINT) AS c_$l"
+    }.mkString(", ")
+    val best = "greatest(" + markers.map { case (l, _) => s"c_$l" }.mkString(", ") + ")"
+    val pred = "CASE WHEN " + best + " = 0 THEN 'und' " +
+      markers.map { case (l, _) => s"WHEN c_$l = $best THEN '$l'" }.mkString(" ") +
+      " END"
+    s"SELECT doc_id, actual_lang, $pred AS pred_lang FROM (" +
+      s"SELECT doc_id, lang AS actual_lang, $counts FROM (" +
+      s"SELECT doc_id, lang, $normSql AS txt FROM documents)) ORDER BY doc_id"
+  }
+
+  private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_exact", (s: SparkSession, d: String) => TextAnalysis.dedupExact(s, d),
+      Some(s"SELECT md5($normSql) AS content_hash, " +
+        "min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies " +
+        "FROM documents GROUP BY 1 ORDER BY 1")),
+    // Spark-hash-based LSH → rows-only (recall vs exact checked in tests)
+    ("dedup_minhash", (s: SparkSession, d: String) => Dedup.minhashPairs(s, d), None),
+    ("dedup_simhash", (s: SparkSession, d: String) => Dedup.simhashPairs(s, d), None),
+    ("dedup_ngram",
+      (s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d, minBp = 6500),
+      Some("WITH d AS (SELECT doc_id, lang, source, " + normSql + " AS txt FROM documents), " +
+        "g AS (SELECT doc_id, lang, source, " +
+        "list_distinct([substr(txt, i, 3) for i in range(1, greatest(length(txt) - 2, 1) + 1)]) AS sh " +
+        "FROM d) " +
+        "SELECT doc_a, doc_b, jac_bp FROM (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(floor(10000.0 * len(list_intersect(a.sh, b.sh)) / " +
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_bp " +
+        "FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source " +
+        "AND a.doc_id < b.doc_id) WHERE jac_bp >= 6500 ORDER BY doc_a, doc_b")),
+    ("dedup_embedding",
+      (s: SparkSession, d: String) => Dedup.embeddingPairs(s, d, threshold = 0.45),
+      Some("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
+        "ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.v, b.v) >= 0.45 ORDER BY 1, 2")),
+    ("ann_brute", (s: SparkSession, d: String) => Ann.bruteTopK(s, d),
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "s AS (SELECT q_id, e.vec_id AS n_id, list_cosine_similarity(qv, e.v) AS cos " +
+        "FROM q, e WHERE e.vec_id <> q_id), " +
+        "r AS (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s) " +
+        "SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM r WHERE rn <= 10 " +
+        "ORDER BY q_id, rank")),
+    ("ann_lsh", (s: SparkSession, d: String) => Ann.lshTopK(s, d), None),
+    ("lang_id", (s: SparkSession, d: String) => TextAnalysis.langId(s, d),
+      Some(langIdSql)),
+    ("quality_score", (s: SparkSession, d: String) => TextAnalysis.qualityScore(s, d),
+      Some("SELECT doc_id, n_chars_measured, n_tokens, n_punct, n_stop, " +
+        "CAST(floor(10000.0 * n_punct / n_chars_measured) AS BIGINT) AS punct_bp, " +
+        "CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT) AS stop_bp FROM (" +
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_measured, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct, " +
+        "CAST(len(regexp_extract_all(' ' || " + normSql + " || ' ', " +
+        "' (the|a|of|and|to|is|in) ')) AS BIGINT) AS n_stop " +
+        "FROM documents) ORDER BY doc_id")),
+    ("token_count", (s: SparkSession, d: String) => TextAnalysis.tokenCount(s, d),
+      Some("SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS re_tokens " +
+        "FROM documents ORDER BY doc_id")),
+    ("fingerprint", (s: SparkSession, d: String) => TextAnalysis.fingerprint(s, d),
+      Some("SELECT doc_id, CAST(list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_extract_all(" + normSql + ", '.'), c -> CAST(ord(c) AS BIGINT))), " +
+        "(acc, x) -> (acc * 257 + x) % 1000000007) AS BIGINT) AS fp " +
+        "FROM documents ORDER BY doc_id")),
+    ("mm_decode", (s: SparkSession, d: String) => Multimodal.decode(s, d),
+      Some("SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format, " +
+        "CAST(n_chars % 640 + 1 AS INTEGER) AS width, " +
+        "CAST((n_chars * 7) % 480 + 1 AS INTEGER) AS height, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CAST(ord(substr(text, 1, 1)) AS INTEGER) AS first_byte, " +
+        "CAST(list_sum(list_transform(regexp_extract_all(text, '.'), " +
+        "c -> ord(c))) AS BIGINT) AS byte_sum " +
+        "FROM documents ORDER BY doc_id")))
+
+  private val all: Seq[(String, Q, Option[String])] =
+    filterQueries ++ shapingQueries ++ enrichQueries ++
+      analyticsQueries ++ pipelineQueries
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q, _) => n -> q }.toMap
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables. Omitted for non-SQL-expressible ops
+    * (rows-only check).
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
   * At 100 TB these would be partitioned-parquet table roots (e.g.
-  * `.../events/date=2024-01-01/*.parquet`); `spark.read.parquet` on a
+  * `.../events/date=2024-01-01/` with part files below); reading a
   * directory keeps the same code path, so everything downstream is
   * written against a plain DataFrame.
   */

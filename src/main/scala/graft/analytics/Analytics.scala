@@ -1,0 +1,228 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Analytics core (SURVEY §2D): pond's query engine generalised to
+  * arbitrary star-schema analytics, written Spark-first.
+  *
+  * Numeric convention (SURVEY §6): every aggregated measure is cast to
+  * DECIMAL(38,6) before summing — decimal addition is exact and
+  * order-independent, so results hash-match the DuckDB oracle
+  * regardless of partitioning / shuffle order. Doubles are only summed
+  * inside ordered window frames (sequential on both engines).
+  */
+object Analytics {
+
+  private def dec(c: String): org.apache.spark.sql.Column =
+    col(c).cast("decimal(38,6)")
+
+  /** TPC-H Q1 shape: scan-heavy grouped aggregation, fully
+    * partial-aggregated map-side (4 running sums + count per group,
+    * 6 groups total → shuffle traffic is bytes, not rows).
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).as("sum_qty"),
+        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(38,6)")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape: 3-way join + agg + top-N. The plan to check for:
+    * broadcast of the filtered customer side is NOT wanted here
+    * (customer is the big-ish probe); the top-N must be
+    * TakeOrderedAndProject, not a global sort.
+    */
+  def q3TopN(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(38,6)")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: multi-way join where region/nation are broadcast
+    * dims (verified in PlanSpec) — the log side never shuffles for
+    * them.
+    */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(38,6)")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window functions: rank + running total per user over events.
+    * Running sums are decimal → exact regardless of engine. One
+    * shuffle on user_id; windows evaluate within partitions.
+    */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(38,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("event_id", "user_id", "ts_us", "rn", "running_value")
+      .orderBy("user_id", "rn")
+  }
+
+  /** Exact distinct-count per group. (The HLL variant is
+    * `q_approx_distinct`, rows-only — sketch internals differ across
+    * engines by design.)
+    */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** approx_count_distinct (HyperLogLog++): the 100 TB path for
+    * distinct counting — no exact-distinct shuffle explosion.
+    * Rows-only check: HLL estimates are engine-specific.
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.02).as("n_users_approx"))
+      .orderBy("event_type")
+
+  /** Anti join: customers that never ordered (NOT EXISTS). Plans as a
+    * shuffled hash anti-join on custkey; at scale the orders side is
+    * pre-aggregated to distinct keys by Spark automatically.
+    */
+  def qExists(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Event funnel: users who signed up, and of those, who purchased at
+    * or after their first signup. Two small aggs + one join on
+    * user_id.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("signup_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(max("ts_us").as("last_purchase_us"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_signup_users"),
+        count(when(col("last_purchase_us") >= col("signup_us"), 1))
+          .as("n_converted"))
+  }
+
+  /** Gap-based sessionization over events per user (30-minute idle,
+    * generalising pond's visitor tracking — reference
+    * client/VisitorTracker.hxx:16-27). Session-level output. One
+    * shuffle on user_id.
+    */
+  def qSessionize(spark: SparkSession, dir: String, gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(byUser))
+      .withColumn("is_new", when(col("gap").isNull || col("gap") >= gapUs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        (max("ts_us") - min("ts_us")).as("duration_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** JSON property extraction + aggregation: `props.k` is parsed with
+    * `get_json_object` (codegen'd path expression, no UDF) and
+    * bucketed.
+    */
+  def qJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("value")).as("sum_value"))
+      .orderBy("k_bucket")
+
+  /** Hierarchical aggregation (ROLLUP): per (flag, status), per flag,
+    * grand total. Same partial-agg friendliness as q1.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** As-of join: for every purchase, the most recent 'view' by the
+    * same user at or before the purchase (attribution).
+    *
+    * Spark-first implementation: UNION the two event sets tagged, one
+    * shuffle on user_id, then `last(ignoreNulls)` over the time-ordered
+    * window carries the latest view timestamp forward — O(n log n)
+    * within partitions, no join explosion, no range join. (The DuckDB
+    * oracle uses its native ASOF JOIN — an independent implementation
+    * of the same semantics.) View rows sort before purchases at the
+    * same microsecond (tag 0 < 1), making the match inclusive.
+    */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("ts_us").as("view_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast("long").as("view_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    views.unionByName(purchases)
+      .withColumn("last_view_us", last("view_us", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select("event_id", "user_id", "ts_us", "last_view_us")
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.call_function
+
+/** Column-API entry points for graft's native Catalyst expressions.
+  *
+  * Resolution goes through the session FunctionRegistry (populated by
+  * [[graft.GraftExtensions]], installed by [[graft.GraftSession]]) via
+  * the public `call_function` API — the catalyst-internal
+  * Expression→Column constructors are `private[sql]`.
+  */
+package object functions {
+
+  /** [[graft.functions.RollingHash]] as a Column function. */
+  def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+
+  /** [[graft.functions.CosineSimilarity]] as a Column function. */
+  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}

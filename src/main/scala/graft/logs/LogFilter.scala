@@ -1,0 +1,80 @@
+package graft.logs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pond's query filter, re-expressed as a single Spark `Column`
+  * predicate (reference src/Filter.cxx:64-82 `Filter::operator()` and
+  * src/Filter.cxx:37-48 `MatchMore`).
+  *
+  * Semantics preserved exactly:
+  *  - site/host/generator: empty set = pass-all, else exact-match set
+  *    (reference src/Filter.cxx:22-26 `MatchFilter`)
+  *  - timestamp: CLOSED interval `since <= t <= until`
+  *    (reference src/Filter.hxx:42-46)
+  *  - http_status: HALF-OPEN `begin <= s < end`
+  *    (reference src/Filter.hxx:70-73)
+  *  - duration: `d >= longer` (reference src/Filter.hxx:62-65)
+  *  - uri: exact equality and/or starts-with
+  *    (reference src/Filter.cxx:29-36, 46-47)
+  *  - methods: member-of-set (the wire format is a bitmask over the
+  *    method enum, reference src/Protocol.hxx FILTER_HTTP_METHODS;
+  *    set-of-names is the same predicate)
+  *  - unsafe: method present and not safe per RFC 9110 §9.2.1
+  *    (reference src/Filter.cxx:42)
+  *
+  * All predicates are plain `Column` expressions, so Catalyst pushes
+  * the sargable ones (equality, ranges, IN, STARTSWITH) into the
+  * parquet scan — on a date-partitioned 100 TB table the since/until
+  * filter additionally prunes partitions before any IO happens.
+  */
+final case class LogFilter(
+    sites: Set[String] = Set.empty,
+    hosts: Set[String] = Set.empty,
+    generators: Set[String] = Set.empty,
+    tpe: Option[String] = None,
+    sinceUs: Option[Long] = None,
+    untilUs: Option[Long] = None,
+    statusBegin: Int = 0,
+    statusEnd: Int = 0xffff,
+    durationLongerUs: Option[Long] = None,
+    uriExact: Option[String] = None,
+    uriPrefix: Option[String] = None,
+    methods: Set[String] = Set.empty,
+    unsafeMethod: Boolean = false) {
+
+  private def setFilter(c: Column, s: Set[String]): Option[Column] =
+    if (s.isEmpty) None
+    else if (s.size == 1) Some(c === s.head)
+    else Some(c.isin(s.toSeq: _*))
+
+  /** The conjunction, as one Column; `lit(true)` when unconstrained. */
+  def predicate: Column = {
+    val parts = Seq(
+      setFilter(col("site"), sites),
+      setFilter(col("host"), hosts),
+      setFilter(col("generator"), generators),
+      tpe.map(col("type") === _),
+      sinceUs.map(col("timestamp") >= _),
+      untilUs.map(col("timestamp") <= _),
+      if (statusBegin != 0 || statusEnd != 0xffff)
+        Some(col("status") >= statusBegin && col("status") < statusEnd)
+      else None,
+      durationLongerUs.map(col("duration_us") >= _),
+      uriExact.map(col("uri") === _),
+      uriPrefix.map(p => col("uri").startsWith(p)),
+      setFilter(col("method"), methods),
+      if (unsafeMethod)
+        Some(col("method").isNotNull && !col("method").isin(LogFilter.safeMethods.toSeq: _*))
+      else None
+    ).flatten
+    parts.reduceOption(_ && _).getOrElse(lit(true))
+  }
+}
+
+object LogFilter {
+  /** RFC 9110 §9.2.1 safe methods (referenced by src/Filter.cxx:42 via
+    * `IsSafeMethod`). Everything else is "unsafe".
+    */
+  val safeMethods: Set[String] = Set("GET", "HEAD", "OPTIONS", "TRACE")
+}

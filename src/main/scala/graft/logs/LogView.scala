@@ -7,29 +7,47 @@ import graft.Tables
 
 /** Pond-shaped log records derived from the `events` testdata table.
   *
-  * The reference's record is a `Net::Log::Datagram` (see
-  * reference client/FormatJson.cxx:25-97 for the full field list:
-  * timestamp, remote_host, host, site, generator, method, uri,
-  * status, duration, traffic, message, type). The driver testdata has
-  * no log table, so we derive one deterministically from `events` —
-  * the derivation is plain SQL so the DuckDB oracle can reproduce it
-  * bit-for-bit ([[LogView.sqlCte]]).
+  * The reference's record is a `Net::Log::Datagram` (see reference
+  * client/FormatJson.cxx:25-97 for the full field list: timestamp,
+  * remote_host, host, site, generator, method, uri, status, length,
+  * traffic, duration, type). The driver testdata has no log table, so
+  * we derive one deterministically from `events` — the derivation is
+  * plain SQL so the DuckDB oracle can reproduce it bit-for-bit
+  * ([[LogView.sqlCte]]).
+  *
+  * Timestamp representation: pond's `Net::Log::TimePoint` is a
+  * microsecond-resolution time_point; we keep `timestamp` as BIGINT
+  * epoch-microseconds. The parquet source stores TIMESTAMP(NANOS);
+  * Spark (with `nanosAsLong`, see [[graft.GraftSession]]) surfaces
+  * BIGINT nanos and `div 1000` truncates toward zero; DuckDB coerces
+  * TIMESTAMP_NS → TIMESTAMP (µs) by the same truncation, so the two
+  * sides agree exactly (both verified on sub-µs-precision rows).
   *
   * At 100 TB the real input would be a partitioned parquet log table
-  * with exactly [[LogSchema.schema]]; every operator downstream takes
-  * a DataFrame with these columns, so swapping the source is free.
+  * with exactly these columns; every operator downstream takes a
+  * DataFrame with this schema, so swapping the source is free.
   */
 object LogView {
+
+  val columns: Seq[String] = Seq(
+    "event_id", "timestamp", "site", "host", "generator", "remote_host",
+    "type", "method", "uri", "status", "duration_us", "traffic_sent",
+    "traffic_received", "message", "user_id", "value")
 
   /** Column derivations, Spark-SQL side. Must stay semantically
     * identical to [[sqlCte]] (DuckDB side).
     */
-  def apply(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def apply(spark: SparkSession, sfDir: String): DataFrame =
+    fromEvents(Tables.events(spark, sfDir))
+
+  /** Same derivation over any events-shaped DataFrame — batch or
+    * streaming ([[graft.streaming.Follow]] passes a readStream here).
+    */
+  def fromEvents(ev: DataFrame): DataFrame = {
     ev.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .select(
         col("event_id"),
-        col("ts").as("timestamp"),
+        expr("ts div 1000").as("timestamp"),
         concat(lit("site_"), (col("user_id") % 10).cast("string")).as("site"),
         concat(lit("h"), (col("user_id") % 5).cast("string"),
           lit(".example.com")).as("host"),
@@ -61,7 +79,7 @@ object LogView {
     """WITH log AS (
       |  SELECT
       |    event_id,
-      |    ts AS timestamp,
+      |    epoch_us(ts) AS timestamp,
       |    'site_' || CAST(user_id % 10 AS VARCHAR) AS site,
       |    'h' || CAST(user_id % 5 AS VARCHAR) || '.example.com' AS host,
       |    'gen' || CAST(event_id % 3 AS VARCHAR) AS generator,

@@ -1,0 +1,161 @@
+package graft.logs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query-shaping operators — pond's selection/presentation verbs over
+  * a log DataFrame (any DataFrame with [[LogView.columns]]).
+  *
+  * Every function returns a lazily-planned DataFrame; nothing
+  * collects to the driver. Scale notes inline per operator.
+  */
+object Shaping {
+
+  /** Deterministic total order for log output: pond emits records in
+    * time order; `event_id` breaks µs ties.
+    */
+  val timeOrder: Seq[Column] = Seq(col("timestamp"), col("event_id"))
+
+  /** WINDOW max@skip (reference src/Protocol.hxx `PondWindowPayload`):
+    * skip `skip` records, then emit at most `max`, in time order.
+    *
+    * Spark plans `offset+limit` over a sort as a single
+    * TakeOrderedAndProject-style bounded collect of `skip+max` rows —
+    * no full global sort materialisation. Pond itself streams a
+    * bounded window, so the driver-bounded size (`skip+max` rows) is
+    * the reference's own contract.
+    */
+  def window(df: DataFrame, max: Int, skip: Int = 0): DataFrame =
+    df.orderBy(timeOrder: _*).offset(skip).limit(max)
+
+  /** LAST (reference src/Protocol.hxx / doc `--last`): only the most
+    * recent matching record.
+    */
+  def last(df: DataFrame): DataFrame =
+    df.orderBy(col("timestamp").desc, col("event_id").desc).limit(1)
+
+  /** GROUP_SITE max@skip (reference src/Protocol.hxx
+    * `PondGroupSitePayload`): records of the first `max` sites after
+    * skipping `skip` sites. Pond iterates its per-site hash table;
+    * here site order is lexicographic (deterministic across engines).
+    *
+    * Scale shape (SURVEY §4): the site list is aggregated FIRST
+    * (shuffle on site of pre-aggregated partial counts — tiny), then
+    * broadcast back as a semi-join; never a window over the full data.
+    */
+  def groupSite(df: DataFrame, max: Int, skip: Int = 0): DataFrame = {
+    val sites = df.select("site").distinct()
+      .orderBy("site").offset(skip).limit(max)
+    df.join(broadcast(sites), Seq("site"), "left_semi")
+      .orderBy(col("site") +: timeOrder: _*)
+  }
+
+  /** `--accumulate=FIELD,top,N` (reference client/ResultWriter.cxx:401
+    * `PrintAccumulateTop`): per-value request counts, top N by count.
+    * Ties broken by value (the reference's heap order on equal counts
+    * is unspecified; lexicographic is the deterministic choice).
+    *
+    * Plan shape: partial count map-side, then `orderBy.limit` →
+    * TakeOrderedAndProject (no global sort) — safe at any cardinality.
+    */
+  def accumulateTop(df: DataFrame, field: String, n: Int): DataFrame =
+    df.filter(col(field).isNotNull)
+      .groupBy(col(field).as("value")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value"))
+      .limit(n)
+
+  /** `--accumulate=FIELD,more,N` (reference client/ResultWriter.cxx:432
+    * `PrintAccumulateMore`): values with count >= N.
+    */
+  def accumulateMore(df: DataFrame, field: String, atLeast: Long): DataFrame =
+    df.filter(col(field).isNotNull)
+      .groupBy(col(field).as("value")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= atLeast)
+      .orderBy(col("value"))
+
+  /** STATS (reference src/Protocol.hxx `PondStatsPayload`): dataset
+    * counters. Pond reports server-side record/byte/discard counters;
+    * the data-derived equivalents are row count, traffic sums and the
+    * covered time range. One-row result, fully map-side partial-agg.
+    */
+  def stats(df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("record_count"),
+      sum("traffic_sent").as("bytes_sent"),
+      sum("traffic_received").as("bytes_received"),
+      min("timestamp").as("first_us"),
+      max("timestamp").as("last_us"))
+
+  /** `--per-site=DIR` manifest (reference client/PerSitePath.hxx): the
+    * per-site fan-out as a deterministic manifest (site → row count).
+    * The actual writer is [[perSiteWrite]]; the manifest is what the
+    * oracle can check.
+    */
+  def perSiteManifest(df: DataFrame): DataFrame =
+    df.groupBy("site").agg(count(lit(1)).as("n_rows")).orderBy("site")
+
+  /** The real fan-out writer: one directory per site, exactly pond's
+    * `--per-site=PATH` layout. `partitionBy` writes all sites in one
+    * distributed pass (vs pond's sequential per-site files).
+    */
+  def perSiteWrite(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").partitionBy("site").parquet(outDir)
+
+  /** JSONL rendering (reference client/FormatJson.cxx:25-97): one JSON
+    * object per record with the reference's field names and order.
+    * Deviations from the reference, both documented:
+    *  - `status` is the numeric code as string (the reference prints
+    *    the RFC reason phrase, e.g. "200 OK");
+    *  - `duration` is integer microseconds (the reference prints float
+    *    seconds; engine-portable float-to-text is not hash-stable).
+    */
+  def jsonl(df: DataFrame): DataFrame =
+    df.select(
+      col("event_id"),
+      to_json(struct(
+        date_format(timestamp_micros(col("timestamp")),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
+        col("remote_host"),
+        col("host"),
+        col("site"),
+        col("generator"),
+        col("method"),
+        col("uri"),
+        col("message"),
+        col("status").cast("string").as("status"),
+        col("traffic_received"),
+        col("traffic_sent"),
+        col("duration_us").as("duration"),
+        col("type"))).as("json"))
+
+  /** Retention: drop records older than `maxAgeUs` relative to the
+    * newest record (reference doc/index.rst `database.max_age`; pond's
+    * ring buffer evicts oldest-first). At 100 TB this is a
+    * partition-level delete on the date-partitioned table (metadata
+    * only); expressed on a DataFrame it is a filter against the max
+    * timestamp (scalar subquery — one tiny extra job, no shuffle of
+    * the main data).
+    */
+  def maxAgeRetention(df: DataFrame, maxAgeUs: Long): DataFrame = {
+    val cutoff = df.agg(max("timestamp").as("m"))
+      .select((col("m") - maxAgeUs).as("cutoff"))
+    df.join(broadcast(cutoff)).filter(col("timestamp") >= col("cutoff"))
+      .drop("cutoff")
+  }
+
+  /** `per_site_message_rate_limit` (reference doc/index.rst:77-79):
+    * keep at most `n` records per site per time bucket of
+    * `bucketUs` microseconds (pond's limiter is per-second:
+    * `bucketUs = 1000000`). First-come-first-served within the
+    * bucket, like the server's token bucket; "first" = time order.
+    * One shuffle on (site, bucket); window ranks within partition.
+    */
+  def rateLimit(df: DataFrame, n: Int, bucketUs: Long = 1000000L): DataFrame = {
+    val bucket = expr(s"timestamp div ${bucketUs}L")
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("site"), bucket).orderBy(timeOrder: _*)))
+      .filter(col("rn") <= n)
+      .drop("rn")
+  }
+}

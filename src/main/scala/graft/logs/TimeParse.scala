@@ -1,0 +1,81 @@
+package graft.logs
+
+import java.time._
+import java.time.format.DateTimeFormatter
+
+/** Timestamp parsing for since/until query arguments, matching the
+  * reference client's accepted forms (reference doc/index.rst
+  * "ISO8601 time stamps": full ISO8601 with/without zone/seconds/
+  * minutes, date-only, compact `20190204T164641`, the tokens
+  * `now`/`today`/`yesterday`/`tomorrow`, and offsets `+30s`, `-30s`,
+  * `-15` (minutes), `-1h`, `-1d`).
+  *
+  * Returns epoch-microseconds (pond's native resolution). `nowUs` is
+  * an explicit parameter so parsing is deterministic/testable; zoneless
+  * inputs are interpreted in `zone` (UTC everywhere in this repo —
+  * the reference uses the client's local zone).
+  */
+object TimeParse {
+
+  private val Relative = "^([+-])(\\d+)(us|ms|s|m|h|d)?$".r
+
+  def parseUs(s: String, nowUs: Long, zone: ZoneId = ZoneOffset.UTC): Long = {
+    val trimmed = s.trim
+    trimmed match {
+      case "now" => nowUs
+      case "today" => startOfDay(nowUs, 0, zone)
+      case "yesterday" => startOfDay(nowUs, -1, zone)
+      case "tomorrow" => startOfDay(nowUs, 1, zone)
+      case Relative(sign, num, unit) =>
+        val n = num.toLong * (if (sign == "-") -1 else 1)
+        val us = Option(unit).getOrElse("m") match {
+          case "us" => n
+          case "ms" => n * 1000L
+          case "s"  => n * 1000000L
+          case "m"  => n * 60000000L
+          case "h"  => n * 3600000000L
+          case "d"  => n * 86400000000L
+        }
+        nowUs + us
+      case iso => parseIsoUs(iso, zone)
+    }
+  }
+
+  private def startOfDay(nowUs: Long, dayOffset: Int, zone: ZoneId): Long = {
+    val day = Instant.ofEpochSecond(Math.floorDiv(nowUs, 1000000L))
+      .atZone(zone).toLocalDate.plusDays(dayOffset)
+    toUs(day.atStartOfDay(zone).toInstant)
+  }
+
+  /** The ISO8601 variants of doc/index.rst, normalised then parsed. */
+  def parseIsoUs(s: String, zone: ZoneId = ZoneOffset.UTC): Long = {
+    // compact form 20190204T164641 → expand
+    val expanded = "^(\\d{4})(\\d{2})(\\d{2})T(\\d{2})(\\d{2})(\\d{2})$".r
+      .replaceAllIn(s, m => s"${m.group(1)}-${m.group(2)}-${m.group(3)}T${m.group(4)}:${m.group(5)}:${m.group(6)}")
+    // offset without colon (+0200) or hour-only (+02) → +02:00
+    val zoned = expanded
+      .replaceAll("([+-])(\\d{2})(\\d{2})$", "$1$2:$3")
+      .replaceAll("([+-])(\\d{2})$", "$1$2:00")
+    val hasZone = zoned.endsWith("Z") || zoned.matches(".*[+-]\\d{2}:\\d{2}$")
+    val body = if (zoned.endsWith("Z")) zoned.dropRight(1) else
+      if (hasZone) zoned.substring(0, zoned.length - 6) else zoned
+    val offset: ZoneOffset =
+      if (zoned.endsWith("Z")) ZoneOffset.UTC
+      else if (hasZone) ZoneOffset.of(zoned.substring(zoned.length - 6))
+      else null
+    val local: LocalDateTime =
+      if (body.matches("\\d{4}-\\d{2}-\\d{2}")) LocalDate.parse(body).atStartOfDay()
+      else if (body.matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}")) // minutes omitted
+        LocalDateTime.parse(body + ":00:00", DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+      else if (body.matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}")) // seconds omitted
+        LocalDateTime.parse(body + ":00", DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+      else LocalDateTime.parse(body, DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+    val instant =
+      if (offset != null) local.toInstant(offset)
+      else local.atZone(zone).toInstant
+    toUs(instant)
+  }
+
+  private def toUs(i: Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+}

@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.cosine_sim
+
+/** Near-duplicate detection (SURVEY §2E). Every variant follows the
+  * same scale discipline: CANDIDATE GENERATION BY BUCKETING (shuffle
+  * on a bucket key), never an all-pairs cross join. At 100 TB the
+  * bucket join is the only quadratic-risk step and its cost is bounded
+  * by bucket size, which the band/bit parameters control.
+  */
+object Dedup {
+
+  /** Distinct character 3-grams of the column named `textCol`, as an
+    * array column. `transform(sequence(...))` stays in codegen — no
+    * UDF.
+    */
+  def shingles(textCol: String, n: Int = 3): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
+        s"i -> substring($textCol, i, $n))"))
+
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.normText(col("text")).as("txt"))
+
+  /** MinHash + LSH candidate pairs (*rows-only*; Spark hash functions
+    * are not portable to the oracle).
+    *
+    * shingle → 32 minhash permutations (xxhash64 keyed by permutation
+    * index) → 8 bands of 4 rows → explode to (band, band_hash) →
+    * self-join per bucket. Two narrow shuffles (explode + join); pair
+    * count is bounded by bucket collisions, never O(n²).
+    */
+  def minhashPairs(spark: SparkSession, dir: String,
+                   numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numPerm / bands
+    val withShingles = normed(spark, dir)
+      .withColumn("sh", shingles("txt"))
+    val sigCols = (0 until numPerm).map { i =>
+      expr(s"array_min(transform(sh, s -> xxhash64(s, $i)))").as(s"m$i")
+    }
+    val withSig = withShingles.select(col("doc_id") +: sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
+      struct(lit(b).as("band"), expr(s"xxhash64($slice)").as("bh")).as(s"b$b")
+    }
+    val exploded = withSig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document: token-level xxhash64, per-bit ±1
+    * votes, sign → bit. The 64 per-bit sums are plain aggregates, so
+    * the whole signature build is one partial-aggregated groupBy.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = normed(spark, dir)
+      .select(col("doc_id"), explode(split(col("txt"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val votes = tokens.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs (*rows-only*): 4 bands of 16
+    * bits — two docs within hamming distance 3 of each other share at
+    * least one band (pigeonhole); verify candidates with `bit_count`.
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(spark, dir)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { j =>
+          struct(lit(j).as("band"),
+            expr(s"(simhash >> ${16 * j}) & 65535").as("bv"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Character-3-gram Jaccard similarity pairs, blocked by
+    * (lang, source) — the blocking key caps the quadratic join at
+    * block size, the standard sharded-Jaccard shape. Oracle-checkable:
+    * set intersection sizes are exact integers on both engines.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+                        minBp: Long = 3000): DataFrame = {
+    val g = normed(spark, dir)
+      .withColumn("sh", shingles("txt"))
+      .select(col("doc_id"), col("lang"), col("source"), col("sh"),
+        size(col("sh")).as("nsh"))
+    val a = g.as("a")
+    val b = g.as("b")
+    a.join(b, col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+        (col("a.nsh") + col("b.nsh")).as("sizes"))
+      .withColumn("jac_bp",
+        floor(lit(10000.0) * col("inter") / (col("sizes") - col("inter")))
+          .cast("long"))
+      .filter(col("jac_bp") >= minBp)
+      .select("doc_a", "doc_b", "jac_bp")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by `label` (stand-in for
+    * an IVF/LSH coarse quantiser cell at 100 TB). Emits pair ids only:
+    * the float value itself is engine-rounding-sensitive, the pair SET
+    * (threshold with empirical margin) is not. Uses the native
+    * [[graft.functions.CosineSimilarity]] expression.
+    */
+  def embeddingPairs(spark: SparkSession, dir: String,
+                     threshold: Double = 0.8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine_sim(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+}

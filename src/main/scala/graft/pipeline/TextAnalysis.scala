@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.rolling_hash
+
+/** Text-analysis operators for a training-data pipeline (SURVEY §2E):
+  * exact dedup, language ID, quality scoring, token counting,
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs),
+  * all embarrassingly parallel — per-row transforms followed by at
+  * most one aggregation, so they scale linearly with input splits.
+  *
+  * Ratio outputs use `floor(10000 * x / y)` basis points: double
+  * division is IEEE-identical on both engines and floor avoids the
+  * engine-specific rounding of cast-to-int (Spark truncates, DuckDB
+  * rounds).
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapsed, trimmed, lower-cased text — the
+    * normalisation key for exact dedup.
+    */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Exact deduplication: md5 over normalised text; one row per
+    * distinct content hash with the representative (min doc_id) and
+    * multiplicity. Hash-groupBy: one shuffle on the 32-hex key,
+    * perfectly uniform — the canonical 100 TB exact-dedup shape.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Counting uses padded occurrences of ` word ` so the
+    * same regex-free expression exists on both engines.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "que", "los"),
+    "fr" -> Seq("le", "et", "les"))
+
+  private def markerCount(text: Column, words: Seq[String]): Column =
+    words.map { w =>
+      // occurrences of " w " in " text ": (len - len(removed)) / (len(w)+2)
+      val padded = concat(lit(" "), text, lit(" "))
+      (length(padded) - length(regexp_replace(padded, s"\\s$w\\s", ""))) /
+        lit(w.length + 2)
+    }.reduce(_ + _).cast("long")
+
+  /** Language identification: count language-marker stopwords, pick
+    * the argmax (ties → first language in [[langMarkers]] order, 'und'
+    * if no markers at all). Heuristic by design — the reference point
+    * is an n-gram/stopword classifier, not a model.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val txt = normText(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("actual_lang") +:
+        langMarkers.map { case (l, ws) => markerCount(txt, ws).as(s"c_$l") }: _*)
+    val best = langMarkers.map { case (l, _) => col(s"c_$l") }
+      .reduce((a, b) => when(a >= b, a).otherwise(b))
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), elseCol) =>
+      when(col(s"c_$l") === best && best > 0, lit(l)).otherwise(elseCol)
+    }
+    // foldRight gives priority to the FIRST language that attains the max
+    scored.withColumn("pred_lang", pred)
+      .select("doc_id", "actual_lang", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Document quality signals: char/token counts, punctuation and
+    * stopword ratios (basis points), mean token length.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_measured"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("n_punct"),
+        regexp_count(concat(lit(" "), normText(col("text")), lit(" ")),
+          lit(" (the|a|of|and|to|is|in) ")).cast("long").as("n_stop"))
+      .withColumn("punct_bp",
+        floor(lit(10000.0) * col("n_punct") / col("n_chars_measured")).cast("long"))
+      .withColumn("stop_bp",
+        floor(lit(10000.0) * col("n_stop") / col("n_tokens")).cast("long"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens and a BPE-ish alnum-run count
+    * (`[A-Za-z0-9]+` matches — the pre-tokenizer split most BPE vocabs
+    * use). Both regexes are dialect-portable (Java / RE2).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint via the native [[graft.functions.RollingHash]]
+    * expression over normalised text.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), rolling_hash(normText(col("text"))).as("fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.logs.LogView
+
+/** FOLLOW/CONTINUE — pond's live tail (reference src/Protocol.hxx
+  * FOLLOW, doc/index.rst `--follow`) re-expressed as Structured
+  * Streaming: `readStream` over the log table, the same LogView
+  * derivation and filter predicates as the batch path (one code path
+  * for both, the point of declarative plans), `writeStream` to a sink.
+  *
+  * In production the source is a file/Kafka stream and the query runs
+  * with `Trigger.ProcessingTime`; here `Trigger.AvailableNow` drains
+  * the existing data and terminates, which makes the streaming path
+  * batch-verifiable: the result must equal the batch query over the
+  * same input — exactly what the DuckDB oracle checks.
+  */
+object Follow {
+
+  /** Tail records with `timestamp >= sinceUs` through a streaming
+    * plan, returning the drained result as a DataFrame.
+    */
+  def followTail(spark: SparkSession, dir: String, sinceUs: Long): DataFrame = {
+    val batchSchema = Tables.events(spark, dir).schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .parquet(s"$dir/events.parquet")
+    val name = "graft_follow"
+    val q = LogView.fromEvents(stream)
+      .filter(col("timestamp") >= sinceUs)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("timestamp", "event_id")
+  }
+}
