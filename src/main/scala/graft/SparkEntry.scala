@@ -69,8 +69,8 @@ object SparkEntry {
     ("filter_status", fq(LogFilter(statusBegin = 400, statusEnd = 500)),
       Some(logSql("status >= 400 AND status < 500"))),
     ("filter_duration_longer",
-      fq(LogFilter(durationLongerUs = Some(500000L))),
-      Some(logSql("duration_us >= 500000"))),
+      fq(LogFilter(durationLongerUs = Some(300000L))),
+      Some(logSql("duration_us >= 300000"))),
     ("filter_uri_exact", fq(LogFilter(uriExact = Some("/view/item7"))),
       Some(logSql("uri = '/view/item7'"))),
     ("filter_uri_prefix", fq(LogFilter(uriPrefix = Some("/purchase/"))),

@@ -123,13 +123,14 @@ object Analytics {
       .agg(approx_count_distinct("user_id", 0.02).as("n_users_approx"))
       .orderBy("event_type")
 
-  /** Anti join: customers that never ordered (NOT EXISTS). Plans as a
-    * shuffled hash anti-join on custkey; at scale the orders side is
-    * pre-aggregated to distinct keys by Spark automatically.
+  /** Anti join (NOT EXISTS): customers with no urgent order. Plans as
+    * a hash anti-join on custkey with the filter pushed below the
+    * join; at scale the orders side reduces to distinct keys first.
     */
   def qExists(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir),
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")

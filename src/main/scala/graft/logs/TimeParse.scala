@@ -52,10 +52,14 @@ object TimeParse {
     // compact form 20190204T164641 → expand
     val expanded = "^(\\d{4})(\\d{2})(\\d{2})T(\\d{2})(\\d{2})(\\d{2})$".r
       .replaceAllIn(s, m => s"${m.group(1)}-${m.group(2)}-${m.group(3)}T${m.group(4)}:${m.group(5)}:${m.group(6)}")
-    // offset without colon (+0200) or hour-only (+02) → +02:00
-    val zoned = expanded
-      .replaceAll("([+-])(\\d{2})(\\d{2})$", "$1$2:$3")
-      .replaceAll("([+-])(\\d{2})$", "$1$2:00")
+    // offset without colon (+0200) or hour-only (+02) → +02:00; only a
+    // string with a time part can carry an offset (a bare date like
+    // 2019-02-04 must not have its "-04" eaten as a zone)
+    val zoned =
+      if (!expanded.contains("T")) expanded
+      else expanded
+        .replaceAll("([+-])(\\d{2})(\\d{2})$", "$1$2:$3")
+        .replaceAll("([+-])(\\d{2})$", "$1$2:00")
     val hasZone = zoned.endsWith("Z") || zoned.matches(".*[+-]\\d{2}:\\d{2}$")
     val body = if (zoned.endsWith("Z")) zoned.dropRight(1) else
       if (hasZone) zoned.substring(0, zoned.length - 6) else zoned

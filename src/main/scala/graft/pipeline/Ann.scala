@@ -65,15 +65,18 @@ object Ann {
       struct(lit(t).as("t"), bucket.as("bucket")).as(s"tb$t")
     }
 
-  /** LSH-bucketed approximate top-k: 4 tables × 8 random-hyperplane
-    * bits. Candidates = vectors sharing any (table, bucket) with the
-    * query; exact cosine + rank only within candidates. At 100 TB the
-    * explode side shuffles on (table, bucket) — linear, and bucket
-    * occupancy (not N²) bounds the join.
+  /** LSH-bucketed approximate top-k: 16 tables × 6 random-hyperplane
+    * bits (for a ~0.4-cos neighbour, P(bit agree) ≈ 0.63, so per-table
+    * hit ≈ 0.63⁶ ≈ 0.06 and 16 tables give ≈ 0.65 recall; `bits`
+    * scales with log N in production to keep buckets O(1)). Candidates
+    * = vectors sharing any (table, bucket) with the query; exact
+    * cosine + rank only within candidates. At 100 TB the explode side
+    * shuffles on (table, bucket) — linear, and bucket occupancy (not
+    * N²) bounds the join.
     */
   def lshTopK(spark: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10,
-              tables: Int = 4, bits: Int = 8, dim: Int = 64): DataFrame = {
+              tables: Int = 16, bits: Int = 6, dim: Int = 64): DataFrame = {
     val all = vectors(spark, dir)
     val buckets = all
       .select(col("vec_id"), col("v"),

@@ -32,12 +32,13 @@ object Dedup {
     * are not portable to the oracle).
     *
     * shingle → 32 minhash permutations (xxhash64 keyed by permutation
-    * index) → 8 bands of 4 rows → explode to (band, band_hash) →
-    * self-join per bucket. Two narrow shuffles (explode + join); pair
-    * count is bounded by bucket collisions, never O(n²).
+    * index) → 4 bands of 8 rows (LSH s-curve threshold ≈ (1/4)^(1/8)
+    * ≈ 0.84 Jaccard) → explode to (band, band_hash) → self-join per
+    * bucket. Two narrow shuffles (explode + join); pair count is
+    * bounded by bucket collisions, never O(n²).
     */
   def minhashPairs(spark: SparkSession, dir: String,
-                   numPerm: Int = 32, bands: Int = 8): DataFrame = {
+                   numPerm: Int = 32, bands: Int = 4): DataFrame = {
     val rows = numPerm / bands
     val withShingles = normed(spark, dir)
       .withColumn("sh", shingles("txt"))

@@ -26,9 +26,12 @@ object Follow {
     */
   def followTail(spark: SparkSession, dir: String, sinceUs: Long): DataFrame = {
     val batchSchema = Tables.events(spark, dir).schema
+    // the file stream source wants a directory: list the sf dir and
+    // glob-filter to the events table
     val stream = spark.readStream
       .schema(batchSchema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
     val name = "graft_follow"
     val q = LogView.fromEvents(stream)
       .filter(col("timestamp") >= sinceUs)

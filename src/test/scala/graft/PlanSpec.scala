@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Analytics
+import graft.logs.{LogFilter, LogView, Shaping}
+
+/** Physical-plan assertions: the 100 TB commitments from SURVEY §4,
+  * checked against `.explain` output so a regression in plan shape
+  * fails CI, not a cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet filters push down to the scan (PushedFilters)") {
+    // filter on a NON-derived column: pushes into the parquet reader
+    val df = Tables.events(spark, sf).filter(col("user_id") === 7)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: ["))
+    assert(formatted.contains("EqualTo(user_id,7"),
+      s"user_id filter not pushed:\n$formatted")
+  }
+
+  test("column pruning reaches the scan (ReadSchema)") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+  }
+
+  test("accumulate_top plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Shaping.accumulateTop(LogView(spark, sf), "remote_host", 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("window max@skip stays a bounded limit, not a full materialised sort") {
+    val p = plan(Shaping.window(LogView(spark, sf), max = 100, skip = 50))
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
+  }
+
+  test("q5 broadcasts the small dims (region/nation)") {
+    val p = plan(Analytics.q5Join(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("group_site broadcasts the site list back (no window over all rows)") {
+    val p = plan(Shaping.groupSite(LogView(spark, sf), max = 3, skip = 2))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q1 partial-aggregates map-side before the shuffle") {
+    val p = plan(Analytics.q1Agg(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("filter queries keep whole-stage codegen (no UDF islands)") {
+    // sf01 so another suite's .cache() of the sf0.001 view can't swap
+    // in an InMemoryRelation; `*(n)` marks codegen stages in toString
+    val p = plan(LogView(spark, sf01)
+      .filter(LogFilter(sites = Set("site_1"), statusBegin = 200,
+        statusEnd = 300).predicate))
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+
+  test("rolling_hash matches the reference implementation (codegen path)") {
+    import spark.implicits._
+    val inputs = Seq("", "a", "hello world", "the quick brown fox", "ü§")
+    val got = inputs.toDF("s")
+      .select(rolling_hash(col("s"))).collect().map(_.getLong(0))
+    assert(got.toSeq == inputs.map(RollingHash.hash))
+  }
+
+  test("rolling_hash known values") {
+    assert(RollingHash.hash("") == 0L)
+    assert(RollingHash.hash("a") == 97L)
+    assert(RollingHash.hash("ab") == 97L * 257 + 98)
+  }
+
+  test("rolling_hash is rolling: prefix property over random strings") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val s = rnd.alphanumeric.take(rnd.nextInt(40)).mkString
+      val c = rnd.alphanumeric.head
+      var h = RollingHash.hash(s)
+      c.toString.getBytes("UTF-8").foreach { b =>
+        h = (h * RollingHash.Base + (b & 0xff)) % RollingHash.Mod
+      }
+      assert(RollingHash.hash(s + c) == h)
+    }
+  }
+
+  test("rolling_hash is SQL-callable via GraftExtensions") {
+    val r = spark.sql("SELECT rolling_hash('ab') AS h").head().getLong(0)
+    assert(r == 97L * 257 + 98)
+  }
+
+  test("cosine_sim agrees with a plain-Scala implementation") {
+    import spark.implicits._
+    val a = Array(1.0, 2.0, 3.0)
+    val b = Array(-1.0, 0.5, 2.0)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(cosine_sim(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - CosineSimilarity.cosine(a, b)) < 1e-15)
+    // orthogonal / identical / zero
+    assert(CosineSimilarity.cosine(Array(1.0, 0.0), Array(0.0, 1.0)) == 0.0)
+    assert(math.abs(CosineSimilarity.cosine(a, a) - 1.0) < 1e-12)
+    assert(CosineSimilarity.cosine(Array(0.0, 0.0), a.take(2)) == 0.0)
+  }
+
+  test("expressions stay inside whole-stage codegen") {
+    // a real file scan (LocalRelation would constant-fold away);
+    // `*(n)` is executedPlan.toString's whole-stage-codegen marker
+    val plan = graft.Tables.documents(spark, sf)
+      .select(rolling_hash(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+    assert(plan.contains("rolling_hash"), plan)
+  }
+}

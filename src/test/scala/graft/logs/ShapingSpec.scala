@@ -1,0 +1,76 @@
+package graft.logs
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ShapingSpec extends SparkSpec {
+
+  private lazy val log = LogView(spark, sf)
+
+  test("window max@skip: bounded, time-ordered, offset applied") {
+    val all = log.orderBy("timestamp", "event_id")
+      .select("event_id").limit(60).collect().map(_.getLong(0))
+    val win = Shaping.window(log, max = 10, skip = 50)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(win.length == 10)
+    assert(win.toSeq == all.slice(50, 60).toSeq)
+  }
+
+  test("last returns the single most recent record") {
+    val l = Shaping.last(log).collect()
+    assert(l.length == 1)
+    val maxTs = log.agg(max("timestamp")).head().getLong(0)
+    assert(l.head.getAs[Long]("timestamp") == maxTs)
+  }
+
+  test("group_site: exactly `max` sites after skipping, lexicographic") {
+    val out = Shaping.groupSite(log, max = 3, skip = 2)
+    val sites = out.select("site").distinct()
+      .collect().map(_.getString(0)).sorted
+    val allSites = log.select("site").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(sites.toSeq == allSites.slice(2, 5).toSeq)
+  }
+
+  test("accumulate more/top agree with manual counting") {
+    val counts = log.groupBy("site").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val top = Shaping.accumulateTop(log, "site", 3).collect()
+    assert(top.length == 3)
+    assert(top.map(_.getLong(1)).toSeq ==
+      counts.values.toSeq.sorted(Ordering[Long].reverse).take(3))
+    val more = Shaping.accumulateMore(log, "site", 1L).collect()
+    assert(more.length == counts.size)
+  }
+
+  test("rate limit keeps at most n per (site, bucket)") {
+    val limited = Shaping.rateLimit(log, n = 1, bucketUs = 86400000000L)
+    val worst = limited
+      .groupBy(col("site"), expr("timestamp div 86400000000"))
+      .count().agg(max("count")).head().getLong(0)
+    assert(worst == 1L)
+    assert(limited.count() < log.count())
+  }
+
+  test("max_age keeps only the trailing window") {
+    val kept = Shaping.maxAgeRetention(log, 86400000000L) // 1 day
+    val bounds = kept.agg(min("timestamp"), max("timestamp")).head()
+    assert(bounds.getLong(1) - bounds.getLong(0) <= 86400000000L)
+    assert(kept.count() > 0 && kept.count() < log.count())
+  }
+
+  test("per-site writer fans out one directory per site") {
+    val dir = java.nio.file.Files.createTempDirectory("persite").toString
+    Shaping.perSiteWrite(log, dir)
+    val siteDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("site="))
+    assert(siteDirs.length == 10)
+  }
+
+  test("jsonl emits parseable objects with the FormatJson field set") {
+    val j = Shaping.jsonl(log.limit(5)).collect().map(_.getString(1))
+    assert(j.forall(_.startsWith("{\"time\":\"")))
+    assert(j.forall(_.contains("\"site\":\"site_")))
+    assert(j.forall(_.endsWith("\"}")))
+  }
+}

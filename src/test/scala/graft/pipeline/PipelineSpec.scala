@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("minhash LSH recalls high-Jaccard pairs without all-pairs compute") {
+    // ground truth: pairs with Jaccard >= 0.85 from the exact (blocked)
+    // ngram operator; minhash banding (4x8 → s-curve ~0.84) must find
+    // most of them
+    val truth = Dedup.ngramJaccardPairs(spark, sf01, minBp = 8500)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashPairs(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.6, s"minhash recall $recall over ${truth.size} pairs")
+  }
+
+  test("simhash: near-identical docs collide, hamming bounded") {
+    val rows = Dedup.simhashPairs(spark, sf01).collect()
+    assert(rows.forall(_.getInt(2) <= 3))
+  }
+
+  test("ann_lsh achieves useful recall@10 against ann_brute") {
+    val brute = Ann.bruteTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.lshTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"ann_lsh recall@10 = $recall")
+  }
+
+  test("embedding dedup finds the known near-duplicate pairs") {
+    val pairs = Dedup.embeddingPairs(spark, sf01, threshold = 0.45).collect()
+    assert(pairs.length >= 1)
+  }
+
+  test("language id is deterministic and covers all docs") {
+    val out = TextAnalysis.langId(spark, sf01).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.getString(2) != null))
+  }
+
+  test("multimodal decode: batched plumbing produces per-payload features") {
+    val out = Multimodal.decode(spark, sf01).collect()
+    assert(out.length == 500)
+    // n_bytes equals document length (ASCII corpus)
+    val doc0 = out.find(_.getLong(0) == 0L).get
+    assert(doc0.getLong(4) > 0)
+    assert(Set("png", "jpeg", "wav").contains(doc0.getString(1)))
+  }
+}
