@@ -14,8 +14,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Fact-sized tables whose per-row compute deserves full parallelism.
+    * Dimensions stay un-spread so they remain trivially broadcastable.
+    */
+  private val factTables: Set[String] =
+    Set("events", "lineitem", "orders", "customer", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (factTables(name)) spread(spark, df) else df
+  }
+
+  /** The testdata ships one single-row-group file per table, which
+    * Spark cannot split — every downstream operator would run on ONE
+    * partition. Repartition up to the core count when (and only when)
+    * the scan yields fewer splits than cores. On a real deployment the
+    * table is thousands of files, the guard is false, and this is a
+    * no-op — no extra shuffle at scale. (`repartition(n)` with an
+    * explicit count is exempt from AQE coalescing, so the parallelism
+    * actually sticks.)
+    */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

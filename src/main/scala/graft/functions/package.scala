@@ -17,4 +17,8 @@ package object functions {
 
   /** [[graft.functions.CosineSimilarity]] as a Column function. */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** [[graft.functions.SortedIntersectCount]] as a Column function. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 }

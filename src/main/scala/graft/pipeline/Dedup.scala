@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.cosine_sim
+import graft.functions.{cosine_sim, sorted_intersect_count}
 
 /** Near-duplicate detection (SURVEY §2E). Every variant follows the
   * same scale discipline: CANDIDATE GENERATION BY BUCKETING (shuffle
@@ -109,11 +109,19 @@ object Dedup {
     * (lang, source) — the blocking key caps the quadratic join at
     * block size, the standard sharded-Jaccard shape. Oracle-checkable:
     * set intersection sizes are exact integers on both engines.
+    *
+    * Perf shape: shingle sets are sorted ONCE per document
+    * (projection, before the join), so each pair costs one
+    * allocation-free [[graft.functions.SortedIntersectCount]] merge.
+    * The threshold runs on the exact integer inequality
+    * `inter * (10000 + t) >= t * (|A| + |B|)` (⇔ floor(1e4·J) >= t),
+    * so the merge is evaluated once per pair and `jac_bp` is only
+    * computed for survivors.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         minBp: Long = 3000): DataFrame = {
     val g = normed(spark, dir)
-      .withColumn("sh", shingles("txt"))
+      .withColumn("sh", array_sort(shingles("txt")))
       .select(col("doc_id"), col("lang"), col("source"), col("sh"),
         size(col("sh")).as("nsh"))
     val a = g.as("a")
@@ -123,13 +131,12 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+        sorted_intersect_count(col("a.sh"), col("b.sh")).as("inter"),
         (col("a.nsh") + col("b.nsh")).as("sizes"))
-      .withColumn("jac_bp",
+      .filter(col("inter") * (10000L + minBp) >= lit(minBp) * col("sizes"))
+      .select(col("doc_a"), col("doc_b"),
         floor(lit(10000.0) * col("inter") / (col("sizes") - col("inter")))
-          .cast("long"))
-      .filter(col("jac_bp") >= minBp)
-      .select("doc_a", "doc_b", "jac_bp")
+          .cast("long").as("jac_bp"))
       .orderBy("doc_a", "doc_b")
   }
 

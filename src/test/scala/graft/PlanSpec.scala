@@ -63,10 +63,13 @@ class PlanSpec extends SparkSpec {
 
   test("filter queries keep whole-stage codegen (no UDF islands)") {
     // sf01 so another suite's .cache() of the sf0.001 view can't swap
-    // in an InMemoryRelation; `*(n)` marks codegen stages in toString
-    val p = plan(LogView(spark, sf01)
+    // in an InMemoryRelation; execute first so AQE finalises the plan
+    // (`*(n)` marks codegen stages in toString)
+    val df = LogView(spark, sf01)
       .filter(LogFilter(sites = Set("site_1"), statusBegin = 200,
-        statusEnd = 300).predicate))
+        statusEnd = 300).predicate)
+    df.collect()
+    val p = plan(df)
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }

@@ -50,12 +50,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(CosineSimilarity.cosine(Array(0.0, 0.0), a.take(2)) == 0.0)
   }
 
+  test("sorted_intersect_count equals array_intersect size on sorted sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { _ =>
+      val a = (1 to rnd.nextInt(30)).map(_ => rnd.nextInt(40).toString)
+        .distinct.sorted
+      val b = (1 to rnd.nextInt(30)).map(_ => rnd.nextInt(40).toString)
+        .distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size)
+    }
+    val got = rows.toDF("a", "b", "want")
+      .select(sorted_intersect_count(col("a"), col("b")), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("expressions stay inside whole-stage codegen") {
     // a real file scan (LocalRelation would constant-fold away);
-    // `*(n)` is executedPlan.toString's whole-stage-codegen marker
-    val plan = graft.Tables.documents(spark, sf)
-      .select(rolling_hash(col("text")))
-      .queryExecution.executedPlan.toString
+    // execute first so AQE finalises the plan, then look for the
+    // `*(n)` / WholeStageCodegen markers
+    val df = graft.Tables.documents(spark, sf).select(rolling_hash(col("text")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
     assert(plan.contains("rolling_hash"), plan)
   }
