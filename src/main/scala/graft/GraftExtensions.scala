@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, RollingHash, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, HyperplaneBuckets, RollingHash, SortedIntersectCount}
 
 /** SparkSessionExtensions hook registering graft's native expressions
   * as SQL functions, so `spark.sql("SELECT rolling_hash(text) ...")`
@@ -27,5 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      (children: Seq[Expression]) => HyperplaneBuckets(
+        children(0),
+        children(1).eval().asInstanceOf[Int],
+        children(2).eval().asInstanceOf[Int])))
   }
 }

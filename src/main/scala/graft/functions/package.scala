@@ -21,4 +21,10 @@ package object functions {
   /** [[graft.functions.SortedIntersectCount]] as a Column function. */
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+
+  /** [[graft.functions.HyperplaneBuckets]] as a Column function. */
+  def hyperplane_buckets(v: Column, tables: Int, bits: Int): Column =
+    call_function("hyperplane_buckets", v,
+      org.apache.spark.sql.functions.lit(tables),
+      org.apache.spark.sql.functions.lit(bits))
 }
