@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HyperplaneBuckets, RollingHash, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, HyperplaneBuckets, MinHashSignature, RollingHash, SortedIntersectCount}
 
 /** SparkSessionExtensions hook registering graft's native expressions
   * as SQL functions, so `spark.sql("SELECT rolling_hash(text) ...")`
@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => MinHashSignature(
+        children(0), children(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),

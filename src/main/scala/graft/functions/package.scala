@@ -27,4 +27,9 @@ package object functions {
     call_function("hyperplane_buckets", v,
       org.apache.spark.sql.functions.lit(tables),
       org.apache.spark.sql.functions.lit(bits))
+
+  /** [[graft.functions.MinHashSignature]] as a Column function. */
+  def minhash_signature(sh: Column, numPerm: Int): Column =
+    call_function("minhash_signature", sh,
+      org.apache.spark.sql.functions.lit(numPerm))
 }

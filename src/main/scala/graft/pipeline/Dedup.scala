@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{cosine_sim, sorted_intersect_count}
+import graft.functions.{cosine_sim, minhash_signature, sorted_intersect_count}
 
 /** Near-duplicate detection (SURVEY §2E). Every variant follows the
   * same scale discipline: CANDIDATE GENERATION BY BUCKETING (shuffle
@@ -31,8 +31,9 @@ object Dedup {
   /** MinHash + LSH candidate pairs (*rows-only*; Spark hash functions
     * are not portable to the oracle).
     *
-    * shingle → 32 minhash permutations (xxhash64 keyed by permutation
-    * index) → 4 bands of 8 rows (LSH s-curve threshold ≈ (1/4)^(1/8)
+    * shingle → 32-permutation signature in one fused
+    * [[graft.functions.MinHashSignature]] pass (each shingle hashed
+    * once) → 4 bands of 8 rows (LSH s-curve threshold ≈ (1/4)^(1/8)
     * ≈ 0.84 Jaccard) → explode to (band, band_hash) → self-join per
     * bucket. Two narrow shuffles (explode + join); pair count is
     * bounded by bucket collisions, never O(n²).
@@ -40,14 +41,12 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String,
                    numPerm: Int = 32, bands: Int = 4): DataFrame = {
     val rows = numPerm / bands
-    val withShingles = normed(spark, dir)
-      .withColumn("sh", shingles("txt"))
-    val sigCols = (0 until numPerm).map { i =>
-      expr(s"array_min(transform(sh, s -> xxhash64(s, $i)))").as(s"m$i")
-    }
-    val withSig = withShingles.select(col("doc_id") +: sigCols: _*)
+    val withSig = normed(spark, dir)
+      .select(col("doc_id"),
+        minhash_signature(shingles("txt"), numPerm).as("sig"))
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
+      val slice = (0 until rows)
+        .map(r => s"sig[${b * rows + r}]").mkString(", ")
       struct(lit(b).as("band"), expr(s"xxhash64($slice)").as("bh")).as(s"b$b")
     }
     val exploded = withSig
