@@ -61,6 +61,25 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("date-partitioned layout prunes partitions on time filters") {
+    // the 100 TB layout (SURVEY §4): events partitioned by date. The
+    // since/until filter must reach PartitionFilters — i.e. prune
+    // whole directories before any IO — which is what makes pond's
+    // max_age eviction a metadata-only operation at scale.
+    val dir = java.nio.file.Files.createTempDirectory("evpart").toString
+    Tables.events(spark, sf)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("date") === "2024-01-05")
+    val formatted = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PartitionFilters: [isnotnull(date"), formatted)
+    assert(pruned.count() > 0)
+    val all = spark.read.parquet(dir).count()
+    assert(pruned.count() < all)
+  }
+
   test("filter queries keep whole-stage codegen (no UDF islands)") {
     // sf01 so another suite's .cache() of the sf0.001 view can't swap
     // in an InMemoryRelation; execute first so AQE finalises the plan

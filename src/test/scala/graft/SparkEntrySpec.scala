@@ -1,0 +1,50 @@
+package graft
+
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry() returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("SURVEY §2 operator ids are all registered") {
+    val expected = Set(
+      // §2A
+      "log_schema", "filter_site", "filter_type", "filter_host",
+      "filter_generator", "filter_since_until", "filter_status",
+      "filter_duration_longer", "filter_uri_exact", "filter_uri_prefix",
+      "filter_method", "filter_unsafe_method", "filter_combined", "time_parse",
+      // §2B
+      "window", "last", "group_site", "accumulate_top", "accumulate_more",
+      "stats", "per_site_out", "jsonl", "follow", "max_age_retention",
+      "rate_limit",
+      // §2C
+      "anonymize_ip", "track_visitors", "geoip", "visitor_stats",
+      // §2D
+      "q1_agg", "q3_topn", "q5_join", "q_window", "q_distinct",
+      "q_approx_distinct", "q_exists", "q_funnel", "q_sessionize", "q_json",
+      "q_rollup", "q_asof",
+      // §2E
+      "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
+      "dedup_embedding", "ann_brute", "ann_lsh", "lang_id", "quality_score",
+      "token_count", "fingerprint", "mm_decode")
+    val registered = SparkEntry.queries.keySet
+    assert((expected -- registered).isEmpty,
+      s"missing operators: ${expected -- registered}")
+  }
+
+  test("every registered query executes on sf0.001") {
+    // the exact smoke the driver runs before Verify — catch runtime
+    // breakage (not just compilation) for every operator
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      withClue(name) {
+        val n = fn(spark, sf).count()
+        assert(n >= 0)
+      }
+    }
+  }
+}
