@@ -151,6 +151,21 @@ object SparkEntry {
           "traffic_received := traffic_received, traffic_sent := traffic_sent, " +
           "duration := duration_us, \"type\" := type)) AS VARCHAR) AS json " +
           "FROM log WHERE site = 'site_1' ORDER BY event_id"))),
+    ("one_line",
+      (s: SparkSession, d: String) => Shaping.oneLine(
+        LogView(s, d).filter(col("site") === "site_4")).orderBy("event_id"),
+      Some(LogView.oracle(
+        "SELECT event_id, site || ' ' || remote_host || ' - - [' || " +
+          "strftime(make_timestamp(timestamp), '%Y-%m-%dT%H:%M:%SZ') || '] \"' || " +
+          "method || ' ' || uri || ' HTTP/1.1\" ' || " +
+          "CAST(status AS VARCHAR) || ' ' || CAST(traffic_sent AS VARCHAR) AS line " +
+          "FROM log WHERE site = 'site_4' ORDER BY event_id"))),
+    ("age_only",
+      (s: SparkSession, d: String) =>
+        Shaping.ageOnly(LogView(s, d)).orderBy("event_id"),
+      Some(LogView.oracle(
+        "SELECT event_id, ((SELECT max(timestamp) FROM log) - timestamp) // 1000000 " +
+          "AS age_s FROM log ORDER BY event_id"))),
     ("follow",
       (s: SparkSession, d: String) => Follow.followTail(s, d, FollowSinceUs),
       Some(logSql(s"timestamp >= $FollowSinceUs"))),

@@ -129,6 +129,37 @@ object Shaping {
         col("duration_us").as("duration"),
         col("type"))).as("json"))
 
+  /** One-line text rendering — pond's default output format
+    * (reference client/ResultWriter.cxx:275 `Net::Log::FormatOneLine`;
+    * the formatter itself lives in the vendored libcommon, so this is
+    * the conventional access-log line shape: site, client, timestamp,
+    * request, status, bytes).
+    */
+  def oneLine(df: DataFrame): DataFrame =
+    df.select(
+      col("event_id"),
+      concat(
+        col("site"), lit(" "),
+        col("remote_host"), lit(" - - ["),
+        date_format(timestamp_micros(col("timestamp")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("] \""),
+        col("method"), lit(" "), col("uri"), lit(" HTTP/1.1\" "),
+        col("status").cast("string"), lit(" "),
+        col("traffic_sent").cast("string")).as("line"))
+
+  /** `--age-only` (reference client/ResultWriter.cxx:199-210): emit
+    * only each record's age in whole seconds. The reference measures
+    * against wallclock; for a deterministic result the engine measures
+    * against the newest record (a scalar broadcast, same shape as
+    * [[maxAgeRetention]]).
+    */
+  def ageOnly(df: DataFrame): DataFrame = {
+    val now = df.agg(max("timestamp").as("now_us"))
+    df.join(broadcast(now))
+      .select(col("event_id"),
+        expr("(now_us - timestamp) div 1000000").as("age_s"))
+  }
+
   /** Retention: drop records older than `maxAgeUs` relative to the
     * newest record (reference doc/index.rst `database.max_age`; pond's
     * ring buffer evicts oldest-first). At 100 TB this is a

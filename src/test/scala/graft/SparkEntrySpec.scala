@@ -20,8 +20,8 @@ class SparkEntrySpec extends SparkSpec {
       "filter_method", "filter_unsafe_method", "filter_combined", "time_parse",
       // §2B
       "window", "last", "group_site", "accumulate_top", "accumulate_more",
-      "stats", "per_site_out", "jsonl", "follow", "max_age_retention",
-      "rate_limit",
+      "stats", "per_site_out", "jsonl", "one_line", "age_only", "follow",
+      "max_age_retention", "rate_limit",
       // §2C
       "anonymize_ip", "track_visitors", "geoip", "visitor_stats",
       // §2D
