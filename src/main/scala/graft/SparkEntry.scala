@@ -215,6 +215,26 @@ object SparkEntry {
           "OR timestamp - lag(timestamp) OVER (PARTITION BY remote_host " +
           "ORDER BY timestamp, event_id) >= 1800000000 THEN 1 ELSE 0 END AS is_new " +
           "FROM log)) ORDER BY event_id"))),
+    // pond's stateful VisitorTracker as flatMapGroupsWithState — the
+    // drained stream must equal the batch window implementation, so the
+    // same SQL oracle checks both
+    ("track_visitors_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.LiveVisitors.trackVisitorsStream(s, d)
+          .select("event_id", "remote_host", "visitor_id")
+          .orderBy("event_id"),
+      Some(LogView.oracle(
+        "SELECT event_id, remote_host, " +
+          "md5(remote_host || ':' || CAST(visit_seq AS VARCHAR)) AS visitor_id FROM (" +
+          "SELECT event_id, remote_host, " +
+          "sum(is_new) OVER (PARTITION BY remote_host ORDER BY timestamp, event_id " +
+          "ROWS UNBOUNDED PRECEDING) AS visit_seq FROM (" +
+          "SELECT event_id, timestamp, remote_host, " +
+          "CASE WHEN lag(timestamp) OVER (PARTITION BY remote_host " +
+          "ORDER BY timestamp, event_id) IS NULL " +
+          "OR timestamp - lag(timestamp) OVER (PARTITION BY remote_host " +
+          "ORDER BY timestamp, event_id) >= 1800000000 THEN 1 ELSE 0 END AS is_new " +
+          "FROM log)) ORDER BY event_id"))),
     ("geoip",
       (s: SparkSession, d: String) =>
         Enrich.geoip(s, LogView(s, d))

@@ -23,7 +23,8 @@ class SparkEntrySpec extends SparkSpec {
       "stats", "per_site_out", "jsonl", "one_line", "age_only", "follow",
       "max_age_retention", "rate_limit",
       // §2C
-      "anonymize_ip", "track_visitors", "geoip", "visitor_stats",
+      "anonymize_ip", "track_visitors", "track_visitors_stream", "geoip",
+      "visitor_stats",
       // §2D
       "q1_agg", "q3_topn", "q5_join", "q_window", "q_distinct",
       "q_approx_distinct", "q_exists", "q_funnel", "q_sessionize", "q_json",
