@@ -14,6 +14,7 @@ import graft.functions.{CosineSimilarity, HyperplaneBuckets, MinHashSignature, R
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(graft.plans.TopKPerGroupStrategy(_))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
