@@ -28,6 +28,10 @@ package object functions {
       org.apache.spark.sql.functions.lit(tables),
       org.apache.spark.sql.functions.lit(bits))
 
+  /** [[graft.functions.SimHashAgg]] as an aggregate Column function. */
+  def simhash_agg(tokenHash: Column): Column =
+    call_function("simhash_agg", tokenHash)
+
   /** [[graft.functions.MinHashSignature]] as a Column function. */
   def minhash_signature(sh: Column, numPerm: Int): Column =
     call_function("minhash_signature", sh,

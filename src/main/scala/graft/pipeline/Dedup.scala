@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{cosine_sim, minhash_signature, sorted_intersect_count}
+import graft.functions.{cosine_sim, minhash_signature, simhash_agg, sorted_intersect_count}
 
 /** Near-duplicate detection (SURVEY §2E). Every variant follows the
   * same scale discipline: CANDIDATE GENERATION BY BUCKETING (shuffle
@@ -61,23 +61,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document: token-level xxhash64, per-bit ±1
-    * votes, sign → bit. The 64 per-bit sums are plain aggregates, so
-    * the whole signature build is one partial-aggregated groupBy.
+  /** 64-bit SimHash per document: token-level xxhash64 folded by the
+    * custom [[graft.functions.SimHashAgg]] aggregate — one 64-int
+    * vote buffer per group with map-side partial aggregation (the
+    * shuffle carries one 256-byte buffer per doc per mapper, not
+    * exploded token rows or 64 sum columns).
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = normed(spark, dir)
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    normed(spark, dir)
       .select(col("doc_id"), explode(split(col("txt"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map { j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j")
-    }
-    val votes = tokens.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    votes.select(col("doc_id"), sig.as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(simhash_agg(xxhash64(col("tok"))).as("simhash"))
 
   /** SimHash near-dup candidate pairs (*rows-only*): 4 bands of 16
     * bits — two docs within hamming distance 3 of each other share at

@@ -66,6 +66,28 @@ class ExpressionsSpec extends SparkSpec {
     got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("simhash_agg equals the declarative 64-sum formulation") {
+    import spark.implicits._
+    val toks = Seq((1L, "alpha"), (1L, "beta"), (1L, "alpha"), (2L, "gamma"),
+      (2L, "delta"), (2L, "alpha"), (3L, "x"))
+      .toDF("doc_id", "tok")
+      .withColumn("h", xxhash64(col("tok")))
+    val got = toks.groupBy("doc_id").agg(simhash_agg(col("h")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: explicit vote counting driver-side
+    val rows = toks.select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (d, hs) =>
+      var sig = 0L
+      (0 until 64).foreach { j =>
+        val v = hs.map(h => if (((h._2 >>> j) & 1L) == 1L) 1 else -1).sum
+        if (v > 0) sig |= (1L << j)
+      }
+      d -> sig
+    }
+    assert(got == want)
+  }
+
   test("expressions stay inside whole-stage codegen") {
     // a real file scan (LocalRelation would constant-fold away);
     // execute first so AQE finalises the plan, then look for the
