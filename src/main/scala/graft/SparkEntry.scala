@@ -88,6 +88,17 @@ object SparkEntry {
           "AND status >= 200 AND status < 300 " +
           "AND duration_us >= 100000 " +
           "AND starts_with(uri, '/view/')"))),
+    // the client's full query-argument language end-to-end: the exact
+    // strings a pond user types, parsed + planned + shaped
+    ("query_args",
+      (s: SparkSession, d: String) => graft.logs.QueryArgs.parse(
+        Seq("type=http_access", "site=site_1", "site=site_5",
+          "since=2024-01-10", "status=200:300", "window=200@20"),
+        nowUs = 0L)(LogView(s, d)),
+      Some(logSql(
+        "type = 'http_access' AND site IN ('site_1', 'site_5') " +
+          s"AND timestamp >= $SinceUs AND status >= 200 AND status < 300") +
+        " LIMIT 200 OFFSET 20")),
     // exercises the ISO8601/relative parser in the query path; the
     // oracle pins the expected epoch-µs values
     ("time_parse",

@@ -18,6 +18,7 @@ class SparkEntrySpec extends SparkSpec {
       "filter_generator", "filter_since_until", "filter_status",
       "filter_duration_longer", "filter_uri_exact", "filter_uri_prefix",
       "filter_method", "filter_unsafe_method", "filter_combined", "time_parse",
+      "query_args",
       // §2B
       "window", "last", "group_site", "accumulate_top", "accumulate_more",
       "stats", "per_site_out", "jsonl", "one_line", "age_only", "follow",
