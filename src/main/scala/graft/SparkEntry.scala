@@ -424,6 +424,7 @@ object SparkEntry {
         "SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM r WHERE rn <= 10 " +
         "ORDER BY q_id, rank")),
     ("ann_lsh", (s: SparkSession, d: String) => Ann.lshTopK(s, d), None),
+    ("ann_ivf", (s: SparkSession, d: String) => Ann.ivfTopK(s, d), None),
     ("lang_id", (s: SparkSession, d: String) => TextAnalysis.langId(s, d),
       Some(langIdSql)),
     ("quality_score", (s: SparkSession, d: String) => TextAnalysis.qualityScore(s, d),

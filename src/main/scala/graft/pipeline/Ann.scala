@@ -77,4 +77,53 @@ object Ann {
       .select("q_id", "rank", "n_id")
       .orderBy("q_id", "rank")
   }
+
+  /** IVF-style approximate top-k: an MLlib KMeans coarse quantiser
+    * partitions the corpus into `cells`; each query probes its
+    * `nprobe` nearest cells and runs exact cosine only there — the
+    * classic inverted-file ANN layout. At 100 TB the quantiser trains
+    * on a sample, assignment is one map pass, and the probe join
+    * shuffles on cell id (each cell ≈ N/cells rows, the nprobe/cells
+    * fraction of the corpus is all a query touches).
+    *
+    * KMeans is seeded → deterministic for a fixed input partitioning;
+    * still *rows-only* (cluster boundaries are engine-specific), with
+    * recall vs [[bruteTopK]] gated in AnnSpec.
+    */
+  def ivfTopK(spark: SparkSession, dir: String,
+              nQueries: Int = 5, k: Int = 10,
+              cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val all = vectors(spark, dir)
+      .withColumn("fv", array_to_vector(col("v")))
+      .cache()
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(all)
+    val assigned = model.transform(all).select("vec_id", "v", "cell")
+    // query → its nprobe nearest cells, ranked by center cosine
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(centersDf))
+      .withColumn("ccos", cosine_sim(col("qv"), col("center")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "qv", "cell")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine_sim(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
 }

@@ -32,7 +32,8 @@ class SparkEntrySpec extends SparkSpec {
       "q_rollup", "q_asof",
       // §2E
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-      "dedup_embedding", "ann_brute", "ann_lsh", "lang_id", "quality_score",
+      "dedup_embedding", "ann_brute", "ann_lsh", "ann_ivf", "lang_id",
+      "quality_score",
       "token_count", "fingerprint", "mm_decode")
     val registered = SparkEntry.queries.keySet
     assert((expected -- registered).isEmpty,

@@ -33,6 +33,15 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"ann_lsh recall@10 = $recall")
   }
 
+  test("ann_ivf achieves useful recall@10 against ann_brute") {
+    val brute = Ann.bruteTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.ivfTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"ann_ivf recall@10 = $recall")
+  }
+
   test("embedding dedup finds the known near-duplicate pairs") {
     val pairs = Dedup.embeddingPairs(spark, sf01, threshold = 0.45).collect()
     assert(pairs.length >= 1)
