@@ -15,10 +15,12 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Fact-sized tables whose per-row compute deserves full parallelism.
-    * Dimensions stay un-spread so they remain trivially broadcastable.
+    * Everything else (including customer/orders, which mostly play the
+    * broadcast-dim role here) stays un-spread — repartitioning a table
+    * that is about to be broadcast just inserts a wasted shuffle.
     */
   private val factTables: Set[String] =
-    Set("events", "lineitem", "orders", "customer", "documents", "embeddings")
+    Set("events", "lineitem", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
