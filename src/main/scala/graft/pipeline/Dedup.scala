@@ -119,7 +119,12 @@ object Dedup {
         size(col("sh")).as("nsh"))
     val a = g.as("a")
     val b = g.as("b")
-    a.join(b, col("a.lang") === col("b.lang") &&
+    // pin a shuffle-hash join on the block key: the build side per
+    // block is bounded by the blocking, and the alternatives are both
+    // wrong here (broadcast: the shingle arrays are ~40 MB and AQE
+    // stats can flip it to a sort-merge join; SMJ: sorts rows carrying
+    // the full arrays)
+    a.join(b.hint("shuffle_hash"), col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
