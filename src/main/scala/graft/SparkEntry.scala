@@ -180,6 +180,27 @@ object SparkEntry {
     ("follow",
       (s: SparkSession, d: String) => Follow.followTail(s, d, FollowSinceUs),
       Some(logSql(s"timestamp >= $FollowSinceUs"))),
+    ("duration_quantiles",
+      (s: SparkSession, d: String) => Shaping.durationQuantiles(LogView(s, d)),
+      Some(LogView.oracle(
+        "SELECT site, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(floor(quantile_cont(duration_us, 0.5)) AS BIGINT) AS p50_us, " +
+          "CAST(floor(quantile_cont(duration_us, 0.95)) AS BIGINT) AS p95_us, " +
+          "CAST(floor(quantile_cont(duration_us, 0.99)) AS BIGINT) AS p99_us " +
+          "FROM log GROUP BY site ORDER BY site"))),
+    ("duration_quantiles_approx",
+      (s: SparkSession, d: String) =>
+        Shaping.durationQuantilesApprox(LogView(s, d)), None),
+    ("timeseries",
+      (s: SparkSession, d: String) => Shaping.timeseries(LogView(s, d)),
+      Some(LogView.oracle(
+        "SELECT site, timestamp // 3600000000 AS hour_bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CASE WHEN status >= 200 AND status < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_2xx, " +
+          "CAST(sum(CASE WHEN status >= 400 AND status < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_4xx, " +
+          "CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_5xx, " +
+          "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent " +
+          "FROM log GROUP BY 1, 2 ORDER BY 1, 2"))),
     ("max_age_retention",
       (s: SparkSession, d: String) =>
         Shaping.maxAgeRetention(LogView(s, d), 7L * 86400000000L)

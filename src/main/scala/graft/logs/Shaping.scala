@@ -160,6 +160,49 @@ object Shaping {
         expr("(now_us - timestamp) div 1000000").as("age_s"))
   }
 
+  /** Per-site latency percentiles (p50/p95/p99 of request duration) —
+    * the interactive latency-analysis query over access logs. Exact
+    * `percentile` here (interpolated, matching DuckDB quantile_cont
+    * bit-for-bit on the same doubles); the 100 TB path swaps in
+    * `approx_percentile` (t-digest sketch, map-side mergeable) —
+    * [[durationQuantilesApprox]].
+    */
+  def durationQuantiles(df: DataFrame): DataFrame =
+    df.groupBy("site")
+      .agg(
+        count(lit(1)).as("n"),
+        floor(expr("percentile(duration_us, 0.5)")).cast("long").as("p50_us"),
+        floor(expr("percentile(duration_us, 0.95)")).cast("long").as("p95_us"),
+        floor(expr("percentile(duration_us, 0.99)")).cast("long").as("p99_us"))
+      .orderBy("site")
+
+  /** Sketch-based variant: mergeable t-digest, the shape that scales
+    * (rows-only — sketch internals are engine-specific).
+    */
+  def durationQuantilesApprox(df: DataFrame): DataFrame =
+    df.groupBy("site")
+      .agg(expr("approx_percentile(duration_us, array(0.5, 0.95, 0.99), 1000)")
+        .as("p_us"))
+      .select(col("site"), col("p_us")(0).as("p50_us"),
+        col("p_us")(1).as("p95_us"), col("p_us")(2).as("p99_us"))
+      .orderBy("site")
+
+  /** Time-series rollup: per site per hour bucket, request counts by
+    * status class plus traffic — the dashboard query over access
+    * logs. Pure partial-aggregatable groupBy on (site, hour).
+    */
+  def timeseries(df: DataFrame): DataFrame =
+    df.groupBy(col("site"), expr("timestamp div 3600000000").as("hour_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("status") >= 200 && col("status") < 300, 1)
+          .otherwise(0)).as("n_2xx"),
+        sum(when(col("status") >= 400 && col("status") < 500, 1)
+          .otherwise(0)).as("n_4xx"),
+        sum(when(col("status") >= 500, 1).otherwise(0)).as("n_5xx"),
+        sum("traffic_sent").as("bytes_sent"))
+      .orderBy("site", "hour_bucket")
+
   /** Retention: drop records older than `maxAgeUs` relative to the
     * newest record (reference doc/index.rst `database.max_age`; pond's
     * ring buffer evicts oldest-first). At 100 TB this is a
