@@ -209,6 +209,14 @@ object SparkEntry {
         s"SELECT $logCols FROM log " +
           s"WHERE timestamp >= (SELECT max(timestamp) FROM log) - ${7L * 86400000000L} " +
           "ORDER BY timestamp, event_id"))),
+    // pond's exact server-side token-bucket limiter (Database.hxx:53)
+    // as stateful streaming; the bucket state is not SQL-expressible →
+    // rows-only, equality with a reference implementation tested
+    ("rate_limit_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.RateLimiter.rateLimitStream(s, d, rate = 1.0 / 3600,
+          burstOpt = Some(2.0)),
+      None),
     ("rate_limit",
       (s: SparkSession, d: String) =>
         Shaping.rateLimit(LogView(s, d), n = 2, bucketUs = 3600000000L)

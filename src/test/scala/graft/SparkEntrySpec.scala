@@ -22,7 +22,8 @@ class SparkEntrySpec extends SparkSpec {
       // §2B
       "window", "last", "group_site", "accumulate_top", "accumulate_more",
       "stats", "per_site_out", "jsonl", "one_line", "age_only", "follow",
-      "max_age_retention", "rate_limit", "duration_quantiles",
+      "max_age_retention", "rate_limit", "rate_limit_stream",
+      "duration_quantiles",
       "duration_quantiles_approx", "timeseries",
       // §2C
       "anonymize_ip", "track_visitors", "track_visitors_stream", "geoip",
