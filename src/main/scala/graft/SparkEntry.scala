@@ -436,6 +436,9 @@ object SparkEntry {
         "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_bp " +
         "FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source " +
         "AND a.doc_id < b.doc_id) WHERE jac_bp >= 6500 ORDER BY doc_a, doc_b")),
+    ("dedup_cdc",
+      (s: SparkSession, d: String) => Dedup.cdcPairs(s, d, minShared = 1),
+      None),
     ("dedup_embedding",
       (s: SparkSession, d: String) => Dedup.embeddingPairs(s, d, threshold = 0.45),
       Some("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v " +

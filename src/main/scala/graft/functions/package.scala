@@ -28,6 +28,14 @@ package object functions {
       org.apache.spark.sql.functions.lit(tables),
       org.apache.spark.sql.functions.lit(bits))
 
+  /** [[graft.functions.CdcChunks]] as a Column function. */
+  def cdc_chunks(c: Column, divisor: Int = 64, minSize: Int = 24,
+                 maxSize: Int = 256): Column =
+    call_function("cdc_chunks", c,
+      org.apache.spark.sql.functions.lit(divisor),
+      org.apache.spark.sql.functions.lit(minSize),
+      org.apache.spark.sql.functions.lit(maxSize))
+
   /** [[graft.functions.SimHashAgg]] as an aggregate Column function. */
   def simhash_agg(tokenHash: Column): Column =
     call_function("simhash_agg", tokenHash)

@@ -138,6 +138,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Chunk-level partial-duplicate pairs via content-defined chunking
+    * (*rows-only*): split each document at content-determined
+    * boundaries ([[graft.functions.CdcChunks]]), build the chunk-hash
+    * inverted index, and emit document pairs sharing ≥ `minShared`
+    * chunks — the standard common-passage / partial-overlap detector.
+    * Explode → groupBy chunk → pair-count: one shuffle on chunk hash,
+    * one on the pair; never all-pairs.
+    */
+  def cdcPairs(spark: SparkSession, dir: String,
+               minShared: Long = 3): DataFrame = {
+    val chunks = normed(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.cdc_chunks(col("txt"))).as("chunk"))
+      .distinct()
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    a.join(b.hint("shuffle_hash"), col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (stand-in for
     * an IVF/LSH coarse quantiser cell at 100 TB). Emits pair ids only:
     * the float value itself is engine-rounding-sensitive, the pair SET

@@ -34,6 +34,7 @@ class SparkEntrySpec extends SparkSpec {
       "q_rollup", "q_asof",
       // §2E
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
+      "dedup_cdc",
       "dedup_embedding", "ann_brute", "ann_lsh", "ann_ivf", "lang_id",
       "quality_score",
       "token_count", "fingerprint", "mm_decode")

@@ -66,6 +66,26 @@ class ExpressionsSpec extends SparkSpec {
     got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("cdc_chunks: content-defined boundaries survive a prefix insertion") {
+    import graft.functions.{CdcChunks, RollingHash}
+    import org.apache.spark.unsafe.types.UTF8String
+    def chunkSet(s: String): Set[Long] =
+      CdcChunks.chunks(s.getBytes("UTF-8"), 64, 24, 256)
+        .toLongArray().toSet
+    val base = (1 to 40).map(i => s"sentence number $i with some words").mkString(" ")
+    val edited = "INSERTED PREFIX CONTENT! " + base
+    val a = chunkSet(base)
+    val b = chunkSet(edited)
+    // most chunks must be shared despite the offset shift — the whole
+    // point of content-defined (vs fixed-offset) chunking
+    val shared = a.intersect(b).size.toDouble / a.size
+    assert(shared >= 0.7, s"shared chunk ratio $shared")
+    // chunk hashes concatenated must cover the text deterministically
+    assert(chunkSet(base) == chunkSet(base))
+    // degenerate input: one short chunk, equal to whole-string hash
+    assert(chunkSet("tiny") == Set(RollingHash.hash("tiny")))
+  }
+
   test("simhash_agg equals the declarative 64-sum formulation") {
     import spark.implicits._
     val toks = Seq((1L, "alpha"), (1L, "beta"), (1L, "alpha"), (2L, "gamma"),

@@ -42,6 +42,12 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"ann_ivf recall@10 = $recall")
   }
 
+  test("cdc partial-dup pairs: shared-chunk counts are sane") {
+    val pairs = Dedup.cdcPairs(spark, sf01, minShared = 1).collect()
+    assert(pairs.forall(_.getLong(2) >= 1))
+    println(s"[cdc] pairs at sf0.01 (minShared=1): ${pairs.length}")
+  }
+
   test("embedding dedup finds the known near-duplicate pairs") {
     val pairs = Dedup.embeddingPairs(spark, sf01, threshold = 0.45).collect()
     assert(pairs.length >= 1)
