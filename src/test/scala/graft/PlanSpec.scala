@@ -80,6 +80,18 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() < all)
   }
 
+  test("spread is a no-op once the table has enough input splits") {
+    // the production claim: multi-file tables already parallelise, so
+    // no repartition shuffle is inserted
+    val dir = java.nio.file.Files.createTempDirectory("evmulti").toString
+    Tables.events(spark, sf).repartition(8).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val n = df.rdd.getNumPartitions
+    assert(n >= spark.sparkContext.defaultParallelism) // 8 files ≥ 4 cores
+    val spreadPlan = Tables.spread(spark, df).queryExecution.optimizedPlan.toString
+    assert(!spreadPlan.contains("Repartition"), spreadPlan)
+  }
+
   test("filter queries keep whole-stage codegen (no UDF islands)") {
     // sf01 so another suite's .cache() of the sf0.001 view can't swap
     // in an InMemoryRelation; execute first so AQE finalises the plan
