@@ -384,6 +384,12 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+    ("q_cube", (s: SparkSession, d: String) => Analytics.qCube(s, d),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        decSum.format("l_quantity") + " AS sum_qty, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
     ("q_asof", (s: SparkSession, d: String) => Analytics.qAsof(s, d),
       Some("WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events " +
         "WHERE event_type = 'view'), " +

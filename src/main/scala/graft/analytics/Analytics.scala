@@ -196,6 +196,17 @@ object Analytics {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** CUBE: all grouping-set combinations of (returnflag, linestatus) —
+    * the drill-down companion to [[qRollup]].
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(dec("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** As-of join: for every purchase, the most recent 'view' by the
     * same user at or before the purchase (attribution).
     *
