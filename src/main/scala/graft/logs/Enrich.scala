@@ -10,28 +10,53 @@ object Enrich {
 
   /** `--anonymize` (reference doc/index.rst:213-217, applied in the
     * one-line formatter): zero a trailing portion of the client IP —
-    * IPv4 keeps the first 3 octets (/24), IPv6 keeps the first 3
-    * hextets (/48).
+    * IPv4 keeps the first 3 octets (/24), IPv6 keeps the first 48
+    * bits (the reference zeroes the trailing 80 bits of the binary
+    * address).
     *
-    * Pure string expression → whole-stage codegen, no UDF.
+    * IPv6 `::`-compression is expanded BEFORE slicing (a compressed
+    * `2001:db8::1` has its zero-run in the middle — naive hextet
+    * splitting would keep the wrong groups). Output is canonicalized
+    * as `h1:h2:h3::` (never re-compressed; `::1` → `0:0:0::`).
+    *
+    * Pure string/array expression → no UDF, stays distributed.
     */
-  def anonymizeIpCol(ip: Column): Column =
+  def anonymizeIpCol(ip: Column): Column = {
+    // Expand "a::b" → left groups ++ zeros ++ right groups (8 total).
+    val halves = split(ip, "::", 2)
+    val lRaw = element_at(halves, 1)
+    val rRaw = when(size(halves) < 2, lit("")).otherwise(element_at(halves, 2))
+    val emptyArr = array().cast("array<string>")
+    val l = when(lRaw === "", emptyArr).otherwise(split(lRaw, ":"))
+    val r = when(rRaw === "", emptyArr).otherwise(split(rRaw, ":"))
+    val expanded = when(ip.contains("::"),
+        concat(l, array_repeat(lit("0"), (lit(8) - size(l) - size(r)).cast("int")), r))
+      .otherwise(split(ip, ":"))
     when(ip.isNull, lit(null))
       .when(ip.contains(":"), // IPv6 → first three hextets + "::"
-        concat(
-          element_at(split(ip, ":"), 1), lit(":"),
-          element_at(split(ip, ":"), 2), lit(":"),
-          element_at(split(ip, ":"), 3), lit("::")))
+        concat(concat_ws(":", slice(expanded, 1, 3)), lit("::")))
       .otherwise(regexp_replace(ip, "\\.[0-9]+$", ".0"))
+  }
 
   def anonymize(df: DataFrame): DataFrame =
     df.withColumn("remote_host", anonymizeIpCol(col("remote_host")))
 
-  /** Scala-side reference implementation (for tests / driver use). */
+  /** Scala-side reference implementation (for tests / driver use).
+    * Mirrors [[anonymizeIpCol]] including `::`-expansion.
+    */
   def anonymizeIp(ip: String): String =
     if (ip == null) null
-    else if (ip.contains(":")) ip.split(":").take(3).mkString(":") + "::"
-    else ip.replaceAll("\\.[0-9]+$", ".0")
+    else if (ip.contains(":")) {
+      val expanded =
+        if (ip.contains("::")) {
+          val Array(lRaw, rRaw) =
+            (ip.split("::", 2) ++ Array("", "")).take(2)
+          val l = if (lRaw.isEmpty) Array.empty[String] else lRaw.split(":")
+          val r = if (rRaw.isEmpty) Array.empty[String] else rRaw.split(":")
+          l ++ Array.fill(8 - l.length - r.length)("0") ++ r
+        } else ip.split(":")
+      expanded.take(3).mkString(":") + "::"
+    } else ip.replaceAll("\\.[0-9]+$", ".0")
 
   val maxIdleUs: Long = 30L * 60 * 1000000 // VisitorTracker.hxx:16-17
 
