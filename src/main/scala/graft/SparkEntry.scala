@@ -83,6 +83,12 @@ object SparkEntry {
     ("filter_unsafe_method", fq(LogFilter(unsafeMethod = true)),
       Some(logSql(
         "method IS NOT NULL AND method NOT IN ('GET', 'HEAD', 'OPTIONS', 'TRACE')"))),
+    ("filter_referer",
+      fq(LogFilter(refererPrefix = Some("https://ref1"))),
+      Some(logSql("starts_with(referer, 'https://ref1')"))),
+    ("filter_user_agent",
+      fq(LogFilter(userAgentContains = Some("Googlebot"))),
+      Some(logSql("contains(user_agent, 'Googlebot')"))),
     ("filter_combined", fq(combinedFilter),
       Some(logSql(
         "site IN ('site_0','site_1','site_2','site_3','site_4') " +
@@ -153,17 +159,36 @@ object SparkEntry {
       Some(LogView.oracle(
         "SELECT site, CAST(count(*) AS BIGINT) AS n_rows FROM log " +
           "GROUP BY site ORDER BY site"))),
+    // --per-site layout variants (PerSitePath.cxx): the manifest plus
+    // the flat / nested / fixed-filename paths each variant writes
+    ("per_site_layout",
+      (s: SparkSession, d: String) => Shaping.perSiteLayout(LogView(s, d)),
+      Some(LogView.oracle(
+        "SELECT site, CAST(count(*) AS BIGINT) AS n_rows, " +
+          "site AS flat_path, " +
+          "CASE WHEN length(site) >= 7 AND length(site) < 64 THEN " +
+          "substr(site, 1, length(site) - 6) || '/' || " +
+          "substr(site, length(site) - 5, 2) || '/' || " +
+          "substr(site, length(site) - 3, 2) || '/' || " +
+          "substr(site, length(site) - 1, 2) ELSE site END AS nested_path, " +
+          "site || '/data.log' AS file_path " +
+          "FROM log GROUP BY site ORDER BY site"))),
     ("jsonl",
       (s: SparkSession, d: String) => Shaping.jsonl(
         LogView(s, d).filter(col("site") === "site_1")).orderBy("event_id"),
+      // json_merge_patch('{}', x) drops null members (RFC 7386) =
+      // Spark to_json's ignoreNullFields = FormatJson's nullptr skips
       Some(LogView.oracle(
-        "SELECT event_id, CAST(to_json(struct_pack(" +
+        "SELECT event_id, CAST(json_merge_patch('{}', to_json(struct_pack(" +
           "\"time\" := strftime(make_timestamp(timestamp), '%Y-%m-%dT%H:%M:%S.%f') || 'Z', " +
           "remote_host := remote_host, host := host, site := site, " +
-          "generator := generator, method := method, uri := uri, " +
+          "analytics_id := analytics_id, generator := generator, " +
+          "forwarded_to := forwarded_to, method := method, uri := uri, " +
+          "referer := referer, user_agent := user_agent, " +
           "message := message, status := CAST(status AS VARCHAR), " +
+          "\"length\" := \"length\", content_type := content_type, " +
           "traffic_received := traffic_received, traffic_sent := traffic_sent, " +
-          "duration := duration_us, \"type\" := type)) AS VARCHAR) AS json " +
+          "duration := duration_us, \"type\" := type))) AS VARCHAR) AS json " +
           "FROM log WHERE site = 'site_1' ORDER BY event_id"))),
     ("one_line",
       (s: SparkSession, d: String) => Shaping.oneLine(
@@ -172,7 +197,26 @@ object SparkEntry {
         "SELECT event_id, site || ' ' || remote_host || ' - - [' || " +
           "strftime(make_timestamp(timestamp), '%Y-%m-%dT%H:%M:%SZ') || '] \"' || " +
           "method || ' ' || uri || ' HTTP/1.1\" ' || " +
-          "CAST(status AS VARCHAR) || ' ' || CAST(traffic_sent AS VARCHAR) AS line " +
+          "CAST(status AS VARCHAR) || ' ' || CAST(traffic_sent AS VARCHAR) || " +
+          "' \"' || coalesce(referer, '-') || '\"' || " +
+          "' \"' || coalesce(user_agent, '-') || '\"' AS line " +
+          "FROM log WHERE site = 'site_4' ORDER BY event_id"))),
+    // every one-line toggle on (--host --forwarded-to --content-type,
+    // reference client/Main.cxx:263-276)
+    ("one_line_full",
+      (s: SparkSession, d: String) => Shaping.oneLine(
+        LogView(s, d).filter(col("site") === "site_4"),
+        showHost = true, showForwardedTo = true,
+        showContentType = true).orderBy("event_id"),
+      Some(LogView.oracle(
+        "SELECT event_id, site || ' ' || coalesce(host, '-') || ' ' || " +
+          "remote_host || ' ' || coalesce(forwarded_to, '-') || ' - - [' || " +
+          "strftime(make_timestamp(timestamp), '%Y-%m-%dT%H:%M:%SZ') || '] \"' || " +
+          "method || ' ' || uri || ' HTTP/1.1\" ' || " +
+          "CAST(status AS VARCHAR) || ' ' || CAST(traffic_sent AS VARCHAR) || " +
+          "' \"' || coalesce(referer, '-') || '\"' || " +
+          "' \"' || coalesce(user_agent, '-') || '\"' || " +
+          "' ' || coalesce(content_type, '-') AS line " +
           "FROM log WHERE site = 'site_4' ORDER BY event_id"))),
     ("age_only",
       (s: SparkSession, d: String) =>
@@ -288,6 +332,15 @@ object SparkEntry {
           "SELECT event_id, remote_host, " +
           "CAST(split_part(remote_host, '.', 2) AS INTEGER) AS octet2 FROM log) " +
           "ORDER BY event_id"))),
+    ("resolve_forwarded_to",
+      (s: SparkSession, d: String) =>
+        Enrich.resolveForwardedTo(s, LogView(s, d))
+          .select("event_id", "forwarded_to", "forwarded_to_resolved")
+          .orderBy("event_id"),
+      Some(LogView.oracle(
+        "SELECT event_id, forwarded_to, " +
+          Enrich.resolvedHostCase + " AS forwarded_to_resolved " +
+          "FROM log ORDER BY event_id"))),
     ("visitor_stats",
       (s: SparkSession, d: String) => Enrich.visitorStats(LogView(s, d)),
       Some(LogView.oracle(

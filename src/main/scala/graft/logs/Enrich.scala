@@ -58,6 +58,30 @@ object Enrich {
       expanded.take(3).mkString(":") + "::"
     } else ip.replaceAll("\\.[0-9]+$", ".0")
 
+  /** The deterministic node → resolved-host mapping used to stand in
+    * for `--resolve-forwarded-to`'s DNS lookups — shared with the
+    * DuckDB oracle.
+    */
+  val resolvedHostCase: String =
+    "CASE WHEN forwarded_to IS NULL THEN NULL " +
+      "ELSE 'host-' || substr(forwarded_to, 6) || '.internal.example' END"
+
+  /** `--resolve-forwarded-to` (reference client/Main.cxx:266-269):
+    * replace the forwarded-to node address with its resolved hostname.
+    * The reference resolves via DNS (cached per address,
+    * client/CachedAddressResolver.hxx); a deterministic broadcast dim
+    * stands in for the resolver here, but the SHAPE is the 100 TB
+    * plan: resolution is a broadcast hash join against the (tiny)
+    * distinct-address dimension, never a per-row RPC.
+    */
+  def resolveForwardedTo(spark: SparkSession, df: DataFrame): DataFrame = {
+    val dim = spark.range(16).select(
+      concat(lit("node-"), col("id").cast("string")).as("forwarded_to"),
+      concat(lit("host-"), col("id").cast("string"),
+        lit(".internal.example")).as("forwarded_to_resolved"))
+    df.join(broadcast(dim), Seq("forwarded_to"), "left")
+  }
+
   val maxIdleUs: Long = 30L * 60 * 1000000 // VisitorTracker.hxx:16-17
 
   /** `--track-visitors` (reference client/VisitorTracker.hxx:16-27):
@@ -106,21 +130,40 @@ object Enrich {
       "WHEN 7 THEN 'IN' WHEN 8 THEN 'AU' ELSE 'CA' END"
 
   /** `--geoip` (reference doc/index.rst --geoip, client/ResultWriter
-    * GeoIP lookup): append a country-code column per client IP. A
-    * real GeoIP database is a range table; without one in the image we
-    * synthesise a deterministic 256-row table keyed by the second
-    * octet. The SHAPE is the point: a broadcast hash join against a
-    * small dimension — the plan a 100 TB run needs (no shuffle of the
-    * log side).
+    * GeoIP lookup): append a country-code column per client IP.
+    *
+    * A real GeoIP database is a table of address RANGES → country.
+    * Without one in the image we synthesise 256 ranges
+    * [10.x.0.0, 10.x.255.255] whose country is a deterministic
+    * function of x — but the LOOKUP is the real thing: an interval
+    * join of `ip_int BETWEEN lo AND hi` against a broadcast dim.
+    *
+    * 100 TB shape: a naive interval join plans as a
+    * BroadcastNestedLoopJoin — every log row scans every range. We
+    * instead explode each range into the /16 buckets it overlaps and
+    * equi-join on `ip_int div 65536` with the BETWEEN as a residual
+    * condition — a codegen'd BroadcastHashJoin probing O(1) ranges per
+    * row (PlanSpec asserts it). Real GeoIP dbs (~4e5 ranges, most
+    * narrower than a /16) explode to a few hundred thousand bucket
+    * rows — still trivially broadcastable.
     */
   def geoip(spark: SparkSession, df: DataFrame): DataFrame = {
-    val lookup = spark.range(256).select(
-      col("id").cast("int").as("octet2"),
-      expr(geoCountryCase).as("country"))
-    val withOctet = df.withColumn("octet2",
-      element_at(split(col("remote_host"), "\\."), 2).cast("int"))
-    withOctet.join(broadcast(lookup), Seq("octet2"), "left")
+    val ranges = spark.range(256).select(
+      (lit(10L * 16777216L) + col("id") * 65536L).as("lo"),
+      (lit(10L * 16777216L) + col("id") * 65536L + 65535L).as("hi"),
+      expr(geoCountryCase.replace("octet2", "id")).as("country"))
+    val buckets = ranges.select(col("lo"), col("hi"), col("country"),
+      explode(expr("sequence(lo div 65536, hi div 65536)")).as("bucket"))
+    val oct = split(col("remote_host"), "\\.")
+    val withIp = df.withColumn("ip_int",
+      element_at(oct, 1).cast("long") * 16777216L +
+        element_at(oct, 2).cast("long") * 65536L +
+        element_at(oct, 3).cast("long") * 256L +
+        element_at(oct, 4).cast("long"))
+    withIp.join(broadcast(buckets),
+        expr("ip_int div 65536") === col("bucket") &&
+          col("ip_int").between(col("lo"), col("hi")), "left")
       .withColumn("country", coalesce(col("country"), lit("-")))
-      .drop("octet2")
+      .drop("ip_int", "bucket", "lo", "hi")
   }
 }

@@ -41,7 +41,12 @@ final case class LogFilter(
     uriExact: Option[String] = None,
     uriPrefix: Option[String] = None,
     methods: Set[String] = Set.empty,
-    unsafeMethod: Boolean = false) {
+    unsafeMethod: Boolean = false,
+    // client-side greps over the optional Datagram attribution fields
+    // (http_referer / user_agent, reference client/FormatJson.cxx:57-62);
+    // NULL fields never match, like grepping an absent column
+    refererPrefix: Option[String] = None,
+    userAgentContains: Option[String] = None) {
 
   private def setFilter(c: Column, s: Set[String]): Option[Column] =
     if (s.isEmpty) None
@@ -66,7 +71,9 @@ final case class LogFilter(
       setFilter(col("method"), methods),
       if (unsafeMethod)
         Some(col("method").isNotNull && !col("method").isin(LogFilter.safeMethods.toSeq: _*))
-      else None
+      else None,
+      refererPrefix.map(p => col("referer").startsWith(p)),
+      userAgentContains.map(s => col("user_agent").contains(s))
     ).flatten
     parts.reduceOption(_ && _).getOrElse(lit(true))
   }

@@ -30,9 +30,10 @@ import graft.Tables
 object LogView {
 
   val columns: Seq[String] = Seq(
-    "event_id", "timestamp", "site", "host", "generator", "remote_host",
-    "type", "method", "uri", "status", "duration_us", "traffic_sent",
-    "traffic_received", "message", "user_id", "value")
+    "event_id", "timestamp", "site", "host", "generator", "analytics_id",
+    "forwarded_to", "remote_host", "type", "method", "uri", "referer",
+    "user_agent", "status", "length", "content_type", "duration_us",
+    "traffic_sent", "traffic_received", "message", "user_id", "value")
 
   /** Column derivations, Spark-SQL side. Must stay semantically
     * identical to [[sqlCte]] (DuckDB side).
@@ -52,6 +53,15 @@ object LogView {
         concat(lit("h"), (col("user_id") % 5).cast("string"),
           lit(".example.com")).as("host"),
         concat(lit("gen"), (col("event_id") % 3).cast("string")).as("generator"),
+        // Net::Log::Datagram optional attribution/routing fields
+        // (reference client/FormatJson.cxx:41-49): NULL when absent,
+        // like the reference's nullptr members
+        expr("CASE WHEN user_id % 5 = 0 THEN NULL " +
+          "ELSE concat('aid-', CAST(user_id % 40 AS STRING)) END")
+          .as("analytics_id"),
+        expr("CASE WHEN event_id % 3 = 0 THEN " +
+          "concat('node-', CAST(event_id % 16 AS STRING)) END")
+          .as("forwarded_to"),
         concat(lit("10."), (col("user_id") % 200).cast("string"), lit("."),
           (col("event_id") % 250).cast("string"), lit("."),
           ((col("event_id") * 7) % 250).cast("string")).as("remote_host"),
@@ -64,8 +74,20 @@ object LogView {
           "ELSE 'GET' END").as("method"),
         concat(lit("/"), col("event_type"), lit("/item"),
           (col("k") % 50).cast("string")).as("uri"),
+        // http_referer / user_agent / length / content_type
+        // (reference client/FormatJson.cxx:57-62, 70-74)
+        expr("CASE WHEN k % 3 = 0 THEN concat('https://ref', " +
+          "CAST(k % 20 AS STRING), '.example.org/') END").as("referer"),
+        expr("CASE user_id % 5 WHEN 0 THEN 'curl/8.5.0' " +
+          "WHEN 1 THEN 'Mozilla/5.0 (X11; Linux x86_64)' " +
+          "WHEN 2 THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)' " +
+          "WHEN 3 THEN 'python-requests/2.31.0' END").as("user_agent"),
         expr("CAST(CASE WHEN event_type = 'error' THEN 500 + (k % 12) " +
           "WHEN k % 7 = 0 THEN 404 ELSE 200 END AS INT)").as("status"),
+        expr("CAST(floor(value * 90) AS BIGINT)").as("length"),
+        expr("CASE k % 4 WHEN 0 THEN 'text/html' " +
+          "WHEN 1 THEN 'application/json' WHEN 2 THEN 'image/png' END")
+          .as("content_type"),
         expr("CAST(floor(value * 1000) AS BIGINT)").as("duration_us"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("traffic_sent"),
         expr("CAST(floor(value * 10) AS BIGINT)").as("traffic_received"),
@@ -83,6 +105,10 @@ object LogView {
       |    'site_' || CAST(user_id % 10 AS VARCHAR) AS site,
       |    'h' || CAST(user_id % 5 AS VARCHAR) || '.example.com' AS host,
       |    'gen' || CAST(event_id % 3 AS VARCHAR) AS generator,
+      |    CASE WHEN user_id % 5 = 0 THEN NULL
+      |      ELSE 'aid-' || CAST(user_id % 40 AS VARCHAR) END AS analytics_id,
+      |    CASE WHEN event_id % 3 = 0
+      |      THEN 'node-' || CAST(event_id % 16 AS VARCHAR) END AS forwarded_to,
       |    '10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
       |      CAST(event_id % 250 AS VARCHAR) || '.' ||
       |      CAST((event_id * 7) % 250 AS VARCHAR) AS remote_host,
@@ -94,8 +120,18 @@ object LogView {
       |      WHEN event_type = 'error' AND k % 2 = 0 THEN 'DELETE'
       |      ELSE 'GET' END AS method,
       |    '/' || event_type || '/item' || CAST(k % 50 AS VARCHAR) AS uri,
+      |    CASE WHEN k % 3 = 0 THEN 'https://ref' || CAST(k % 20 AS VARCHAR)
+      |      || '.example.org/' END AS referer,
+      |    CASE user_id % 5 WHEN 0 THEN 'curl/8.5.0'
+      |      WHEN 1 THEN 'Mozilla/5.0 (X11; Linux x86_64)'
+      |      WHEN 2 THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+      |      WHEN 3 THEN 'python-requests/2.31.0' END AS user_agent,
       |    CAST(CASE WHEN event_type = 'error' THEN 500 + (k % 12)
       |      WHEN k % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+      |    CAST(floor(value * 90) AS BIGINT) AS length,
+      |    CASE k % 4 WHEN 0 THEN 'text/html'
+      |      WHEN 1 THEN 'application/json' WHEN 2 THEN 'image/png'
+      |      END AS content_type,
       |    CAST(floor(value * 1000) AS BIGINT) AS duration_us,
       |    CAST(floor(value * 100) AS BIGINT) AS traffic_sent,
       |    CAST(floor(value * 10) AS BIGINT) AS traffic_received,

@@ -95,12 +95,76 @@ object Shaping {
   def perSiteManifest(df: DataFrame): DataFrame =
     df.groupBy("site").agg(count(lit(1)).as("n_rows")).orderBy("site")
 
-  /** The real fan-out writer: one directory per site, exactly pond's
-    * `--per-site=PATH` layout. `partitionBy` writes all sites in one
-    * distributed pass (vs pond's sequential per-site files).
+  /** The `--per-site-nested` path split (reference
+    * client/PerSitePath.cxx `NestedSiteName::Set`): a site name of
+    * length ≥ 7 (and < 64) is split into
+    * `prefix/ab/cd/ef` — the last six characters become three 2-char
+    * levels — so a million-site directory never puts a million entries
+    * in one directory. Shorter (or over-long) names stay flat, exactly
+    * like the reference's fallback.
     */
-  def perSiteWrite(df: DataFrame, outDir: String): Unit =
-    df.write.mode("overwrite").partitionBy("site").parquet(outDir)
+  def nestedSitePath(site: Column): Column = {
+    val len = length(site)
+    when(len >= 7 && len < 64,
+      concat_ws("/",
+        site.substr(lit(1), len - 6),
+        site.substr(len - 5, lit(2)),
+        site.substr(len - 3, lit(2)),
+        site.substr(len - 1, lit(2))))
+      .otherwise(site)
+  }
+
+  /** [[perSiteManifest]] plus the layout paths each variant would
+    * write (`--per-site`, `--per-site-nested`,
+    * `--per-site-file=NAME`) — the oracle-checkable projection of
+    * PerSitePath. */
+  def perSiteLayout(df: DataFrame, filename: String = "data.log"): DataFrame =
+    perSiteManifest(df)
+      .withColumn("flat_path", col("site"))
+      .withColumn("nested_path", nestedSitePath(col("site")))
+      .withColumn("file_path", concat(col("site"), lit("/"), lit(filename)))
+      .orderBy("site")
+
+  /** The real fan-out writer: pond's `--per-site=PATH` family as one
+    * distributed `partitionBy` pass (vs the reference's sequential
+    * per-site files).
+    *
+    *  - default: one `site=X/` directory per site;
+    *  - `filename=Some(n)`: a per-site directory with a fixed leaf
+    *    name under it (`--per-site-file=NAME`);
+    *  - `nested=true`: the [[nestedSitePath]] 2-char fan-out levels
+    *    (`--per-site-nested`).
+    *
+    * Deviations, both inherent to a distributed writer and documented:
+    * partition segments are hive-style `key=value`, and each leaf is a
+    * directory of part files rather than a single regular file.
+    */
+  def perSiteWrite(df: DataFrame, outDir: String,
+                   nested: Boolean = false,
+                   filename: Option[String] = None): Unit = {
+    val (cols, prepared) =
+      if (!nested && filename.isEmpty) (Seq("site"), df)
+      else {
+        val base =
+          if (nested) {
+            val s = col("site")
+            val len = length(s)
+            val deep = len >= 7 && len < 64
+            df.withColumn("p1",
+                when(deep, s.substr(lit(1), len - 6)).otherwise(s))
+              .withColumn("p2", when(deep, s.substr(len - 5, lit(2))))
+              .withColumn("p3", when(deep, s.substr(len - 3, lit(2))))
+              .withColumn("p4", when(deep, s.substr(len - 1, lit(2))))
+          } else df.withColumn("p1", col("site"))
+        val levels = if (nested) Seq("p1", "p2", "p3", "p4") else Seq("p1")
+        filename match {
+          case Some(n) => (levels :+ "leaf",
+            base.withColumn("leaf", lit(n)))
+          case None => (levels, base)
+        }
+      }
+    prepared.write.mode("overwrite").partitionBy(cols: _*).parquet(outDir)
+  }
 
   /** JSONL rendering (reference client/FormatJson.cxx:25-97): one JSON
     * object per record with the reference's field names and order.
@@ -113,17 +177,26 @@ object Shaping {
   def jsonl(df: DataFrame): DataFrame =
     df.select(
       col("event_id"),
+      // to_json omits null fields (Spark default) = FormatJson's
+      // `if (d.x != nullptr)` members; field order is the
+      // reference's emission order (FormatJson.cxx:25-90)
       to_json(struct(
         date_format(timestamp_micros(col("timestamp")),
           "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
         col("remote_host"),
         col("host"),
         col("site"),
+        col("analytics_id"),
         col("generator"),
+        col("forwarded_to"),
         col("method"),
         col("uri"),
+        col("referer"),
+        col("user_agent"),
         col("message"),
         col("status").cast("string").as("status"),
+        col("length"),
+        col("content_type"),
         col("traffic_received"),
         col("traffic_sent"),
         col("duration_us").as("duration"),
@@ -133,19 +206,37 @@ object Shaping {
     * (reference client/ResultWriter.cxx:275 `Net::Log::FormatOneLine`;
     * the formatter itself lives in the vendored libcommon, so this is
     * the conventional access-log line shape: site, client, timestamp,
-    * request, status, bytes).
+    * request, status, bytes, referer, agent).
+    *
+    * Field toggles mirror the client options (reference
+    * client/Main.cxx:263-276): `--host` (`showHost`),
+    * `--forwarded-to` (`showForwardedTo`), `--no-referer`
+    * (`showReferer = false`), `--no-agent` (`showAgent = false`),
+    * `--content-type` (`showContentType`). Absent optional fields
+    * print `-`, the access-log convention.
     */
-  def oneLine(df: DataFrame): DataFrame =
-    df.select(
-      col("event_id"),
-      concat(
-        col("site"), lit(" "),
-        col("remote_host"), lit(" - - ["),
+  def oneLine(df: DataFrame,
+              showHost: Boolean = false,
+              showForwardedTo: Boolean = false,
+              showReferer: Boolean = true,
+              showAgent: Boolean = true,
+              showContentType: Boolean = false): DataFrame = {
+    def dash(c: org.apache.spark.sql.Column) = coalesce(c, lit("-"))
+    val parts = Seq(col("site"), lit(" ")) ++
+      (if (showHost) Seq(dash(col("host")), lit(" ")) else Nil) ++
+      Seq(col("remote_host"), lit(" ")) ++
+      (if (showForwardedTo) Seq(dash(col("forwarded_to")), lit(" ")) else Nil) ++
+      Seq(lit("- - ["),
         date_format(timestamp_micros(col("timestamp")),
           "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("] \""),
         col("method"), lit(" "), col("uri"), lit(" HTTP/1.1\" "),
         col("status").cast("string"), lit(" "),
-        col("traffic_sent").cast("string")).as("line"))
+        col("traffic_sent").cast("string")) ++
+      (if (showReferer) Seq(lit(" \""), dash(col("referer")), lit("\"")) else Nil) ++
+      (if (showAgent) Seq(lit(" \""), dash(col("user_agent")), lit("\"")) else Nil) ++
+      (if (showContentType) Seq(lit(" "), dash(col("content_type"))) else Nil)
+    df.select(col("event_id"), concat(parts: _*).as("line"))
+  }
 
   /** `--age-only` (reference client/ResultWriter.cxx:199-210): emit
     * only each record's age in whole seconds. The reference measures

@@ -73,24 +73,44 @@ object Dedup {
       .groupBy("doc_id")
       .agg(simhash_agg(xxhash64(col("tok"))).as("simhash"))
 
-  /** SimHash near-dup candidate pairs (*rows-only*): 4 bands of 16
-    * bits — two docs within hamming distance 3 of each other share at
-    * least one band (pigeonhole); verify candidates with `bit_count`.
+  /** SimHash near-dup candidate pairs (*rows-only*), multi-index
+    * Hamming search (the Manku/Jain/Sarma web-dedup layout): split the
+    * 64-bit fingerprint into `blocks` blocks; at most `maxHamming`
+    * blocks can be dirty, so every pair within the distance agrees
+    * EXACTLY on some `(blocks - maxHamming)`-subset of blocks
+    * (pigeonhole). Index each doc under every such subset —
+    * C(blocks, maxHamming) keys/doc, each key the xxhash64 of
+    * (subset id, that subset's block values) — bucket self-join, then
+    * verify with `bit_count`. Output is EXACTLY the hamming ≤
+    * `maxHamming` pair set (asserted in PipelineSpec): hash collisions
+    * only add candidates, which the verify filter removes.
+    *
+    * Scale: key entropy is `64·(blocks-maxHamming)/blocks` bits —
+    * defaults give ~26-bit keys (~6.7e7 buckets/index vs the 65,536
+    * cap of naive 16-bit banding, whose buckets go quadratic at
+    * billions of docs). Grow `blocks` with the corpus: blocks=8 →
+    * 40-bit keys / 56 indexes; occupancy per bucket stays O(N / 2^keybits),
+    * so the bucket join stays near-linear.
     */
   def simhashPairs(spark: SparkSession, dir: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(spark, dir)
-    val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map { j =>
-          struct(lit(j).as("band"),
-            expr(s"(simhash >> ${16 * j}) & 65535").as("bv"))
-        }: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"),
-        col("b.band").as("band"), col("b.bv").as("bv"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id"))
+                   maxHamming: Int = 3, blocks: Int = 5): DataFrame = {
+    require(blocks > maxHamming, "need at least one clean block per index")
+    val keep = blocks - maxHamming
+    val width = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offset = width.scanLeft(0)(_ + _)
+    // (simhash >>> off) & mask; last block may reach the sign bit —
+    // use the logical shift so the mask sees zero-filled high bits
+    def bv(i: Int): String =
+      s"(shiftrightunsigned(simhash, ${offset(i)}) & ${(1L << width(i)) - 1}L)"
+    val keys = (0 until blocks).combinations(keep).zipWithIndex.map {
+      case (subset, idx) =>
+        expr(s"xxhash64($idx, ${subset.map(bv).mkString(", ")})")
+    }.toSeq
+    val keyed = simhash(spark, dir)
+      .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("k"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b, col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
@@ -147,13 +167,33 @@ object Dedup {
     * one on the pair; never all-pairs.
     */
   def cdcPairs(spark: SparkSession, dir: String,
-               minShared: Long = 3): DataFrame = {
-    val chunks = normed(spark, dir)
+               minShared: Long = 3, maxDf: Long = 1000): DataFrame =
+    cdcPairsOf(normed(spark, dir), minShared, maxDf)
+
+  /** [[cdcPairs]] over any (doc_id, txt) DataFrame.
+    *
+    * `maxDf` is the hot-chunk guard: a chunk shared by k documents
+    * costs k²/2 pairs in the inverted-index join, so one boilerplate
+    * passage (license header, navigation chrome) shared by millions of
+    * docs would dominate the whole job. Chunks with document frequency
+    * above `maxDf` carry no dedup signal (they're corpus-wide
+    * boilerplate, not copied passages) and are dropped BEFORE the pair
+    * join. The df filter is a groupBy on the same chunk key the join
+    * shuffles on — co-partitioned, one cheap extra pass.
+    */
+  def cdcPairsOf(docs: DataFrame, minShared: Long = 3,
+                 maxDf: Long = 1000): DataFrame = {
+    val chunks = docs
       .select(col("doc_id"),
         explode(graft.functions.cdc_chunks(col("txt"))).as("chunk"))
       .distinct()
-    val a = chunks.as("a")
-    val b = chunks.as("b")
+    val rare = chunks.groupBy("chunk")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("chunk")
+    val kept = chunks.join(rare.hint("shuffle_hash"), Seq("chunk"), "left_semi")
+    val a = kept.as("a")
+    val b = kept.as("b")
     a.join(b.hint("shuffle_hash"), col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -15,9 +15,21 @@ class EnrichSpec extends SparkSpec {
     assert(Enrich.anonymizeIp("2001:db8:1234:5678::1") == "2001:db8:1234::")
   }
 
+  test("anonymize: ::-compressed IPv6 is expanded before slicing") {
+    // the zero-run counts as hextets — compressed forms must not leak
+    // later groups into the kept /48 (reference zeroes trailing 80 bits)
+    assert(Enrich.anonymizeIp("::1") == "0:0:0::")
+    assert(Enrich.anonymizeIp("2001:db8::7") == "2001:db8:0::")
+    assert(Enrich.anonymizeIp("::ffff:1:2:3:4:5:6") == "0:ffff:1::")
+    assert(Enrich.anonymizeIp("fe80::") == "fe80:0:0::")
+    // uncompressed full form: plain first-three slice
+    assert(Enrich.anonymizeIp("1:2:3:4:5:6:7:8") == "1:2:3::")
+  }
+
   test("anonymize column expression agrees with the Scala function") {
     import spark.implicits._
-    val ips = Seq("10.1.2.3", "2001:db8:abcd:12:34::9", "172.16.0.255")
+    val ips = Seq("10.1.2.3", "2001:db8:abcd:12:34::9", "172.16.0.255",
+      "::1", "2001:db8::7", "fe80::", "1:2:3:4:5:6:7:8")
     val got = ips.toDF("ip")
       .select(Enrich.anonymizeIpCol(col("ip"))).collect().map(_.getString(0))
     assert(got.toSeq == ips.map(Enrich.anonymizeIp))

@@ -67,6 +67,36 @@ class ShapingSpec extends SparkSpec {
     assert(siteDirs.length == 10)
   }
 
+  test("per-site-nested splits long site names 2/2/2 — PerSitePath.cxx NestedSiteName") {
+    import spark.implicits._
+    val rows = Seq(
+      ("alphabravo.example", 1L), // long → alphabravo.e/xa/mp/le
+      ("site_0", 2L)) // len 6 < 7 → flat
+      .toDF("site", "event_id")
+    // path expression
+    val paths = rows.select(col("site"),
+      Shaping.nestedSitePath(col("site")).as("p")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(paths("alphabravo.example") == "alphabravo.e/xa/mp/le")
+    assert(paths("site_0") == "site_0")
+    // actual writer layout
+    val dir = java.nio.file.Files.createTempDirectory("persiten").toString
+    Shaping.perSiteWrite(rows, dir, nested = true)
+    val deep = new java.io.File(
+      s"$dir/p1=alphabravo.e/p2=xa/p3=mp/p4=le")
+    assert(deep.isDirectory, s"nested levels missing under $dir")
+    assert(new java.io.File(s"$dir/p1=site_0").isDirectory)
+  }
+
+  test("per-site-file puts a fixed leaf name under each site dir") {
+    import spark.implicits._
+    val rows = Seq(("site_a", 1L), ("site_b", 2L)).toDF("site", "event_id")
+    val dir = java.nio.file.Files.createTempDirectory("persitef").toString
+    Shaping.perSiteWrite(rows, dir, filename = Some("access.log"))
+    assert(new java.io.File(s"$dir/p1=site_a/leaf=access.log").isDirectory)
+    assert(new java.io.File(s"$dir/p1=site_b/leaf=access.log").isDirectory)
+  }
+
   test("jsonl emits parseable objects with the FormatJson field set") {
     val j = Shaping.jsonl(log.limit(5)).collect().map(_.getString(1))
     assert(j.forall(_.startsWith("{\"time\":\"")))

@@ -24,6 +24,20 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall(_.getInt(2) <= 3))
   }
 
+  test("simhash multi-index finds EXACTLY the hamming<=3 pair set") {
+    // the multi-index pigeonhole guarantee is exactness, not recall:
+    // brute-force the ground truth from the collected signatures
+    val sigs = Dedup.simhash(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    val got = Dedup.simhashPairs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"got ${got.size} pairs, truth ${truth.size}")
+  }
+
   test("ann_lsh achieves useful recall@10 against ann_brute") {
     val brute = Ann.bruteTopK(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -46,6 +60,22 @@ class PipelineSpec extends SparkSpec {
     val pairs = Dedup.cdcPairs(spark, sf01, minShared = 1).collect()
     assert(pairs.forall(_.getLong(2) >= 1))
     println(s"[cdc] pairs at sf0.01 (minShared=1): ${pairs.length}")
+  }
+
+  test("cdc hot-chunk df cap keeps boilerplate from going quadratic") {
+    import spark.implicits._
+    // 60 docs sharing one long boilerplate passage + a unique tail:
+    // without the cap the passage's chunks alone cost C(60,2) pairs
+    val boiler = (1 to 40).map(i => s"boilerplate sentence $i.").mkString(" ")
+    // tail embeds the doc id in every chunk-sized window, so no two
+    // docs can share a tail chunk even after CDC boundary resync
+    val docs = (0 until 60).map { i =>
+      (i.toLong, boiler + (s" [#$i#]" * 60))
+    }.toDF("doc_id", "txt")
+    val uncapped = Dedup.cdcPairsOf(docs, minShared = 1, maxDf = 1000).count()
+    val capped = Dedup.cdcPairsOf(docs, minShared = 1, maxDf = 10).count()
+    assert(uncapped == 60L * 59 / 2, s"boilerplate should pair all docs: $uncapped")
+    assert(capped == 0, s"df cap must drop corpus-wide chunks: $capped")
   }
 
   test("embedding dedup finds the known near-duplicate pairs") {
