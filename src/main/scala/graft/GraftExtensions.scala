@@ -36,11 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
-      (children: Seq[Expression]) => CdcChunks(
-        children(0),
-        children(1).eval().asInstanceOf[Int],
-        children(2).eval().asInstanceOf[Int],
-        children(3).eval().asInstanceOf[Int])))
+      (children: Seq[Expression]) => {
+        // SQL callers may omit the tuning args, like the Scala API's
+        // defaults (divisor=64, minSize=24, maxSize=256)
+        if (children.isEmpty || children.size > 4)
+          throw new IllegalArgumentException(
+            "cdc_chunks(text[, divisor[, minSize[, maxSize]]]) takes 1 to 4 arguments")
+        def arg(i: Int, default: Int): Int =
+          if (children.size > i) children(i).eval().asInstanceOf[Int] else default
+        CdcChunks(children(0), arg(1, 64), arg(2, 24), arg(3, 256))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),

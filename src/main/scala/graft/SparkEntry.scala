@@ -539,6 +539,13 @@ object SparkEntry {
         "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS re_tokens " +
         "FROM documents ORDER BY doc_id")),
+    // ORACLE PARITY NOTE (fingerprint, mm_decode): the Spark side
+    // hashes/sums UTF-8 BYTES (RollingHash / Multimodal operate on
+    // binary); these DuckDB oracles fold ord(codepoint), which equals
+    // the byte value only for ASCII. The generated corpus is all-ASCII
+    // so the gate is exact; on non-ASCII input the engine's byte-based
+    // result is the intended semantics and the oracle would need a
+    // blob-level fold (not expressible in DuckDB 1.0's SQL surface).
     ("fingerprint", (s: SparkSession, d: String) => TextAnalysis.fingerprint(s, d),
       Some("SELECT doc_id, CAST(list_reduce(" +
         "list_prepend(CAST(0 AS BIGINT), " +

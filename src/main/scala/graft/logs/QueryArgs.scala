@@ -16,8 +16,11 @@ import org.apache.spark.sql.DataFrame
   *   .apply(LogView(spark, dir))
   * }}}
   *
-  * Repeated `site=`/`host=`/`generator=`/`method=` accumulate into the
-  * match set, like the wire protocol's repeated filter attributes.
+  * Distinct `site=`/`host=`/`generator=` values accumulate into the
+  * match set (the wire protocol's repeated filter attributes); exact
+  * repeats, `site=` together with `group_site=`, and repeated
+  * `window=`/`group_site=` are rejected with the client's error
+  * messages (reference client/Main.cxx:109-143).
   */
 object QueryArgs {
 
@@ -59,9 +62,21 @@ object QueryArgs {
       val f = acc.filter
       arg.split("=", 2) match {
         case Array("type", v) => acc.copy(filter = f.copy(tpe = Some(v)))
-        case Array("site", v) => acc.copy(filter = f.copy(sites = f.sites + v))
-        case Array("host", v) => acc.copy(filter = f.copy(hosts = f.hosts + v))
+        case Array("site", v) =>
+          // reference Main.cxx:109-115: site/group_site are mutually
+          // exclusive, repeats are an error
+          if (acc.groupSite.nonEmpty)
+            throw new IllegalArgumentException("site and group_site are mutually exclusive")
+          if (f.sites.contains(v))
+            throw new IllegalArgumentException("Duplicate site name")
+          acc.copy(filter = f.copy(sites = f.sites + v))
+        case Array("host", v) =>
+          if (f.hosts.contains(v)) // Main.cxx:164-165
+            throw new IllegalArgumentException("Duplicate host name")
+          acc.copy(filter = f.copy(hosts = f.hosts + v))
         case Array("generator", v) =>
+          if (f.generators.contains(v)) // Main.cxx:167-168
+            throw new IllegalArgumentException("Duplicate generator name")
           acc.copy(filter = f.copy(generators = f.generators + v))
         case Array("uri", v) => acc.copy(filter = f.copy(uriExact = Some(v)))
         case Array("uri-prefix", v) =>
@@ -69,18 +84,24 @@ object QueryArgs {
         case Array("since", v) =>
           acc.copy(filter = f.copy(sinceUs = Some(TimeParse.parseUs(v, nowUs))))
         case Array("until", v) =>
-          acc.copy(filter = f.copy(untilUs = Some(TimeParse.parseUs(v, nowUs))))
+          // Main.cxx:172-174: until = instant + its precision width,
+          // so until=2024-01-10 includes the whole day (closed compare)
+          val (t, p) = TimeParse.parseUsPrec(v, nowUs)
+          acc.copy(filter = f.copy(untilUs = Some(t + p)))
         case Array("time", v) =>
-          val t = TimeParse.parseUs(v, nowUs)
-          acc.copy(filter = f.copy(sinceUs = Some(t), untilUs = Some(t)))
+          // Main.cxx:175-178: time= spans [t, t + precision]
+          val (t, p) = TimeParse.parseUsPrec(v, nowUs)
+          acc.copy(filter = f.copy(sinceUs = Some(t), untilUs = Some(t + p)))
         case Array("date", v) =>
+          // Main.cxx:179-182: until = date + 24h, inclusive — a record
+          // stamped exactly at the next midnight is included
           val t = TimeParse.parseUs(v, nowUs)
           acc.copy(filter =
-            f.copy(sinceUs = Some(t), untilUs = Some(t + dayUs - 1)))
+            f.copy(sinceUs = Some(t), untilUs = Some(t + dayUs)))
         case Array("today") =>
           val t = TimeParse.parseUs("today", nowUs)
           acc.copy(filter =
-            f.copy(sinceUs = Some(t), untilUs = Some(t + dayUs - 1)))
+            f.copy(sinceUs = Some(t), untilUs = Some(t + dayUs)))
         case Array("duration_longer", v) =>
           acc.copy(filter = f.copy(durationLongerUs = Some(durationUs(v))))
         case Array("status", v) =>
@@ -97,8 +118,14 @@ object QueryArgs {
         case Array("unsafe_method") =>
           acc.copy(filter = f.copy(unsafeMethod = true))
         case Array("window", CountAtSkip(c, s)) =>
+          if (acc.window.nonEmpty) // Main.cxx:142-143
+            throw new IllegalArgumentException("Duplicate window")
           acc.copy(window = Some((c.toInt, Option(s).map(_.toInt).getOrElse(0))))
         case Array("group_site", CountAtSkip(c, s)) =>
+          if (f.sites.nonEmpty) // Main.cxx:116-118
+            throw new IllegalArgumentException("site and group_site are mutually exclusive")
+          if (acc.groupSite.nonEmpty)
+            throw new IllegalArgumentException("Duplicate group_site")
           acc.copy(groupSite = Some((c.toInt, Option(s).map(_.toInt).getOrElse(0))))
         case _ =>
           throw new IllegalArgumentException(s"unrecognized query argument: $arg")

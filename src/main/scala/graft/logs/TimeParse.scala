@@ -19,6 +19,37 @@ object TimeParse {
 
   private val Relative = "^([+-])(\\d+)(us|ms|s|m|h|d)?$".r
 
+  /** Parse with the input's precision width, like the reference
+    * client's ParseTimePoint pair (used at Main.cxx:169-186:
+    * `until = t.first + t.second`, so `until=2024-01-10` covers the
+    * whole day and `time=2024-01-10T12` spans that hour):
+    * date-only → 1 day, hour-only → 1 h, to-the-minute → 1 min,
+    * to-the-second → 1 s. `now`, the day tokens' instants, and
+    * explicit relative offsets are exact instants → precision 0
+    * (the day tokens themselves span their day).
+    */
+  def parseUsPrec(s: String, nowUs: Long,
+                  zone: ZoneId = ZoneOffset.UTC): (Long, Long) = {
+    val t = parseUs(s, nowUs, zone)
+    val prec = s.trim match {
+      case "now" => 0L
+      case "today" | "yesterday" | "tomorrow" => 86400000000L
+      case Relative(_, _, _) => 0L
+      case iso =>
+        // only a string with a time part can carry a zone suffix (a
+        // bare date's "-04" is the day, not an offset — same guard as
+        // parseIsoUs)
+        val noZone =
+          if (!iso.contains("T")) iso
+          else iso.stripSuffix("Z").replaceAll("[+-]\\d{2}(:?\\d{2})?$", "")
+        if (noZone.matches("\\d{4}-?\\d{2}-?\\d{2}")) 86400000000L // date
+        else if (noZone.matches(".*T\\d{2}")) 3600000000L // hour
+        else if (noZone.matches(".*T\\d{2}:?\\d{2}")) 60000000L // minute
+        else 1000000L // seconds
+    }
+    (t, prec)
+  }
+
   def parseUs(s: String, nowUs: Long, zone: ZoneId = ZoneOffset.UTC): Long = {
     val trimmed = s.trim
     trimmed match {

@@ -42,17 +42,39 @@ object Multimodal {
 
   val batchSize = 64
 
-  /** STUB decoder — stands in for image/audio decode + feature
-    * extraction. Deterministic on the payload bytes so the pipeline is
-    * testable end-to-end; a real implementation would decode `batch`
-    * with a codec initialised once per batch.
+  private val pngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** One REAL codec path, dependency-free: PNG header parse (public
+    * format, ISO/IEC 15948 — 8-byte signature then the IHDR chunk,
+    * whose width/height are big-endian u32 at byte offsets 16/20).
+    * Returns None for anything that isn't a well-formed PNG prefix.
+    */
+  def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (b.length >= 24 &&
+        java.util.Arrays.equals(b, 0, 8, pngSignature, 0, 8) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((u32(16).toInt, u32(20).toInt))
+    else None
+  }
+
+  /** Batch decoder: a real header parse where the payload is a real
+    * PNG (`pngDims`), the deterministic byte-feature STUB otherwise
+    * (no other codecs in this image). Either way the features are
+    * computed batch-at-a-time — the shape a vectorised decoder needs.
     */
   def decodeStub(batch: Seq[MmRecord]): Seq[MmFeatures] =
     batch.map { r =>
       var sum = 0L
       var i = 0
       while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
-      MmFeatures(r.doc_id, r.meta.format, r.meta.width, r.meta.height,
+      val (w, h) =
+        (if (r.meta.format == "png") pngDims(r.payload) else None)
+          .getOrElse((r.meta.width, r.meta.height))
+      MmFeatures(r.doc_id, r.meta.format, w, h,
         r.payload.length.toLong,
         if (r.payload.nonEmpty) r.payload(0) & 0xff else -1,
         sum)
@@ -62,9 +84,13 @@ object Multimodal {
     * keeps rows streaming (no whole-partition materialisation) while
     * giving the decoder real batches.
     */
-  def decode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mmTable(spark, dir)
+  def decode(spark: SparkSession, dir: String): DataFrame =
+    decodeRecords(mmTable(spark, dir))
+
+  /** The batched decode pass over any MmRecord Dataset. */
+  def decodeRecords(records: Dataset[MmRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records
       .mapPartitions(_.grouped(batchSize).flatMap(g => decodeStub(g)))
       .toDF()
       .orderBy("doc_id")

@@ -21,6 +21,33 @@ import graft.logs.LogView
   */
 object Follow {
 
+  /** CONTINUE (reference src/Protocol.hxx:141: "Option for COMMIT …:
+    * after the dump is finished, keep the query online and send new
+    * records as they are received"): dump what's there, remember the
+    * position, resume later with no duplicates and no gaps.
+    *
+    * Structured Streaming's checkpoint IS the cursor: each
+    * `Trigger.AvailableNow` run drains everything unseen since the
+    * checkpoint into the (exactly-once) parquet sink and terminates.
+    * Call again after new files arrive → only the new records are
+    * appended. FollowSpec drives the stop → append → resume cycle.
+    */
+  def followContinue(spark: SparkSession, srcDir: String,
+                     checkpointDir: String, outDir: String,
+                     sinceUs: Long = Long.MinValue): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = LogView.fromEvents(stream)
+      .filter(col("timestamp") >= sinceUs)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Tail records with `timestamp >= sinceUs` through a streaming
     * plan, returning the drained result as a DataFrame.
     */

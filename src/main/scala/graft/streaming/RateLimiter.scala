@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.Tables
 import graft.logs.LogView
 
-/** `per_site_message_rate_limit` with pond's ACTUAL server semantics —
+/** `per_site_message_rate_limit` with pond's server semantics —
   * a per-site token bucket (reference src/Database.hxx:53,66
   * `PerSite.rate_limiter` / `CheckRateLimit`, configured at
   * src/Database.cxx:31-35 as `rate` tokens/sec with
@@ -16,6 +16,13 @@ import graft.logs.LogView
   * approximation; this is the exact stateful rule, as a streaming
   * `flatMapGroupsWithState` keyed by site — the same shape pond's
   * in-memory `PerSite` map takes when distributed.
+  *
+  * Like the server (Database.cxx:107-135 `IsMessage` /
+  * `CheckEmplace`), the bucket applies only to MESSAGE records
+  * (`type = http_error`) with a non-null site; every other record is
+  * "not affected by the rate limit" and passes through. One
+  * documented deviation: pond clocks refills with steady-clock
+  * arrival time; a replayable engine uses event time.
   *
   * Bucket rule per record (event time, µs): refill
   * `tokens = min(burst, tokens + Δt_sec * rate)`, accept iff
@@ -77,16 +84,23 @@ object RateLimiter {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val keyed: Dataset[(Long, Long, String)] = LogView.fromEvents(stream)
-      .select(col("event_id"), col("timestamp"), col("site"))
-      .as[(Long, Long, String)]
+    val logs = LogView.fromEvents(stream)
+      .select(col("event_id"), col("timestamp"), col("site"), col("type"))
+    // IsMessage guard (Database.cxx:107-115): only http_error records
+    // with a site are subject to the bucket
+    val isMessage = col("type") === "http_error" && col("site").isNotNull
+    val keyed: Dataset[(Long, Long, String)] = logs.filter(isMessage)
+      .drop("type").as[(Long, Long, String)]
     val limited = keyed
       .groupByKey(_._3)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         updateSite(rate, burst))
+    val passthrough = logs.filter(!isMessage).drop("type")
+      .as[(Long, Long, String)]
+      .map(r => Accepted(r._1, r._2, r._3))
     val name = "graft_rate_limit"
-    val q = limited.toDF().writeStream
+    val q = limited.union(passthrough).toDF().writeStream
       .format("memory")
       .queryName(name)
       .outputMode("append")

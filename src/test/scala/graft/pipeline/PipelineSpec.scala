@@ -89,6 +89,27 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(r => r.getString(2) != null))
   }
 
+  test("mm_decode parses real PNG IHDR dims, stub otherwise") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13); bb.put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w); bb.putInt(h)
+      bb.put(Array[Byte](8, 6, 0, 0, 0)) // depth/color/compress/filter/interlace
+      bb.array()
+    }
+    val recs = Seq(
+      Multimodal.MmRecord(1L, png(640, 123), Multimodal.MmMeta("png", 1, 1)),
+      Multimodal.MmRecord(2L, "not a png".getBytes, Multimodal.MmMeta("png", 7, 9)),
+      Multimodal.MmRecord(3L, png(10, 11), Multimodal.MmMeta("jpeg", 3, 4))).toDS()
+    val out = Multimodal.decodeRecords(recs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((640, 123))) // real header wins over metadata
+    assert(out(2L) == ((7, 9))) // malformed payload → metadata fallback
+    assert(out(3L) == ((3, 4))) // non-png format → stub path untouched
+  }
+
   test("multimodal decode: batched plumbing produces per-payload features") {
     val out = Multimodal.decode(spark, sf01).collect()
     assert(out.length == 500)

@@ -6,22 +6,25 @@ import graft.logs.LogView
 class RateLimiterSpec extends SparkSpec {
 
   test("streaming token bucket equals the reference rule per site") {
-    // ~1 msg/hour with burst 2: per-site traffic (~3.3/day but bursty)
-    // gets thinned, so both accept and reject paths are exercised
-    val rate = 1.0 / 3600
+    // near-zero refill with burst 2: each site's http_error messages
+    // are thinned to ~the burst, so both accept and reject paths are
+    // exercised (non-message records all pass through untouched)
+    val rate = 1e-7
     val burst = Some(2.0)
     val got = RateLimiter.rateLimitStream(spark, sf, rate, burst)
       .collect().map(r => (r.getString(2), r.getLong(0))).toSet
-    val bySite = LogView(spark, sf)
-      .select("site", "event_id", "timestamp")
+    // mirror the IsMessage guard: bucket the http_error records per
+    // site, pass everything else through untouched
+    val all = LogView(spark, sf)
+      .select("site", "event_id", "timestamp", "type")
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1)
-    val want = bySite.toSeq.flatMap { case (site, rows) =>
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val (messages, rest) = all.partition(r => r._4 == "http_error" && r._1 != null)
+    val want = (messages.groupBy(_._1).toSeq.flatMap { case (site, rows) =>
       RateLimiter.referenceAccept(
         rows.map(r => (r._2, r._3)).toSeq, rate, burst.get)
         .map(site -> _)
-    }.toSet
+    } ++ rest.map(r => r._1 -> r._2)).toSet
     assert(want.nonEmpty)
     val onlyGot = got -- want
     val onlyWant = want -- got
