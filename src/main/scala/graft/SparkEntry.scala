@@ -511,6 +511,12 @@ object SparkEntry {
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
         "ON a.label = b.label AND a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.v, b.v) >= 0.45 ORDER BY 1, 2")),
+    // IVF-cell-blocked variant: the 100 TB blocking behind the label
+    // stand-in above; KMeans cells are engine-specific → rows-only,
+    // recall vs the exact operator gated in PipelineSpec
+    ("dedup_embedding_ivf",
+      (s: SparkSession, d: String) =>
+        Dedup.embeddingPairsIvf(s, d, threshold = 0.45), None),
     ("ann_brute", (s: SparkSession, d: String) => Ann.bruteTopK(s, d),
       Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5), " +

@@ -17,9 +17,6 @@ import graft.Tables
   */
 object Analytics {
 
-  private def dec(c: String): org.apache.spark.sql.Column =
-    col(c).cast("decimal(38,6)")
-
   /** Emit an exact DECIMAL(38,6) sum as integer micro-units (×1e6,
     * BIGINT). The summation stays decimal — exact and
     * order-independent under any partitioning — but the *output*
@@ -34,6 +31,17 @@ object Analytics {
   private def micros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (c * lit(1000000L)).cast("long")
 
+  /** Exact micro-unit SUM with the aggregation running on LONGS: the
+    * decimal(38,6) quantization (the rounding contract shared with the
+    * oracle) happens per row, ×1e6 makes it exactly integral, and the
+    * sum itself is plain int64 — whole-stage-codegen-friendly, an
+    * 8-byte aggregation buffer instead of decimal128, and identical to
+    * sum-then-scale by distributivity over exact integers. This is the
+    * hot-path formulation for the scan-heavy aggregates (q1 etc.).
+    */
+  private def sumMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum((c.cast("decimal(38,6)") * lit(1000000L)).cast("long"))
+
   /** TPC-H Q1 shape: scan-heavy grouped aggregation, fully
     * partial-aggregated map-side (4 running sums + count per group,
     * 6 groups total → shuffle traffic is bytes, not rows).
@@ -42,10 +50,10 @@ object Analytics {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        micros(sum(dec("l_quantity"))).as("sum_qty"),
-        micros(sum(dec("l_extendedprice"))).as("sum_base_price"),
-        micros(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(38,6)"))).as("sum_disc_price"),
+        sumMicros(col("l_quantity")).as("sum_qty"),
+        sumMicros(col("l_extendedprice")).as("sum_base_price"),
+        sumMicros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -66,8 +74,8 @@ object Analytics {
       .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-      .agg(micros(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(38,6)"))).as("revenue"))
+      .agg(sumMicros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -93,8 +101,8 @@ object Analytics {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(micros(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(38,6)"))).as("revenue"))
+      .agg(sumMicros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -196,7 +204,7 @@ object Analytics {
         col("value"))
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"),
-        micros(sum(dec("value"))).as("sum_value"))
+        sumMicros(col("value")).as("sum_value"))
       .orderBy("k_bucket")
 
   /** Hierarchical aggregation (ROLLUP): per (flag, status), per flag,
@@ -205,7 +213,7 @@ object Analytics {
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(micros(sum(dec("l_quantity"))).as("sum_qty"),
+      .agg(sumMicros(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
@@ -216,7 +224,7 @@ object Analytics {
   def qCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .cube("l_returnflag", "l_linestatus")
-      .agg(micros(sum(dec("l_quantity"))).as("sum_qty"),
+      .agg(sumMicros(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)

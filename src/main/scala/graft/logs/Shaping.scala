@@ -238,6 +238,20 @@ object Shaping {
     df.select(col("event_id"), concat(parts: _*).as("line"))
   }
 
+  /** `--raw` / `--gzip` output encodings (reference
+    * client/Main.cxx:250-252): in a DataFrame engine these are writer
+    * codec choices, not operators — the rendered text column
+    * ([[oneLine]] / [[jsonl]]) streams to plain text files, or
+    * gzip-framed ones (`compression=gzip`, one gzip member per
+    * partition file — the distributed analogue of pond's gzipped
+    * dump, and splittable-by-file on read-back).
+    */
+  def textWrite(df: DataFrame, outDir: String, column: String = "line",
+                gzip: Boolean = false): Unit = {
+    val w = df.select(col(column)).write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).text(outDir)
+  }
+
   /** `--age-only` (reference client/ResultWriter.cxx:199-210): emit
     * only each record's age in whole seconds. The reference measures
     * against wallclock; for a deterministic result the engine measures

@@ -90,9 +90,15 @@ object Ann {
     * still *rows-only* (cluster boundaries are engine-specific), with
     * recall vs [[bruteTopK]] gated in AnnSpec.
     */
-  def ivfTopK(spark: SparkSession, dir: String,
-              nQueries: Int = 5, k: Int = 10,
-              cells: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** The shared IVF coarse quantiser: KMeans over the embedding
+    * corpus, returning (per-vector cell assignment, cell-center dim).
+    * Used by both [[ivfTopK]] and
+    * [[Dedup.embeddingPairsIvf]] — one quantiser, two
+    * consumers, exactly how an IVF index is shared at 100 TB (train
+    * on a sample, assign in one map pass).
+    */
+  def ivfAssign(spark: SparkSession, dir: String,
+                cells: Int = 16): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val all = vectors(spark, dir)
@@ -102,11 +108,16 @@ object Ann {
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(all)
     val assigned = model.transform(all).select("vec_id", "v", "cell")
-    // query → its nprobe nearest cells, ranked by center cosine
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
     }.toSeq
-    val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
+    (assigned, spark.createDataFrame(centers).toDF("cell", "center"))
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String,
+              nQueries: Int = 5, k: Int = 10,
+              cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (assigned, centersDf) = ivfAssign(spark, dir, cells)
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy("q_id")

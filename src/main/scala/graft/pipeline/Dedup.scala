@@ -223,4 +223,39 @@ object Dedup {
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Embedding near-dup pairs blocked by the IVF coarse quantiser's
+    * cells ([[Ann.ivfAssign]]) — the real 100 TB blocker behind
+    * [[embeddingPairs]]'s `label` stand-in. Each vector is indexed
+    * under its `nprobe` nearest cells (multi-probe assignment), so a
+    * near-dup pair is only missed if the two vectors share NONE of
+    * their probe cells; candidates are verified with the exact cosine.
+    * Pair work is bounded by (cell occupancy × nprobe²), never all
+    * pairs — cells scale with corpus size like any IVF index.
+    * *Rows-only* (KMeans cell boundaries are engine-specific); recall
+    * vs the exact blocked operator is gated in PipelineSpec.
+    */
+  def embeddingPairsIvf(spark: SparkSession, dir: String,
+                        threshold: Double = 0.8, cells: Int = 16,
+                        nprobe: Int = 2): DataFrame = {
+    val (assigned, centers) = graft.pipeline.Ann.ivfAssign(spark, dir, cells)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+    val probed = assigned.drop("cell")
+      .join(broadcast(centers))
+      .withColumn("ccos", cosine_sim(col("v"), col("center")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val a = probed.as("a")
+    val b = probed.as("b")
+    a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine_sim(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b")
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
 }

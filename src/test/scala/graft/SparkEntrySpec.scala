@@ -18,16 +18,17 @@ class SparkEntrySpec extends SparkSpec {
       "filter_generator", "filter_since_until", "filter_status",
       "filter_duration_longer", "filter_uri_exact", "filter_uri_prefix",
       "filter_method", "filter_unsafe_method", "filter_combined", "time_parse",
-      "query_args",
+      "query_args", "filter_referer", "filter_user_agent",
       // §2B
       "window", "last", "group_site", "accumulate_top", "accumulate_more",
-      "stats", "per_site_out", "jsonl", "one_line", "age_only", "follow",
+      "stats", "per_site_out", "per_site_layout", "jsonl", "one_line",
+      "one_line_full", "age_only", "follow",
       "max_age_retention", "rate_limit", "rate_limit_stream",
       "duration_quantiles",
       "duration_quantiles_approx", "timeseries",
       // §2C
       "anonymize_ip", "track_visitors", "track_visitors_stream", "geoip",
-      "visitor_stats",
+      "resolve_forwarded_to", "visitor_stats",
       // §2D
       "q1_agg", "q3_topn", "q5_join", "q_window", "q_distinct",
       "q_approx_distinct", "q_exists", "q_funnel", "q_sessionize", "q_json",
@@ -35,7 +36,8 @@ class SparkEntrySpec extends SparkSpec {
       // §2E
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_cdc",
-      "dedup_embedding", "ann_brute", "ann_lsh", "ann_ivf", "lang_id",
+      "dedup_embedding", "dedup_embedding_ivf",
+      "ann_brute", "ann_lsh", "ann_ivf", "lang_id",
       "quality_score",
       "token_count", "fingerprint", "mm_decode")
     val registered = SparkEntry.queries.keySet

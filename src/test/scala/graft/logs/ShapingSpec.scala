@@ -88,6 +88,15 @@ class ShapingSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/p1=site_0").isDirectory)
   }
 
+  test("--gzip encoding writes gzip-framed text that reads back whole") {
+    val dir = java.nio.file.Files.createTempDirectory("gz").toString
+    Shaping.textWrite(Shaping.oneLine(log), dir, gzip = true)
+    val gz = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".txt.gz"))
+    assert(gz.nonEmpty, "expected .txt.gz part files")
+    assert(spark.read.text(dir).count() == log.count())
+  }
+
   test("per-site-file puts a fixed leaf name under each site dir") {
     import spark.implicits._
     val rows = Seq(("site_a", 1L), ("site_b", 2L)).toDF("site", "event_id")

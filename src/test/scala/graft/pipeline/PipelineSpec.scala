@@ -83,6 +83,18 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.length >= 1)
   }
 
+  test("IVF-cell-blocked embedding dedup recalls the exact pairs") {
+    val exact = Dedup.embeddingPairs(spark, sf01, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Dedup.embeddingPairsIvf(spark, sf01, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // multi-probe cells must recover the known pairs; any extra pairs
+    // it finds are still cosine-verified, so only recall can differ
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall $recall over ${exact.size} pairs")
+  }
+
   test("language id is deterministic and covers all docs") {
     val out = TextAnalysis.langId(spark, sf01).collect()
     assert(out.length == 500)
