@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.Analytics
 import graft.logs.{Enrich, LogFilter, LogView, Shaping, TimeParse}
-import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Ann, Curation, Dedup, Multimodal, TextAnalysis}
 import graft.streaming.Follow
 
 /** Driver contract: one `queries` entry (+ DuckDB `oracleSql` where
@@ -557,6 +557,40 @@ object SparkEntry {
         "list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(regexp_extract_all(" + normSql + ", '.'), c -> CAST(ord(c) AS BIGINT))), " +
         "(acc, x) -> (acc * 257 + x) % 1000000007) AS BIGINT) AS fp " +
+        "FROM documents ORDER BY doc_id")),
+    // ---- curation (deterministic hash sampling / mixing / hygiene) ----
+    ("sample_hash",
+      (s: SparkSession, d: String) => Curation.sampleHash(s, d, rateBp = 2000),
+      Some("SELECT doc_id, lang, source FROM documents WHERE " +
+        Curation.hashBelowSql("doc_id", "s0", 2000) + " ORDER BY doc_id")),
+    ("mix_sources",
+      (s: SparkSession, d: String) => Curation.mixSources(s, d,
+        rates = Map("src0" -> 10000L, "src1" -> 5000L), defaultBp = 2500),
+      Some("SELECT doc_id, lang, source FROM documents WHERE " +
+        "substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) < " +
+        s"(CASE source WHEN 'src0' THEN '${Curation.thresholdHex(10000)}' " +
+        s"WHEN 'src1' THEN '${Curation.thresholdHex(5000)}' " +
+        s"ELSE '${Curation.thresholdHex(2500)}' END) ORDER BY doc_id")),
+    ("decontaminate",
+      (s: SparkSession, d: String) => Curation.decontaminate(s, d),
+      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(" +
+        "[substr(txt, i, 13) for i in range(1, greatest(length(txt) - 12, 1) + 1)])) AS gram " +
+        "FROM nd WHERE doc_id % 97 <> 0), " +
+        "bg AS (SELECT DISTINCT unnest(list_distinct(" +
+        "[substr(txt, i, 13) for i in range(1, greatest(length(txt) - 12, 1) + 1)])) AS gram " +
+        "FROM nd WHERE doc_id % 97 = 0) " +
+        "SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared " +
+        "FROM g JOIN bg USING (gram) GROUP BY 1 ORDER BY 1")),
+    ("pii_scrub",
+      (s: SparkSession, d: String) => Curation.piiScrub(s, d),
+      Some("SELECT doc_id, md5(" +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), " +
+        "'[0-9]{7,}', '<NUM>', 'g')) AS scrub_hash, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
+        "CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip " +
         "FROM documents ORDER BY doc_id")),
     ("mm_decode", (s: SparkSession, d: String) => Multimodal.decode(s, d),
       Some("SELECT doc_id, " +

@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators (SURVEY §2E): the selection /
+  * mixing / hygiene passes a large-scale pretraining pipeline runs
+  * between raw crawl and tokenizer. All are pure map or
+  * broadcast-join shapes — no all-pairs work anywhere — and all are
+  * deterministic (hash-based, no RNG state), so a 100 TB run is
+  * reproducible and resumable, and every one is oracle-checkable.
+  */
+object Curation {
+
+  /** `substr(md5(salt:key),1,4) < threshold` — the deterministic
+    * sampling predicate. Fixed-width lowercase hex compares
+    * lexicographically = numerically, identically in every engine, so
+    * the same doc set is selected by Spark and the oracle. Resolution
+    * is 1/65536 ≈ 1.5 bp.
+    */
+  def hashBelow(key: Column, salt: String, rateBp: Long): Column =
+    substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 4) <
+      thresholdHex(rateBp)
+
+  /** SQL mirror of [[hashBelow]] for the DuckDB oracle. */
+  def hashBelowSql(keyExpr: String, salt: String, rateBp: Long): String =
+    s"substr(md5('$salt:' || CAST($keyExpr AS VARCHAR)), 1, 4) < '${thresholdHex(rateBp)}'"
+
+  /** Fixed-width lowercase hex threshold for a basis-point rate. At
+    * 10000 bp the threshold must sort ABOVE every 4-char hex string —
+    * `"g"` does (every hex digit < 'g'), where the naive 5-digit
+    * `"10000"` would sort below almost everything.
+    */
+  def thresholdHex(rateBp: Long): String =
+    if (rateBp >= 10000L) "g" else f"${rateBp * 65536L / 10000L}%04x"
+
+  /** Deterministic hash sampling (train/eval splits, corpus
+    * downsampling): keep ≈`rateBp`/10000 of documents, selected by a
+    * salted content-independent hash of the key. Pure map — no
+    * shuffle, no RNG, embarrassingly parallel; changing `salt` draws
+    * an independent sample, and the same (salt, rate) always selects
+    * the same documents — the property that makes 100 TB reruns and
+    * incremental ingestion consistent.
+    */
+  def sampleHash(spark: SparkSession, dir: String,
+                 rateBp: Long = 2000, salt: String = "s0"): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(hashBelow(col("doc_id"), salt, rateBp))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** Source mixing (training-mixture weights): per-source keep rates,
+    * e.g. upweight curated sources and downsample crawl. The rate
+    * lookup is a broadcast dim joined on `source` (the 100 TB shape —
+    * never a per-row UDF closure over a map), then the same
+    * deterministic predicate as [[sampleHash]].
+    */
+  def mixSources(spark: SparkSession, dir: String,
+                 rates: Map[String, Long], defaultBp: Long = 2500,
+                 salt: String = "mix"): DataFrame = {
+    // thresholds precomputed to hex strings: the dim carries the
+    // comparison value directly, nothing numeric happens at runtime
+    val rateDim = spark.createDataFrame(
+      rates.toSeq.map { case (s, bp) => (s, thresholdHex(bp)) })
+      .toDF("source", "thr")
+    Tables.documents(spark, dir)
+      .join(broadcast(rateDim), Seq("source"), "left")
+      .withColumn("thr", coalesce(col("thr"), lit(thresholdHex(defaultBp))))
+      .filter(
+        substring(md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))), 1, 4)
+          < col("thr"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Eval decontamination (the n-gram overlap check run before
+    * training: any document sharing a character `n`-gram with the
+    * benchmark set is flagged). The benchmark here is a deterministic
+    * subset (`doc_id % 97 = 0`) standing in for an external eval file.
+    *
+    * 100 TB shape: benchmark n-gram sets are tiny (benchmarks are
+    * megabytes) → broadcast hash join against the exploded corpus
+    * grams; the corpus side is one explode + one aggregation on
+    * doc_id, both linear. Emits (doc_id, n_shared distinct grams) for
+    * flagged docs — the anti-join against this set is the clean
+    * corpus.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 13): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("txt"))
+    val isBench = col("doc_id") % 97 === 0
+    val grams = (d: DataFrame) => d.select(col("doc_id"),
+      explode(Dedup.shingles("txt", n)).as("gram"))
+    val benchGrams = grams(docs.filter(isBench))
+      .select("gram").distinct()
+    grams(docs.filter(!isBench))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** The redaction patterns: RE2-safe (work identically under Java
+    * regex and DuckDB's RE2) — email, IPv4, and 7+-digit runs.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("[0-9]{7,}", "<NUM>"))
+
+  /** PII scrubbing: redact emails, IPv4 addresses and long digit runs
+    * from the text column. Pure regexp_replace chain — whole-stage
+    * codegen, no UDF, linear scan. Output carries `md5(scrubbed)` (a
+    * compact engine-portable digest of the rewritten text) plus the
+    * per-class redaction counts, so the gate checks the actual
+    * rewriting, not just row counts.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(col("text")) {
+      case (c, (re, tag)) => regexp_replace(c, re, tag)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(scrubbed).as("scrub_hash"),
+        regexp_count(col("text"), lit(piiPatterns(0)._1)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(piiPatterns(1)._1)).cast("long").as("n_ip"))
+      .orderBy("doc_id")
+  }
+}

@@ -39,7 +39,8 @@ class SparkEntrySpec extends SparkSpec {
       "dedup_embedding", "dedup_embedding_ivf",
       "ann_brute", "ann_lsh", "ann_ivf", "lang_id",
       "quality_score",
-      "token_count", "fingerprint", "mm_decode")
+      "token_count", "fingerprint", "mm_decode",
+      "sample_hash", "mix_sources", "decontaminate", "pii_scrub")
     val registered = SparkEntry.queries.keySet
     assert((expected -- registered).isEmpty,
       s"missing operators: ${expected -- registered}")

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("hash sampling is deterministic, rate-accurate, salt-independent") {
+    val total = graft.Tables.documents(spark, sf01).count().toDouble
+    val a = Curation.sampleHash(spark, sf01, rateBp = 2000, salt = "s0")
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleHash(spark, sf01, rateBp = 2000, salt = "s0")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same salt+rate must select the same documents")
+    assert(math.abs(a.size / total - 0.2) < 0.06,
+      s"rate off: ${a.size}/$total")
+    val c = Curation.sampleHash(spark, sf01, rateBp = 2000, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a, "different salt must draw a different sample")
+  }
+
+  test("source mixing applies per-source keep rates") {
+    val mixed = Curation.mixSources(spark, sf01,
+      rates = Map("src0" -> 10000L, "src1" -> 5000L), defaultBp = 2500)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 25 docs per source at sf0.01
+    assert(mixed("src0") == 25, s"rate 10000bp must keep all: $mixed")
+    // compare the 50% source against the POOLED default-rate (25%)
+    // sources — individual 25-doc draws are too noisy to rank
+    val defaultAvg = (2 to 19).map(i => mixed.getOrElse(s"src$i", 0L))
+      .sum.toDouble / 18
+    assert(mixed.getOrElse("src1", 0L) > defaultAvg,
+      s"upweighted source must beat the default-rate average: $mixed")
+  }
+
+  test("decontamination flags exactly the docs sharing benchmark n-grams") {
+    val flagged = Curation.decontaminate(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // benchmark docs themselves are never in the output
+    assert(flagged.forall(_._1 % 97 != 0))
+    assert(flagged.forall(_._2 >= 1))
+    // the word-salad corpus over a tiny vocabulary is expected to
+    // collide heavily — decontamination must find real overlaps
+    assert(flagged.nonEmpty)
+  }
+
+  test("pii scrub redacts emails, IPs and digit runs") {
+    import spark.implicits._
+    val scrub = Curation.piiPatterns.foldLeft(col("t")) {
+      case (c, (re, tag)) => regexp_replace(c, re, tag)
+    }
+    val got = Seq(
+      "mail me at jane.doe+x@example.co.uk today",
+      "from 192.168.001.12 port 443",
+      "card 12345678901234 pin 12",
+      "clean text stays clean")
+      .toDF("t").select(scrub).collect().map(_.getString(0))
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "from <IP> port 443")
+    assert(got(2) == "card <NUM> pin 12")
+    assert(got(3) == "clean text stays clean")
+  }
+}
