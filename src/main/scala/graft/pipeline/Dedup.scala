@@ -143,15 +143,29 @@ object Dedup {
     // block is bounded by the blocking, and the alternatives are both
     // wrong here (broadcast: the shingle arrays are ~40 MB and AQE
     // stats can flip it to a sort-merge join; SMJ: sorts rows carrying
-    // the full arrays)
+    // the full arrays).
+    // BOTH threshold conjuncts are authored into the join condition in
+    // cheap-first order: the length-ratio prune (with |A∩B| ≤
+    // min(|A|,|B|), J ≥ t is impossible unless min·(1e4+t) ≥
+    // t·(|A|+|B|) — two ints) short-circuits before the O(|A|+|B|)
+    // sorted-merge. Writing the exact test as a post-join filter
+    // instead lets Catalyst push it into the condition AHEAD of the
+    // prune, running the expensive merge first (observed in the
+    // physical plan).
+    val sizes = col("a.nsh") + col("b.nsh")
+    val lengthPrune =
+      least(col("a.nsh"), col("b.nsh")) * (10000L + minBp) >= lit(minBp) * sizes
+    val exactTest =
+      sorted_intersect_count(col("a.sh"), col("b.sh")) * (10000L + minBp) >=
+        lit(minBp) * sizes
     a.join(b.hint("shuffle_hash"), col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        lengthPrune && exactTest)
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         sorted_intersect_count(col("a.sh"), col("b.sh")).as("inter"),
-        (col("a.nsh") + col("b.nsh")).as("sizes"))
-      .filter(col("inter") * (10000L + minBp) >= lit(minBp) * col("sizes"))
+        sizes.as("sizes"))
       .select(col("doc_a"), col("doc_b"),
         floor(lit(10000.0) * col("inter") / (col("sizes") - col("inter")))
           .cast("long").as("jac_bp"))

@@ -54,6 +54,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("geoip range lookup plans as a broadcast HASH join, not BNLJ") {
+    // the interval join is bucketed: equi-join on ip div 65536 with
+    // the BETWEEN as residual — a per-row O(1) probe; a naive range
+    // join would be a BroadcastNestedLoopJoin scanning all ranges
+    val p = plan(graft.logs.Enrich.geoip(spark, LogView(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("resolve_forwarded_to broadcasts the resolver dim") {
+    val p = plan(graft.logs.Enrich.resolveForwardedTo(spark, LogView(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q1 partial-aggregates map-side before the shuffle") {
     val p = plan(Analytics.q1Agg(spark, sf))
     assert(p.contains("HashAggregate"), p)
