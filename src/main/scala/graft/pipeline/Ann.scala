@@ -90,29 +90,38 @@ object Ann {
     * still *rows-only* (cluster boundaries are engine-specific), with
     * recall vs [[bruteTopK]] gated in AnnSpec.
     */
+  private val quantisers =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), (DataFrame, DataFrame)]
+
   /** The shared IVF coarse quantiser: KMeans over the embedding
     * corpus, returning (per-vector cell assignment, cell-center dim).
     * Used by both [[ivfTopK]] and
     * [[Dedup.embeddingPairsIvf]] — one quantiser, two
-    * consumers, exactly how an IVF index is shared at 100 TB (train
-    * on a sample, assign in one map pass).
+    * consumers, exactly how an IVF index is shared at 100 TB: the
+    * model is trained ONCE (on a sample there) and every consumer
+    * assigns against it, so training is memoized per
+    * (session, dir, cells) here — the local stand-in for a persisted
+    * model artifact.
     */
   def ivfAssign(spark: SparkSession, dir: String,
-                cells: Int = 16): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val all = vectors(spark, dir)
-      .withColumn("fv", array_to_vector(col("v")))
-      .cache()
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(all)
-    val assigned = model.transform(all).select("vec_id", "v", "cell")
-    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
-    (assigned, spark.createDataFrame(centers).toDF("cell", "center"))
-  }
+                cells: Int = 16): (DataFrame, DataFrame) =
+    quantisers.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, cells), {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val all = vectors(spark, dir)
+          .withColumn("fv", array_to_vector(col("v")))
+          .cache()
+        val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+          .setFeaturesCol("fv").setPredictionCol("cell")
+          .fit(all)
+        val assigned = model.transform(all).select("vec_id", "v", "cell").cache()
+        all.unpersist()
+        val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (i, c.toArray)
+        }.toSeq
+        (assigned, spark.createDataFrame(centers).toDF("cell", "center"))
+      })
 
   def ivfTopK(spark: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10,
