@@ -248,6 +248,19 @@ object SparkEntry {
           "CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_5xx, " +
           "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent " +
           "FROM log GROUP BY 1, 2 ORDER BY 1, 2"))),
+    // the same rollup as an incremental watermarked windowed agg —
+    // the STREAMING plan checked against the batch oracle
+    ("timeseries_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.timeseriesStream(s, d),
+      Some(LogView.oracle(
+        "SELECT site, timestamp // 3600000000 AS hour_bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CASE WHEN status >= 200 AND status < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_2xx, " +
+          "CAST(sum(CASE WHEN status >= 400 AND status < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_4xx, " +
+          "CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_5xx, " +
+          "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent " +
+          "FROM log GROUP BY 1, 2 ORDER BY 1, 2"))),
     ("max_age_retention",
       (s: SparkSession, d: String) =>
         Shaping.maxAgeRetention(LogView(s, d), 7L * 86400000000L)
@@ -486,6 +499,13 @@ object SparkEntry {
       Some(s"SELECT md5($normSql) AS content_hash, " +
         "min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY 1")),
+    // ingestion-time exact dedup: streaming dropDuplicates on the
+    // content hash, gate-compared against batch DISTINCT
+    ("dedup_exact_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.dedupExactStream(s, d),
+      Some(s"SELECT DISTINCT md5($normSql) AS content_hash " +
+        "FROM documents ORDER BY content_hash")),
     // Spark-hash-based LSH → rows-only (recall vs exact checked in tests)
     ("dedup_minhash", (s: SparkSession, d: String) => Dedup.minhashPairs(s, d), None),
     ("dedup_simhash", (s: SparkSession, d: String) => Dedup.simhashPairs(s, d), None),

@@ -60,9 +60,13 @@ object TextAnalysis {
     * if no markers at all). Heuristic by design — the reference point
     * is an n-gram/stopword classifier, not a model.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOf(Tables.documents(spark, dir))
+
+  /** [[langId]] over any (doc_id, lang, text) DataFrame. */
+  def langIdOf(docs: DataFrame): DataFrame = {
     val txt = normText(col("text"))
-    val scored = Tables.documents(spark, dir)
+    val scored = docs
       .select(col("doc_id") +: col("lang").as("actual_lang") +:
         langMarkers.map { case (l, ws) => markerCount(txt, ws).as(s"c_$l") }: _*)
     val best = langMarkers.map { case (l, _) => col(s"c_$l") }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.logs.LogView
+
+/** Streaming counterparts of batch operators, all drained with
+  * `Trigger.AvailableNow` so the result is batch-equivalent and the
+  * DuckDB oracle checks the STREAMING path against the same SQL as
+  * the batch one — the strongest gate a streaming operator can have.
+  */
+object StreamOps {
+
+  /** The [[graft.logs.Shaping.timeseries]] rollup as an incremental
+    * windowed aggregation: watermarked event-time 1-hour windows over
+    * the log stream — the dashboard query kept continuously up to
+    * date instead of recomputed. State is bounded by the watermark
+    * (late data beyond 1 h is dropped); at 100 TB this runs against
+    * Kafka with the same plan. Complete output here because
+    * AvailableNow drains a finite source (append would hold back the
+    * final unexpired windows).
+    */
+  def timeseriesStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val name = "graft_timeseries_stream"
+    val q = LogView.fromEvents(stream)
+      .withColumn("ts", timestamp_micros(col("timestamp")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("site"), window(col("ts"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("status") >= 200 && col("status") < 300, 1)
+          .otherwise(0)).as("n_2xx"),
+        sum(when(col("status") >= 400 && col("status") < 500, 1)
+          .otherwise(0)).as("n_4xx"),
+        sum(when(col("status") >= 500, 1).otherwise(0)).as("n_5xx"),
+        sum("traffic_sent").as("bytes_sent"))
+      .select(col("site"),
+        expr("unix_micros(w.start) div 3600000000").as("hour_bucket"),
+        col("n"), col("n_2xx"), col("n_4xx"), col("n_5xx"),
+        col("bytes_sent"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("site", "hour_bucket")
+  }
+
+  /** Streaming exact dedup: the ingestion-time variant of
+    * [[graft.pipeline.TextAnalysis.dedupExact]] — drop every document
+    * whose normalized-content hash was already seen, as data arrives.
+    * `dropDuplicates` keeps per-key state in the state store (the
+    * distributed analogue of an ingest-dedup bloom/KV set); in a
+    * production stream a watermark bounds it to a dedup window,
+    * unbounded here because the drain is finite. Emits the distinct
+    * hash set — order-insensitive, so the gate compares it exactly
+    * against batch DISTINCT.
+    */
+  def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val name = "graft_dedup_stream"
+    val q = stream
+      .select(md5(graft.pipeline.TextAnalysis.normText(col("text")))
+        .as("content_hash"))
+      .dropDuplicates("content_hash")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("content_hash")
+  }
+}

@@ -25,7 +25,8 @@ class SparkEntrySpec extends SparkSpec {
       "one_line_full", "age_only", "follow",
       "max_age_retention", "rate_limit", "rate_limit_stream",
       "duration_quantiles",
-      "duration_quantiles_approx", "timeseries",
+      "duration_quantiles_approx", "timeseries", "timeseries_stream",
+      "dedup_exact_stream",
       // §2C
       "anonymize_ip", "track_visitors", "track_visitors_stream", "geoip",
       "resolve_forwarded_to", "visitor_stats",

@@ -101,6 +101,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(r => r.getString(2) != null))
   }
 
+  test("language id separates genuinely multilingual text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the cat and the dog of the house and the barn"),
+      (2L, "de", "der Hund und die Katze und der Vogel und die Maus"),
+      (3L, "es", "el perro que los gatos y el raton que los pajaros"),
+      (4L, "fr", "le chat et les oiseaux et le chien et les souris"),
+      (5L, "und", "xyzzy plugh quux")) // no markers at all
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.langIdOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es",
+      4L -> "fr", 5L -> "und"), got.toString)
+  }
+
   test("mm_decode parses real PNG IHDR dims, stub otherwise") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {
