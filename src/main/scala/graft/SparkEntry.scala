@@ -612,6 +612,28 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
         "CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip " +
         "FROM documents ORDER BY doc_id")),
+    ("mm_resize",
+      (s: SparkSession, d: String) => Multimodal.resizePlan(s, d),
+      Some("SELECT doc_id, format, width, height, " +
+        "CAST(CASE WHEN width <= 224 AND height <= 224 THEN width " +
+        "WHEN width * 224 >= height * 224 THEN 224 " +
+        "ELSE (width * 224) // height END AS INTEGER) AS out_w, " +
+        "CAST(CASE WHEN width <= 224 AND height <= 224 THEN height " +
+        "WHEN width * 224 >= height * 224 THEN (height * 224) // width " +
+        "ELSE 224 END AS INTEGER) AS out_h FROM (" +
+        "SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format, " +
+        "CAST(n_chars % 640 + 1 AS INTEGER) AS width, " +
+        "CAST((n_chars * 7) % 480 + 1 AS INTEGER) AS height " +
+        "FROM documents) WHERE format IN ('png', 'jpeg') ORDER BY doc_id")),
+    ("mm_frame_sample",
+      (s: SparkSession, d: String) => Multimodal.frameSample(s, d),
+      Some("WITH f AS (SELECT doc_id, " +
+        "octet_length(encode(text)) // 1024 + 1 AS frames FROM documents " +
+        "WHERE doc_id % 3 = 2) " +
+        "SELECT DISTINCT doc_id, frames, (i * frames) // 4 AS frame_idx " +
+        "FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t " +
+        "ORDER BY doc_id, frame_idx")),
     ("mm_decode", (s: SparkSession, d: String) => Multimodal.decode(s, d),
       Some("SELECT doc_id, " +
         "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format, " +

@@ -87,6 +87,59 @@ object Multimodal {
   def decode(spark: SparkSession, dir: String): DataFrame =
     decodeRecords(mmTable(spark, dir))
 
+  /** Aspect-preserving resize planning: compute the output dimensions
+    * for fitting each image inside `maxW`×`maxH` (scale down only,
+    * never up) with exact integer math — `out_w = w·s, out_h = h·s`
+    * for the binding axis. The pixel resampling itself belongs to the
+    * codec (stubbed in this image); the dimension plan is what the
+    * pipeline schedules batches and shards by, and is oracle-exact.
+    * Pure map, codegen'd.
+    */
+  def resizePlan(spark: SparkSession, dir: String,
+                 maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    import spark.implicits._
+    mmTable(spark, dir).toDF()
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .filter(col("format").isin("png", "jpeg"))
+      // binding axis: scale = min(maxW/w, maxH/h, 1) as exact rationals
+      .withColumn("fit_w",
+        expr(s"width * $maxH >= height * $maxW")) // width is the binding axis
+      .withColumn("out_w", expr(
+        s"CAST(CASE WHEN width <= $maxW AND height <= $maxH THEN width " +
+          s"WHEN fit_w THEN $maxW " +
+          s"ELSE (width * $maxH) div height END AS INT)"))
+      .withColumn("out_h", expr(
+        s"CAST(CASE WHEN width <= $maxW AND height <= $maxH THEN height " +
+          s"WHEN fit_w THEN (height * $maxW) div width " +
+          s"ELSE $maxH END AS INT)"))
+      .select("doc_id", "format", "width", "height", "out_w", "out_h")
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling: pick `n` evenly-spaced frame indices per media
+    * payload — the standard video/audio subsampling pass before
+    * feature extraction. Frame count is derived from the payload size
+    * (1 KiB frames — a documented stand-in for the container's real
+    * frame index, which the stubbed codec can't read); offsets are
+    * `i·frames div n`, exact integer math mirrored by the oracle.
+    * Explode keeps it one row per (doc, frame) — the unit a
+    * distributed feature extractor maps over.
+    */
+  def frameSample(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    import spark.implicits._
+    mmTable(spark, dir).toDF()
+      .select(col("doc_id"), col("meta.format").as("format"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .filter(col("format") === "wav")
+      .withColumn("frames", expr("n_bytes div 1024 + 1"))
+      .select(col("doc_id"), col("frames"),
+        explode(expr(s"transform(sequence(0, ${n - 1}), " +
+          s"i -> (i * frames) div $n)")).as("frame_idx"))
+      .distinct()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** The batched decode pass over any MmRecord Dataset. */
   def decodeRecords(records: Dataset[MmRecord]): DataFrame = {
     import records.sparkSession.implicits._
