@@ -462,6 +462,29 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+    // skewed-join remedy: explicit salting (Skew.saltedJoin) checked
+    // against the plain-join oracle — result set provably identical
+    ("q_skew_join",
+      (s: SparkSession, d: String) => {
+        val dim = s.createDataFrame(Seq(("view", 1), ("click", 2),
+          ("purchase", 3), ("signup", 4), ("error", 5)))
+          .toDF("event_type", "weight")
+        graft.operators.Skew.saltedJoin(
+          Tables.events(s, d).select("event_id", "event_type"),
+          dim, Seq("event_type"), col("event_id"))
+          .select("event_id", "event_type", "weight")
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, event_type, " +
+        "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 " +
+        "WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END AS weight " +
+        "FROM events ORDER BY event_id")),
+    ("q_pivot", (s: SparkSession, d: String) => Analytics.qPivot(s, d),
+      Some("SELECT user_id, " +
+        Seq("view", "click", "purchase", "signup", "error").map(t =>
+          s"CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS \"$t\"")
+          .mkString(", ") +
+        " FROM events GROUP BY 1 ORDER BY 1")),
     ("q_asof", (s: SparkSession, d: String) => Analytics.qAsof(s, d),
       Some("WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events " +
         "WHERE event_type = 'view'), " +

@@ -229,6 +229,22 @@ object Analytics {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Pivot: per-user event-type counts as columns. The pivot values
+    * are PINNED (never inferred) — inference would need an extra
+    * distinct pass over 100 TB and make the schema data-dependent.
+    * Plans as a single groupBy with one conditional count per pinned
+    * value — partial-aggregatable, one shuffle on user_id.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .orderBy("user_id")
+  }
+
   /** As-of join: for every purchase, the most recent 'view' by the
     * same user at or before the purchase (attribution).
     *

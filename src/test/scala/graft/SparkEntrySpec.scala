@@ -33,7 +33,7 @@ class SparkEntrySpec extends SparkSpec {
       // §2D
       "q1_agg", "q3_topn", "q5_join", "q_window", "q_distinct",
       "q_approx_distinct", "q_exists", "q_funnel", "q_sessionize", "q_json",
-      "q_rollup", "q_cube", "q_asof",
+      "q_rollup", "q_cube", "q_asof", "q_pivot", "q_skew_join",
       // §2E
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_cdc",
