@@ -583,6 +583,23 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(' ' || " + normSql + " || ' ', " +
         "' (the|a|of|and|to|is|in) ')) AS BIGINT) AS n_stop " +
         "FROM documents) ORDER BY doc_id")),
+    ("repetition_score",
+      (s: SparkSession, d: String) => TextAnalysis.repetitionScore(s, d),
+      Some("WITH w AS (SELECT doc_id, " +
+        "regexp_split_to_array(" + normSql + ", ' ') AS ws FROM documents), " +
+        "base AS (SELECT doc_id, len(ws) AS n_words, " +
+        "len(list_distinct(ws)) AS n_distinct, ws FROM w), " +
+        "bg AS (SELECT doc_id, n_words, n_distinct, " +
+        "unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b " +
+        "FROM base), " +
+        "g AS (SELECT doc_id, n_words, n_distinct, b, count(*) AS c " +
+        "FROM bg GROUP BY 1, 2, 3, 4), " +
+        "t AS (SELECT doc_id, n_words, n_distinct, max(c) AS top_bg, " +
+        "sum(c) AS n_bg FROM g GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+        "CAST(floor(10000.0 * (n_words - n_distinct) / n_words) AS BIGINT) AS dup_word_bp, " +
+        "CAST(floor(10000.0 * top_bg / n_bg) AS BIGINT) AS top_bigram_bp " +
+        "FROM t ORDER BY doc_id")),
     ("token_count", (s: SparkSession, d: String) => TextAnalysis.tokenCount(s, d),
       Some("SELECT doc_id, " +
         "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +

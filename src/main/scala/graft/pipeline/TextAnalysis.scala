@@ -110,6 +110,44 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("re_tokens"))
       .orderBy("doc_id")
 
+  /** Intra-document repetition signals — the pretraining quality rule
+    * family that [[qualityScore]]'s surface ratios don't cover:
+    * duplicate-word fraction and top-bigram fraction (a document
+    * dominated by one repeated phrase is boilerplate/spam even when
+    * its punctuation looks fine). All exact integer/basis-point math.
+    *
+    * Shape: one explode to bigram rows + two aggregations keyed by
+    * doc_id — linear, partial-aggregatable, no joins. (Requires ≥ 2
+    * words per document; a real corpus guard would pre-filter empty
+    * docs.)
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    repetitionScoreOf(Tables.documents(spark, dir))
+
+  /** [[repetitionScore]] over any (doc_id, text) DataFrame. */
+  def repetitionScoreOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        col("ws"))
+    val bigrams = base.select(col("doc_id"), col("n_words"), col("n_distinct"),
+      explode(expr("transform(sequence(1, size(ws) - 1), " +
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("bg"))
+    bigrams
+      .groupBy("doc_id", "n_words", "n_distinct", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_words", "n_distinct")
+      .agg(max("c").as("top_bg"), sum("c").as("n_bg"))
+      .select(col("doc_id"), col("n_words"),
+        floor(lit(10000.0) * (col("n_words") - col("n_distinct")) / col("n_words"))
+          .cast("long").as("dup_word_bp"),
+        floor(lit(10000.0) * col("top_bg") / col("n_bg"))
+          .cast("long").as("top_bigram_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint via the native [[graft.functions.RollingHash]]
     * expression over normalised text.
     */

@@ -101,6 +101,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(r => r.getString(2) != null))
   }
 
+  test("repetition score flags phrase-spam, passes varied text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now " * 50), // one bigram dominates
+      (2L, (1 to 100).map(i => s"w$i").mkString(" "))) // all distinct
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val (spamDup, spamTop) = got(1L)
+    val (cleanDup, cleanTop) = got(2L)
+    assert(spamDup > 9000, s"spam dup_word_bp $spamDup") // 100 words, 2 distinct
+    assert(spamTop > 4900, s"spam top_bigram_bp $spamTop") // 'buy now' ~half
+    assert(cleanDup == 0 && cleanTop < 200, s"clean $cleanDup/$cleanTop")
+  }
+
   test("language id separates genuinely multilingual text") {
     import spark.implicits._
     val docs = Seq(
