@@ -201,6 +201,18 @@ object SparkEntry {
           "' \"' || coalesce(referer, '-') || '\"' || " +
           "' \"' || coalesce(user_agent, '-') || '\"' AS line " +
           "FROM log WHERE site = 'site_4' ORDER BY event_id"))),
+    // without --iso8601: the Common-Log-Format timestamp variant
+    ("one_line_clf",
+      (s: SparkSession, d: String) => Shaping.oneLine(
+        LogView(s, d).filter(col("site") === "site_4"),
+        showReferer = false, showAgent = false,
+        iso8601 = false).orderBy("event_id"),
+      Some(LogView.oracle(
+        "SELECT event_id, site || ' ' || remote_host || ' - - [' || " +
+          "strftime(make_timestamp(timestamp), '%d/%b/%Y:%H:%M:%S') || ' +0000] \"' || " +
+          "method || ' ' || uri || ' HTTP/1.1\" ' || " +
+          "CAST(status AS VARCHAR) || ' ' || CAST(traffic_sent AS VARCHAR) AS line " +
+          "FROM log WHERE site = 'site_4' ORDER BY event_id"))),
     // every one-line toggle on (--host --forwarded-to --content-type,
     // reference client/Main.cxx:263-276)
     ("one_line_full",

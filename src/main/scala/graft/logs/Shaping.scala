@@ -209,26 +209,33 @@ object Shaping {
     * request, status, bytes, referer, agent).
     *
     * Field toggles mirror the client options (reference
-    * client/Main.cxx:263-276): `--host` (`showHost`),
+    * client/Main.cxx:263-277): `--host` (`showHost`),
     * `--forwarded-to` (`showForwardedTo`), `--no-referer`
     * (`showReferer = false`), `--no-agent` (`showAgent = false`),
-    * `--content-type` (`showContentType`). Absent optional fields
-    * print `-`, the access-log convention.
+    * `--content-type` (`showContentType`), `--iso8601` (`iso8601`;
+    * false = the Common-Log-Format `dd/MMM/yyyy:HH:mm:ss +0000`
+    * stamp — all timestamps are UTC in this engine, so the offset is
+    * literal). Absent optional fields print `-`, the access-log
+    * convention.
     */
   def oneLine(df: DataFrame,
               showHost: Boolean = false,
               showForwardedTo: Boolean = false,
               showReferer: Boolean = true,
               showAgent: Boolean = true,
-              showContentType: Boolean = false): DataFrame = {
+              showContentType: Boolean = false,
+              iso8601: Boolean = true): DataFrame = {
     def dash(c: org.apache.spark.sql.Column) = coalesce(c, lit("-"))
+    val stamp =
+      if (iso8601)
+        date_format(timestamp_micros(col("timestamp")), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      else concat(date_format(timestamp_micros(col("timestamp")),
+        "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000"))
     val parts = Seq(col("site"), lit(" ")) ++
       (if (showHost) Seq(dash(col("host")), lit(" ")) else Nil) ++
       Seq(col("remote_host"), lit(" ")) ++
       (if (showForwardedTo) Seq(dash(col("forwarded_to")), lit(" ")) else Nil) ++
-      Seq(lit("- - ["),
-        date_format(timestamp_micros(col("timestamp")),
-          "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("] \""),
+      Seq(lit("- - ["), stamp, lit("] \""),
         col("method"), lit(" "), col("uri"), lit(" HTTP/1.1\" "),
         col("status").cast("string"), lit(" "),
         col("traffic_sent").cast("string")) ++

@@ -22,7 +22,7 @@ class SparkEntrySpec extends SparkSpec {
       // §2B
       "window", "last", "group_site", "accumulate_top", "accumulate_more",
       "stats", "per_site_out", "per_site_layout", "jsonl", "one_line",
-      "one_line_full", "age_only", "follow",
+      "one_line_full", "one_line_clf", "age_only", "follow",
       "max_age_retention", "rate_limit", "rate_limit_stream",
       "duration_quantiles",
       "duration_quantiles_approx", "timeseries", "timeseries_stream",
