@@ -48,10 +48,21 @@ final case class LogFilter(
     refererPrefix: Option[String] = None,
     userAgentContains: Option[String] = None) {
 
+  /** Exact-match set; the EMPTY string member means "records with no
+    * value at all" (reference doc/index.rst: "Specify an empty site
+    * name to filter records with no site") → IS NULL.
+    */
   private def setFilter(c: Column, s: Set[String]): Option[Column] =
     if (s.isEmpty) None
-    else if (s.size == 1) Some(c === s.head)
-    else Some(c.isin(s.toSeq: _*))
+    else {
+      val (wantNull, named) = (s.contains(""), s.filter(_.nonEmpty))
+      val base =
+        if (named.isEmpty) None
+        else if (named.size == 1) Some(c === named.head)
+        else Some(c.isin(named.toSeq: _*))
+      if (wantNull) Some(base.map(_ || c.isNull).getOrElse(c.isNull))
+      else base
+    }
 
   /** The conjunction, as one Column; `lit(true)` when unconstrained. */
   def predicate: Column = {

@@ -32,6 +32,18 @@ class LogFilterSpec extends SparkSpec {
     assert(methods.nonEmpty)
   }
 
+  test("empty site name matches records with NO site — doc/index.rst site=") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "site_a"), (2L, null.asInstanceOf[String]), (3L, "site_b"))
+      .toDF("event_id", "site")
+    def ids(f: LogFilter) = rows.filter(f.predicate)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(LogFilter(sites = Set(""))) == Set(2L)) // only the null-site record
+    assert(ids(LogFilter(sites = Set("", "site_a"))) == Set(1L, 2L))
+    assert(ids(LogFilter(sites = Set("site_a"))) == Set(1L))
+  }
+
   test("empty filter passes everything — MatchFilter on empty set") {
     assert(log.filter(LogFilter().predicate).count() == log.count())
   }
