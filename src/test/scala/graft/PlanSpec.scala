@@ -106,6 +106,26 @@ class PlanSpec extends SparkSpec {
     assert(!spreadPlan.contains("Repartition"), spreadPlan)
   }
 
+  test("no registered query ever plans a CartesianProduct") {
+    // sweeping guard: a cartesian in any operator is a 100 TB
+    // catastrophe; broadcast nested loops are allowed only where
+    // intentional (tiny broadcast sides), cartesians never
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // streaming queries materialise on construction and are covered
+      // by their own specs; plan-check the batch ones
+      if (!name.endsWith("_stream") && name != "follow") {
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      }
+    }
+  }
+
+  test("decontaminate broadcasts the benchmark gram set") {
+    val p = plan(graft.pipeline.Curation.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("filter queries keep whole-stage codegen (no UDF islands)") {
     // sf01 so another suite's .cache() of the sf0.001 view can't swap
     // in an InMemoryRelation; execute first so AQE finalises the plan
