@@ -35,17 +35,30 @@ object Bench {
     // inflates one pass, not both timings of whichever query it
     // happened to land on (round-2 bench pinned a spike on the two
     // queries that ran first; both bench sub-1 s in isolation).
+    // timed passes catch per-query too: a transient failure (flaky
+    // streaming restart, disk hiccup) must cost that query its timing,
+    // not abort the whole bench and discard every other result
     def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
-      name -> (if (ok(name)) {
+      name -> (if (!ok(name)) -1.0
+      else try {
         val t0 = System.nanoTime()
         run(fn)
         (System.nanoTime() - t0) / 1e9
-      } else -1.0)
+      } catch {
+        case e: Throwable =>
+          if (!errors.exists(_._1 == name))
+            errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          -1.0
+      })
     }.toMap
     val p1 = timedPass()
     val p2 = timedPass()
     val results = queries.map { case (name, _) =>
-      name -> (if (ok(name)) math.min(p1(name), p2(name)) else -1.0)
+      // min of the passes that succeeded; -1 only if both failed
+      name -> ((p1(name), p2(name)) match {
+        case (a, b) if a >= 0 && b >= 0 => math.min(a, b)
+        case (a, b) => math.max(a, b)
+      })
     }
 
     def esc(s: String): String =

@@ -135,35 +135,44 @@ object Shaping {
     *  - `nested=true`: the [[nestedSitePath]] 2-char fan-out levels
     *    (`--per-site-nested`).
     *
-    * Deviations, both inherent to a distributed writer and documented:
-    * partition segments are hive-style `key=value`, and each leaf is a
-    * directory of part files rather than a single regular file.
+    * Deviations, all inherent to a distributed writer and documented:
+    * partition segments are hive-style `key=value`, each leaf is a
+    * directory of part files rather than a single regular file, and
+    * with `nested` the tree has MIXED depth (deep names 4 levels,
+    * short names 1 — the reference's flat fallback), so consumers
+    * read per leaf directory (pond's consumers are per-site files
+    * anyway), not one global scan of the root.
     */
   def perSiteWrite(df: DataFrame, outDir: String,
                    nested: Boolean = false,
                    filename: Option[String] = None): Unit = {
-    val (cols, prepared) =
-      if (!nested && filename.isEmpty) (Seq("site"), df)
-      else {
-        val base =
-          if (nested) {
-            val s = col("site")
-            val len = length(s)
-            val deep = len >= 7 && len < 64
-            df.withColumn("p1",
-                when(deep, s.substr(lit(1), len - 6)).otherwise(s))
-              .withColumn("p2", when(deep, s.substr(len - 5, lit(2))))
-              .withColumn("p3", when(deep, s.substr(len - 3, lit(2))))
-              .withColumn("p4", when(deep, s.substr(len - 1, lit(2))))
-          } else df.withColumn("p1", col("site"))
-        val levels = if (nested) Seq("p1", "p2", "p3", "p4") else Seq("p1")
-        filename match {
-          case Some(n) => (levels :+ "leaf",
-            base.withColumn("leaf", lit(n)))
-          case None => (levels, base)
-        }
+    def withLeaf(base: DataFrame): (DataFrame, Seq[String]) =
+      filename match {
+        case Some(n) => (base.withColumn("leaf", lit(n)), Seq("leaf"))
+        case None => (base, Nil)
       }
-    prepared.write.mode("overwrite").partitionBy(cols: _*).parquet(outDir)
+    def write(d: DataFrame, cols: Seq[String], mode: String): Unit =
+      d.write.mode(mode).partitionBy(cols: _*).parquet(outDir)
+    if (!nested && filename.isEmpty)
+      df.write.mode("overwrite").partitionBy("site").parquet(outDir)
+    else if (!nested) {
+      val (d, leaf) = withLeaf(df.withColumn("p1", col("site")))
+      write(d, "p1" +: leaf, "overwrite")
+    } else {
+      // two passes: deep names get the 2/2/2 levels, short/over-long
+      // names fall back FLAT (not null partition placeholders)
+      val s = col("site")
+      val len = length(s)
+      val deep = len >= 7 && len < 64
+      val (d1, leaf1) = withLeaf(df.filter(deep)
+        .withColumn("p1", s.substr(lit(1), len - 6))
+        .withColumn("p2", s.substr(len - 5, lit(2)))
+        .withColumn("p3", s.substr(len - 3, lit(2)))
+        .withColumn("p4", s.substr(len - 1, lit(2))))
+      write(d1, Seq("p1", "p2", "p3", "p4") ++ leaf1, "overwrite")
+      val (d2, leaf2) = withLeaf(df.filter(!deep).withColumn("p1", s))
+      write(d2, "p1" +: leaf2, "append")
+    }
   }
 
   /** JSONL rendering (reference client/FormatJson.cxx:25-97): one JSON

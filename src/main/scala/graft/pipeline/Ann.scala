@@ -90,8 +90,13 @@ object Ann {
     * still *rows-only* (cluster boundaries are engine-specific), with
     * recall vs [[bruteTopK]] gated in AnnSpec.
     */
+  // keyed by applicationId: unique per SparkContext, so a stopped
+  // context's cached plans can never be served to a new session (an
+  // identity-hash key could collide after GC); two sessions sharing
+  // one context may safely share the entry. Concurrent first calls
+  // may train twice — idempotent, last write wins.
   private val quantisers =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), (DataFrame, DataFrame)]
 
   /** The shared IVF coarse quantiser: KMeans over the embedding
     * corpus, returning (per-vector cell assignment, cell-center dim).
@@ -106,7 +111,7 @@ object Ann {
   def ivfAssign(spark: SparkSession, dir: String,
                 cells: Int = 16): (DataFrame, DataFrame) =
     quantisers.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, cells), {
+      (spark.sparkContext.applicationId, dir, cells), {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         val all = vectors(spark, dir)

@@ -117,9 +117,11 @@ object TextAnalysis {
     * its punctuation looks fine). All exact integer/basis-point math.
     *
     * Shape: one explode to bigram rows + two aggregations keyed by
-    * doc_id — linear, partial-aggregatable, no joins. (Requires ≥ 2
-    * words per document; a real corpus guard would pre-filter empty
-    * docs.)
+    * doc_id — linear, partial-aggregatable, no joins. Documents with
+    * fewer than 2 words have no bigrams and are OMITTED (the guard
+    * matters: `sequence(1, 0)` is DESCENDING in Spark and the
+    * resulting element_at(ws, 0) throws under ANSI mode; the DuckDB
+    * oracle's `range(1, 1)` is empty and omits the doc the same way).
     */
   def repetitionScore(spark: SparkSession, dir: String): DataFrame =
     repetitionScoreOf(Tables.documents(spark, dir))
@@ -133,8 +135,10 @@ object TextAnalysis {
         size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
         col("ws"))
     val bigrams = base.select(col("doc_id"), col("n_words"), col("n_distinct"),
-      explode(expr("transform(sequence(1, size(ws) - 1), " +
-        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("bg"))
+      explode(expr("CASE WHEN size(ws) >= 2 THEN " +
+        "transform(sequence(1, size(ws) - 1), " +
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
+        "ELSE array() END")).as("bg"))
     bigrams
       .groupBy("doc_id", "n_words", "n_distinct", "bg")
       .agg(count(lit(1)).as("c"))

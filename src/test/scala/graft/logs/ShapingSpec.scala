@@ -85,7 +85,14 @@ class ShapingSpec extends SparkSpec {
     val deep = new java.io.File(
       s"$dir/p1=alphabravo.e/p2=xa/p3=mp/p4=le")
     assert(deep.isDirectory, s"nested levels missing under $dir")
-    assert(new java.io.File(s"$dir/p1=site_0").isDirectory)
+    // short name falls back FLAT: part files directly under p1, no
+    // __HIVE_DEFAULT_PARTITION__ placeholder levels
+    val flat = new java.io.File(s"$dir/p1=site_0")
+    assert(flat.isDirectory)
+    assert(flat.listFiles().exists(_.getName.endsWith(".parquet")),
+      s"expected part files directly under ${flat}")
+    assert(!flat.listFiles().exists(_.getName.contains("HIVE_DEFAULT")),
+      s"null placeholder levels under ${flat}")
   }
 
   test("--gzip encoding writes gzip-framed text that reads back whole") {

@@ -101,6 +101,17 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(r => r.getString(2) != null))
   }
 
+  test("repetition score omits sub-2-word docs instead of crashing (ANSI element_at)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello"), // single word: sequence(1,0) is DESCENDING in Spark
+      (2L, "   "), // whitespace-only normalizes to one empty token
+      (3L, "two words")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScoreOf(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(3L), s"short docs must be omitted, got $got")
+  }
+
   test("repetition score flags phrase-spam, passes varied text") {
     import spark.implicits._
     val docs = Seq(
