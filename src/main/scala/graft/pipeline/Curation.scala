@@ -102,6 +102,33 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing (the pre-tokenizer batch-planning pass): assign
+    * each document to a fixed-token-budget bin, greedily in doc order
+    * — the "concatenate then chunk" layout a pretraining data loader
+    * materializes. Packing is PER SHARD (`doc_id mod shards`), the
+    * way loaders shard per worker: the cumulative-sum window then
+    * runs inside each shard partition instead of forcing a global
+    * single-partition ordering — the difference between a scalable
+    * plan and a serial one at 100 TB. A document whose running total
+    * straddles a bin boundary goes to the bin its START falls in, so
+    * bins can overflow by at most one document (PipelineSpec asserts
+    * the bound).
+    */
+  def packSequences(spark: SparkSession, dir: String,
+                    budgetTokens: Long = 2048, shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $budgetTokens").as("bin"))
+      .orderBy("doc_id")
+  }
+
   /** The redaction patterns: RE2-safe (work identically under Java
     * regex and DuckDB's RE2) — email, IPv4, and 7+-digit runs.
     */

@@ -42,7 +42,8 @@ class SparkEntrySpec extends SparkSpec {
       "quality_score",
       "token_count", "repetition_score", "fingerprint", "mm_decode", "mm_resize",
       "mm_frame_sample",
-      "sample_hash", "mix_sources", "decontaminate", "pii_scrub")
+      "sample_hash", "mix_sources", "decontaminate", "pii_scrub",
+      "pack_sequences")
     val registered = SparkEntry.queries.keySet
     assert((expected -- registered).isEmpty,
       s"missing operators: ${expected -- registered}")

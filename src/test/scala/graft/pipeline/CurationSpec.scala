@@ -45,6 +45,26 @@ class CurationSpec extends SparkSpec {
     assert(flagged.nonEmpty)
   }
 
+  test("sequence packing: bins overflow by at most their last document") {
+    val budget = 2048L
+    val rows = Curation.packSequences(spark, sf01, budgetTokens = budget)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(0), r.getLong(2)))
+    // per (shard, bin): total tokens minus the LAST doc must fit the budget
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((shard, bin), docs) =>
+      val sorted = docs.sortBy(_._3)
+      val withoutLast = sorted.dropRight(1).map(_._4).sum
+      assert(withoutLast <= budget,
+        s"shard $shard bin $bin holds $withoutLast before its last doc")
+    }
+    // bins are contiguous per shard (0..max with no gaps)
+    rows.groupBy(_._1).foreach { case (shard, docs) =>
+      val bins = docs.map(_._2).distinct.sorted.toSeq
+      assert(bins == (0L to bins.max).toSeq,
+        s"shard $shard bins not contiguous: $bins")
+    }
+  }
+
   test("pii scrub redacts emails, IPs and digit runs") {
     import spark.implicits._
     val scrub = Curation.piiPatterns.foldLeft(col("t")) {
