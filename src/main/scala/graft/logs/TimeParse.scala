@@ -30,24 +30,15 @@ object TimeParse {
     */
   def parseUsPrec(s: String, nowUs: Long,
                   zone: ZoneId = ZoneOffset.UTC): (Long, Long) = {
-    val t = parseUs(s, nowUs, zone)
-    val prec = s.trim match {
-      case "now" => 0L
-      case "today" | "yesterday" | "tomorrow" => 86400000000L
-      case Relative(_, _, _) => 0L
-      case iso =>
-        // only a string with a time part can carry a zone suffix (a
-        // bare date's "-04" is the day, not an offset — same guard as
-        // parseIsoUs)
-        val noZone =
-          if (!iso.contains("T")) iso
-          else iso.stripSuffix("Z").replaceAll("[+-]\\d{2}(:?\\d{2})?$", "")
-        if (noZone.matches("\\d{4}-?\\d{2}-?\\d{2}")) 86400000000L // date
-        else if (noZone.matches(".*T\\d{2}")) 3600000000L // hour
-        else if (noZone.matches(".*T\\d{2}:?\\d{2}")) 60000000L // minute
-        else 1000000L // seconds
+    s.trim match {
+      case "now" => (nowUs, 0L)
+      case "today" | "yesterday" | "tomorrow" =>
+        (parseUs(s, nowUs, zone), 86400000000L)
+      case Relative(_, _, _) => (parseUs(s, nowUs, zone), 0L)
+      // ISO forms: precision is decided INSIDE parseIsoUsPrec's own
+      // format branches, so parse and precision cannot drift apart
+      case iso => parseIsoUsPrec(iso, zone)
     }
-    (t, prec)
   }
 
   def parseUs(s: String, nowUs: Long, zone: ZoneId = ZoneOffset.UTC): Long = {
@@ -79,7 +70,15 @@ object TimeParse {
   }
 
   /** The ISO8601 variants of doc/index.rst, normalised then parsed. */
-  def parseIsoUs(s: String, zone: ZoneId = ZoneOffset.UTC): Long = {
+  def parseIsoUs(s: String, zone: ZoneId = ZoneOffset.UTC): Long =
+    parseIsoUsPrec(s, zone)._1
+
+  /** ISO parse + the input's precision width in µs — the precision is
+    * assigned in the SAME branch that interprets the format, so the
+    * two can never disagree.
+    */
+  def parseIsoUsPrec(s: String,
+                     zone: ZoneId = ZoneOffset.UTC): (Long, Long) = {
     // compact form 20190204T164641 → expand
     val expanded = "^(\\d{4})(\\d{2})(\\d{2})T(\\d{2})(\\d{2})(\\d{2})$".r
       .replaceAllIn(s, m => s"${m.group(1)}-${m.group(2)}-${m.group(3)}T${m.group(4)}:${m.group(5)}:${m.group(6)}")
@@ -98,17 +97,22 @@ object TimeParse {
       if (zoned.endsWith("Z")) ZoneOffset.UTC
       else if (hasZone) ZoneOffset.of(zoned.substring(zoned.length - 6))
       else null
-    val local: LocalDateTime =
-      if (body.matches("\\d{4}-\\d{2}-\\d{2}")) LocalDate.parse(body).atStartOfDay()
+    val (local: LocalDateTime, precUs: Long) =
+      if (body.matches("\\d{4}-\\d{2}-\\d{2}"))
+        (LocalDate.parse(body).atStartOfDay(), 86400000000L) // whole day
       else if (body.matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}")) // minutes omitted
-        LocalDateTime.parse(body + ":00:00", DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+        (LocalDateTime.parse(body + ":00:00", DateTimeFormatter.ISO_LOCAL_DATE_TIME),
+          3600000000L) // whole hour
       else if (body.matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}")) // seconds omitted
-        LocalDateTime.parse(body + ":00", DateTimeFormatter.ISO_LOCAL_DATE_TIME)
-      else LocalDateTime.parse(body, DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+        (LocalDateTime.parse(body + ":00", DateTimeFormatter.ISO_LOCAL_DATE_TIME),
+          60000000L) // whole minute
+      else
+        (LocalDateTime.parse(body, DateTimeFormatter.ISO_LOCAL_DATE_TIME),
+          1000000L) // whole second
     val instant =
       if (offset != null) local.toInstant(offset)
       else local.atZone(zone).toInstant
-    toUs(instant)
+    (toUs(instant), precUs)
   }
 
   private def toUs(i: Instant): Long =

@@ -28,6 +28,8 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFrom: Column, salts: Int = 16): DataFrame = {
     require(salts > 0)
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column name; rename it on the inputs")
     val saltedBig = big.withColumn("_salt",
       pmod(xxhash64(saltFrom), lit(salts.toLong)).cast("int"))
     val replicatedSmall = small.withColumn("_salt",

@@ -121,7 +121,8 @@ object Ann {
           .setFeaturesCol("fv").setPredictionCol("cell")
           .fit(all)
         val assigned = model.transform(all).select("vec_id", "v", "cell").cache()
-        all.unpersist()
+        assigned.count() // materialize BEFORE dropping the training
+        all.unpersist() // cache, or the first consumer re-scans parquet
         val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
           (i, c.toArray)
         }.toSeq

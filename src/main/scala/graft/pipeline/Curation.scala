@@ -20,21 +20,32 @@ object Curation {
     * the same doc set is selected by Spark and the oracle. Resolution
     * is 1/65536 ≈ 1.5 bp.
     */
+  /** The shared salted hash-prefix expression — ONE definition so
+    * [[sampleHash]] and [[mixSources]] (and their oracles) can never
+    * decorrelate.
+    */
+  def hashPrefix(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 4)
+
   def hashBelow(key: Column, salt: String, rateBp: Long): Column =
-    substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 4) <
-      thresholdHex(rateBp)
+    hashPrefix(key, salt) < thresholdHex(rateBp)
 
   /** SQL mirror of [[hashBelow]] for the DuckDB oracle. */
   def hashBelowSql(keyExpr: String, salt: String, rateBp: Long): String =
     s"substr(md5('$salt:' || CAST($keyExpr AS VARCHAR)), 1, 4) < '${thresholdHex(rateBp)}'"
 
-  /** Fixed-width lowercase hex threshold for a basis-point rate. At
-    * 10000 bp the threshold must sort ABOVE every 4-char hex string —
-    * `"g"` does (every hex digit < 'g'), where the naive 5-digit
-    * `"10000"` would sort below almost everything.
+  /** Fixed-width lowercase hex threshold for a basis-point rate,
+    * clamped to [0, 10000]. At 10000 bp the threshold must sort ABOVE
+    * every 4-char hex string — `"g"` does (every hex digit < 'g'),
+    * where the naive 5-digit `"10000"` would sort below almost
+    * everything. At ≤ 0 bp it is `"0"`, below every hash prefix
+    * (a NEGATIVE rate formatted with %04x would be 16-char
+    * two's-complement hex and silently select 100%).
     */
   def thresholdHex(rateBp: Long): String =
-    if (rateBp >= 10000L) "g" else f"${rateBp * 65536L / 10000L}%04x"
+    if (rateBp >= 10000L) "g"
+    else if (rateBp <= 0L) "0"
+    else f"${rateBp * 65536L / 10000L}%04x"
 
   /** Deterministic hash sampling (train/eval splits, corpus
     * downsampling): keep ≈`rateBp`/10000 of documents, selected by a
@@ -68,9 +79,7 @@ object Curation {
     Tables.documents(spark, dir)
       .join(broadcast(rateDim), Seq("source"), "left")
       .withColumn("thr", coalesce(col("thr"), lit(thresholdHex(defaultBp))))
-      .filter(
-        substring(md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))), 1, 4)
-          < col("thr"))
+      .filter(hashPrefix(col("doc_id"), salt) < col("thr"))
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }

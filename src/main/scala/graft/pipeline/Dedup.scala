@@ -124,12 +124,15 @@ object Dedup {
     * set intersection sizes are exact integers on both engines.
     *
     * Perf shape: shingle sets are sorted ONCE per document
-    * (projection, before the join), so each pair costs one
-    * allocation-free [[graft.functions.SortedIntersectCount]] merge.
-    * The threshold runs on the exact integer inequality
-    * `inter * (10000 + t) >= t * (|A| + |B|)` (⇔ floor(1e4·J) >= t),
-    * so the merge is evaluated once per pair and `jac_bp` is only
-    * computed for survivors.
+    * (projection, before the join); each CANDIDATE pair costs one
+    * allocation-free [[graft.functions.SortedIntersectCount]] merge
+    * in the join condition, on the exact integer inequality
+    * `inter * (10000 + t) >= t * (|A| + |B|)` (⇔ floor(1e4·J) >= t).
+    * SURVIVING pairs re-run the merge once more in the projection to
+    * produce `jac_bp` — a deliberate trade: survivors are a tiny
+    * fraction of candidates, and keeping the exact test inside the
+    * join condition is what lets the cheap length prune short-circuit
+    * ahead of it (see below).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         minBp: Long = 3000): DataFrame = {

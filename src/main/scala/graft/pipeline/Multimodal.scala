@@ -56,9 +56,15 @@ object Multimodal {
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
     if (b.length >= 24 &&
         java.util.Arrays.equals(b, 0, 8, pngSignature, 0, 8) &&
-        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
-      Some((u32(16).toInt, u32(20).toInt))
-    else None
+        u32(8) == 13L && // IHDR chunk length is always 13 (§11.2.2)
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val (w, h) = (u32(16), u32(20))
+      // spec: dimensions are 1 .. 2^31-1; anything else is malformed →
+      // metadata fallback, never a negative/zero dimension downstream
+      if (w >= 1 && w <= Int.MaxValue && h >= 1 && h <= Int.MaxValue)
+        Some((w.toInt, h.toInt))
+      else None
+    } else None
   }
 
   /** Batch decoder: a real header parse where the payload is a real
