@@ -672,6 +672,16 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
         "CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip " +
         "FROM documents ORDER BY doc_id")),
+    ("fingerprint_winnow",
+      (s: SparkSession, d: String) => TextAnalysis.fingerprintWinnow(s, d),
+      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+        "g AS (SELECT doc_id, " +
+        "[substr(md5(substr(txt, i, 5)), 1, 8) for i in range(1, greatest(length(txt) - 4, 1) + 1)] AS hs " +
+        "FROM nd) " +
+        "SELECT doc_id, unnest(CASE WHEN len(hs) >= 4 THEN " +
+        "list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]) " +
+        "ELSE [list_min(hs)] END) AS fp " +
+        "FROM g ORDER BY doc_id, fp")),
     ("mm_resize",
       (s: SparkSession, d: String) => Multimodal.resizePlan(s, d),
       Some("SELECT doc_id, format, width, height, " +

@@ -159,4 +159,38 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), rolling_hash(normText(col("text"))).as("fp"))
       .orderBy("doc_id")
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    * hash every `k`-gram, keep the MINIMUM hash of each sliding window
+    * of `w` — the guarantee is that any substring match of length ≥
+    * k + w − 1 between two documents shares at least one fingerprint,
+    * at ~2/(w+1) sampling density. THE local fingerprinting scheme for
+    * partial-copy detection: the emitted (doc_id, fp) pairs feed the
+    * same inverted-index join as [[Dedup.cdcPairsOf]]'s chunks.
+    * Hashes are md5 prefixes here (portable to the oracle;
+    * [[graft.functions.RollingHash]] is the native scale path). Pure
+    * per-row array expressions — no explode until the final
+    * fingerprint set, no UDF. Documents with fewer than `w` grams
+    * yield their single minimum (the whole doc is one window).
+    */
+  def fingerprintWinnow(spark: SparkSession, dir: String,
+                        k: Int = 5, w: Int = 4): DataFrame = {
+    // the gram-hash array is BOUND through a lambda variable (`h`):
+    // referencing a withColumn alias 3 times lets the optimizer
+    // substitute the whole 100s-of-elements transform tree into every
+    // reference, and rule iteration over the duplicated trees hangs
+    // the planner (observed). A lambda variable is a cheap reference.
+    val winnow =
+      s"""element_at(transform(array(
+         |  transform(sequence(1, greatest(length(txt) - ${k - 1}, 1)),
+         |    i -> substr(md5(substr(txt, i, $k)), 1, 8))),
+         |  h -> CASE WHEN size(h) >= $w THEN
+         |    array_distinct(transform(sequence(1, size(h) - $w + 1),
+         |      i -> array_min(slice(h, i, $w))))
+         |  ELSE array(array_min(h)) END), 1)""".stripMargin
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normText(col("text")).as("txt"))
+      .select(col("doc_id"), explode(expr(winnow)).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
 }

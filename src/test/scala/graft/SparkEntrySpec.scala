@@ -40,7 +40,8 @@ class SparkEntrySpec extends SparkSpec {
       "dedup_embedding", "dedup_embedding_ivf",
       "ann_brute", "ann_lsh", "ann_ivf", "lang_id",
       "quality_score",
-      "token_count", "repetition_score", "fingerprint", "mm_decode", "mm_resize",
+      "token_count", "repetition_score", "fingerprint", "fingerprint_winnow",
+      "mm_decode", "mm_resize",
       "mm_frame_sample",
       "sample_hash", "mix_sources", "decontaminate", "pii_scrub",
       "pack_sequences")

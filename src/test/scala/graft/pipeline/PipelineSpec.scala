@@ -101,6 +101,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(r => r.getString(2) != null))
   }
 
+  test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
+    // k=5, w=4 → any common substring of length >= 8 must share one
+    val fps = TextAnalysis.fingerprintWinnow(spark, sf01).collect()
+      .groupBy(_.getLong(0)).map { case (d, rows) =>
+        d -> rows.map(_.getString(1)).toSet
+      }
+    // find two docs known to be near-identical from exact ngram dedup
+    val pair = Dedup.ngramJaccardPairs(spark, sf01, minBp = 8500)
+      .select("doc_a", "doc_b").head()
+    val (a, b) = (pair.getLong(0), pair.getLong(1))
+    assert((fps(a) & fps(b)).nonEmpty,
+      s"high-Jaccard docs $a/$b share no winnow fingerprint")
+    // density sanity: winnowing samples ~2/(w+1) of positions, far
+    // fewer fingerprints than grams
+    assert(fps.values.map(_.size).sum < 500 * 500)
+  }
+
   test("repetition score omits sub-2-word docs instead of crashing (ANSI element_at)") {
     import spark.implicits._
     val docs = Seq(
