@@ -25,6 +25,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Pinned (not just the Spark 4 default): the micro-unit long
+      // sums in graft.analytics rely on ANSI overflow semantics —
+      // an int64 sum past ±9.2e18 must RAISE, not wrap silently.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -658,9 +658,9 @@ object SparkEntry {
       (s: SparkSession, d: String) => Curation.packSequences(s, d),
       Some("SELECT doc_id, doc_id % 8 AS shard, " +
         "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
-        "coalesce(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) " +
+        "CAST(coalesce(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) " +
         "OVER (PARTITION BY doc_id % 8 ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bin " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin " +
         "FROM documents ORDER BY doc_id")),
     ("pii_scrub",
       (s: SparkSession, d: String) => Curation.piiScrub(s, d),

@@ -38,6 +38,13 @@ object Analytics {
     * 8-byte aggregation buffer instead of decimal128, and identical to
     * sum-then-scale by distributivity over exact integers. This is the
     * hot-path formulation for the scan-heavy aggregates (q1 etc.).
+    *
+    * Overflow is LOUD, never silent: [[graft.GraftSession]] pins
+    * `spark.sql.ansi.enabled=true`, so a sum past ±9.2e18 micro-units
+    * (±9.2e12 whole units) raises ArithmeticException instead of
+    * wrapping. A deployment that legitimately exceeds that total
+    * switches the affected query to a DECIMAL(38,6) accumulator with
+    * the ×1e6 BIGINT cast moved to the final column.
     */
   private def sumMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum((c.cast("decimal(38,6)") * lit(1000000L)).cast("long"))

@@ -48,27 +48,34 @@ final case class LogFilter(
     refererPrefix: Option[String] = None,
     userAgentContains: Option[String] = None) {
 
-  /** Exact-match set; the EMPTY string member means "records with no
-    * value at all" (reference doc/index.rst: "Specify an empty site
-    * name to filter records with no site") → IS NULL.
+  /** Exact-match set. For `site` and `host` the EMPTY string member
+    * means "records with no value at all" (doc/index.rst documents
+    * exactly these two: "Specify an empty site name to filter records
+    * with no site", "Specify an empty host to filter records with no
+    * host at all") → IS NULL. Other attributes (generator, method)
+    * have no such doc, and the reference's MatchFilter
+    * (Filter.cxx:22-26) only ever matches a NON-null value — so for
+    * them an empty member compares like any other literal and a NULL
+    * field never matches.
     */
-  private def setFilter(c: Column, s: Set[String]): Option[Column] =
+  private def setFilter(c: Column, s: Set[String],
+                        emptyMeansNull: Boolean = false): Option[Column] =
     if (s.isEmpty) None
-    else {
-      val (wantNull, named) = (s.contains(""), s.filter(_.nonEmpty))
+    else if (emptyMeansNull && s.contains("")) {
+      val named = s.filter(_.nonEmpty)
       val base =
         if (named.isEmpty) None
         else if (named.size == 1) Some(c === named.head)
         else Some(c.isin(named.toSeq: _*))
-      if (wantNull) Some(base.map(_ || c.isNull).getOrElse(c.isNull))
-      else base
-    }
+      Some(base.map(_ || c.isNull).getOrElse(c.isNull))
+    } else if (s.size == 1) Some(c === s.head)
+    else Some(c.isin(s.toSeq: _*))
 
   /** The conjunction, as one Column; `lit(true)` when unconstrained. */
   def predicate: Column = {
     val parts = Seq(
-      setFilter(col("site"), sites),
-      setFilter(col("host"), hosts),
+      setFilter(col("site"), sites, emptyMeansNull = true),
+      setFilter(col("host"), hosts, emptyMeansNull = true),
       setFilter(col("generator"), generators),
       tpe.map(col("type") === _),
       sinceUs.map(col("timestamp") >= _),

@@ -98,6 +98,14 @@ object Ann {
   private val quantisers =
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), (DataFrame, DataFrame)]
 
+  // Entries for stopped contexts are unreachable (applicationId is
+  // never reused) and their cached blocks died with the executor —
+  // drop them so a long-lived multi-session JVM can't grow unboundedly.
+  private def evictStopped(): Unit =
+    quantisers.filterInPlace { case (_, (assigned, _)) =>
+      !assigned.sparkSession.sparkContext.isStopped
+    }
+
   /** The shared IVF coarse quantiser: KMeans over the embedding
     * corpus, returning (per-vector cell assignment, cell-center dim).
     * Used by both [[ivfTopK]] and
@@ -109,7 +117,8 @@ object Ann {
     * model artifact.
     */
   def ivfAssign(spark: SparkSession, dir: String,
-                cells: Int = 16): (DataFrame, DataFrame) =
+                cells: Int = 16): (DataFrame, DataFrame) = {
+    evictStopped()
     quantisers.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, cells), {
         import org.apache.spark.ml.clustering.KMeans
@@ -128,6 +137,7 @@ object Ann {
         }.toSeq
         (assigned, spark.createDataFrame(centers).toDF("cell", "center"))
       })
+  }
 
   def ivfTopK(spark: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10,
