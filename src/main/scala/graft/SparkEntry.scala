@@ -154,6 +154,16 @@ object SparkEntry {
           "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent, " +
           "CAST(sum(traffic_received) AS BIGINT) AS bytes_received, " +
           "min(timestamp) AS first_us, max(timestamp) AS last_us FROM log"))),
+    // the same counters maintained incrementally — the STREAMING plan
+    // checked against the identical batch oracle
+    ("stats_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.statsStream(s, d),
+      Some(LogView.oracle(
+        "SELECT CAST(count(*) AS BIGINT) AS record_count, " +
+          "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent, " +
+          "CAST(sum(traffic_received) AS BIGINT) AS bytes_received, " +
+          "min(timestamp) AS first_us, max(timestamp) AS last_us FROM log"))),
     ("per_site_out",
       (s: SparkSession, d: String) => Shaping.perSiteManifest(LogView(s, d)),
       Some(LogView.oracle(
@@ -504,7 +514,47 @@ object SparkEntry {
         "WHERE event_type = 'purchase') " +
         "SELECT p.event_id, p.user_id, p.ts_us, v.ts_us AS last_view_us " +
         "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us " +
-        "ORDER BY p.event_id")))
+        "ORDER BY p.event_id")),
+    ("q_semi", (s: SparkSession, d: String) => Analytics.qSemi(s, d),
+      Some("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders " +
+        "FROM orders WHERE EXISTS (SELECT 1 FROM customer " +
+        "WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING') " +
+        "GROUP BY 1 ORDER BY 1")),
+    // grouping-set NULLs are disambiguated by gid; the data columns are
+    // never null in the base table, so the oracle can recover gid from
+    // which column the set aggregated away
+    ("q_grouping_sets",
+      (s: SparkSession, d: String) => Analytics.qGroupingSets(s, d),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 2 END AS BIGINT) AS gid, " +
+        decSum.format("l_quantity") + " AS sum_qty, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) " +
+        "ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+    ("q_correlated",
+      (s: SparkSession, d: String) => Analytics.qCorrelated(s, d),
+      Some("WITH li AS (SELECT l_partkey, l_returnflag, " +
+        "CAST(CAST(l_quantity AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS qty_mu, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_mu " +
+        "FROM lineitem), " +
+        "pp AS (SELECT l_partkey AS p_key, CAST(sum(qty_mu) AS BIGINT) AS sum_mu, " +
+        "CAST(count(*) AS BIGINT) AS n_li FROM li GROUP BY 1) " +
+        "SELECT l_returnflag, " +
+        "CAST(sum(price_mu) AS BIGINT) AS below_avg_revenue_mu, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM li JOIN pp ON l_partkey = p_key " +
+        "WHERE qty_mu * 5 * n_li < sum_mu " +
+        "GROUP BY 1 ORDER BY 1")),
+    ("q_intersect",
+      (s: SparkSession, d: String) => Analytics.qIntersect(s, d),
+      Some("SELECT o_custkey FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1995-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-01-01' " +
+        "INTERSECT " +
+        "SELECT o_custkey FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "ORDER BY o_custkey")))
 
   // ---- §2E training-data pipeline ----
 

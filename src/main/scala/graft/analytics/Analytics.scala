@@ -295,4 +295,83 @@ object Analytics {
       .select("event_id", "user_id", "ts_us", "last_view_us")
       .orderBy("event_id")
   }
+
+  /** Semi join (EXISTS): orders placed by BUILDING-segment customers,
+    * counted per priority. LeftSemi keeps only the probe side's
+    * columns, so Spark builds the hash table from the key column
+    * alone — at 100 TB the build side is |matching customers| keys,
+    * comfortably broadcast-able, and no customer attribute ever
+    * crosses the shuffle (unlike an inner-join-then-drop, which
+    * also multiplies rows on duplicate keys — semi can't).
+    */
+  def qSemi(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    Tables.orders(spark, dir)
+      .join(broadcast(building), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** GROUPING SETS with explicitly chosen sets — per flag and per
+    * status, but NOT the cross grain or the grand total (what ROLLUP /
+    * CUBE can't express). Pre-aggregated from [[flagStatusBase]] like
+    * its siblings, so the Expand multiplies |distinct groups| rows,
+    * not the fact table. `grouping_id` disambiguates the (flag, NULL)
+    * vs (NULL, status) rows the way the SQL standard does.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    flagStatusBase(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        sum("part_qty").as("sum_qty"), sum("part_n").as("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Correlated aggregate (TPC-H Q17 shape): revenue of lineitems
+    * whose quantity is below 0.2× the average quantity of their part.
+    * The per-part average is a self-aggregation joined back — the
+    * decorrelated plan Catalyst would produce from the subquery, but
+    * written directly so the join is explicit. The 0.2×avg threshold
+    * is exact integer algebra: `qty < 0.2 * (sum/n)` ⟺
+    * `5 * n * qty_mu < sum_mu` over micro-unit longs — no division,
+    * no float, identical in both engines. Per-part sums are bounded
+    * (|parts| rows) → the joined-back side aggregates map-side and
+    * broadcasts at any scale where |parts| ≪ |lineitem|.
+    */
+  def qCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_returnflag"),
+        micros(col("l_quantity").cast("decimal(38,6)")).as("qty_mu"),
+        micros(col("l_extendedprice").cast("decimal(38,6)")).as("price_mu"))
+    val perPart = li.groupBy(col("l_partkey").as("p_key"))
+      .agg(sum("qty_mu").as("sum_mu"), count(lit(1)).as("n_li"))
+    li.join(broadcast(perPart), col("l_partkey") === col("p_key"))
+      .filter(col("qty_mu") * lit(5L) * col("n_li") < col("sum_mu"))
+      .groupBy("l_returnflag")
+      .agg(sum("price_mu").as("below_avg_revenue_mu"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Set operation (INTERSECT): customers active in both 1995 and
+    * 1996. INTERSECT plans as a left-semi aggregate over the two
+    * key sets — each branch reduces to distinct keys before the
+    * shuffle, so the exchanged volume is |active customers|, not
+    * |orders|, per branch.
+    */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame = {
+    def activeIn(year: Int) =
+      Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+    activeIn(1995).intersect(activeIn(1996))
+      .orderBy("o_custkey")
+  }
 }

@@ -86,4 +86,36 @@ object StreamOps {
     q.awaitTermination()
     spark.table(name).orderBy("content_hash")
   }
+
+  /** [[graft.logs.Shaping.stats]] as a continuously-maintained global
+    * aggregate — pond's STATS counters (record/byte totals, time
+    * range) kept live over the stream instead of recomputed. All five
+    * measures are commutative monoids (count/sum/min/max), so the
+    * incremental state is five longs and the result is exactly the
+    * batch answer once the AvailableNow drain completes — gated
+    * against the SAME oracle SQL as batch `stats`.
+    */
+  def statsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val name = "graft_stats_stream"
+    val q = LogView.fromEvents(stream)
+      .agg(
+        count(lit(1)).as("record_count"),
+        sum("traffic_sent").as("bytes_sent"),
+        sum("traffic_received").as("bytes_received"),
+        min("timestamp").as("first_us"),
+        max("timestamp").as("last_us"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }

@@ -120,6 +120,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_semi plans a broadcast LeftSemi (keys only cross the join)") {
+    val p = plan(Analytics.qSemi(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("q_grouping_sets expands the pre-aggregate, not the fact table") {
+    // Expand must sit ABOVE the base-grain HashAggregate: the ×|sets|
+    // row multiplication applies to |distinct groups| rows, not the
+    // 100 TB scan
+    val p = plan(Analytics.qGroupingSets(spark, sf))
+    assert(p.contains("Expand"), p)
+    val expandIdx = p.indexOf("Expand")
+    assert(p.indexOf("HashAggregate", expandIdx) >= 0,
+      s"no aggregate below Expand:\n$p")
+  }
+
+  test("q_correlated broadcasts the per-part aggregate side") {
+    val p = plan(Analytics.qCorrelated(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_intersect reduces both branches to distinct keys (semi-agg plan)") {
+    val p = plan(Analytics.qIntersect(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("decontaminate broadcasts the benchmark gram set") {
     val p = plan(graft.pipeline.Curation.decontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -34,6 +34,8 @@ class SparkEntrySpec extends SparkSpec {
       "q1_agg", "q3_topn", "q5_join", "q_window", "q_distinct",
       "q_approx_distinct", "q_exists", "q_funnel", "q_sessionize", "q_json",
       "q_rollup", "q_cube", "q_asof", "q_pivot", "q_skew_join",
+      "q_semi", "q_grouping_sets", "q_correlated", "q_intersect",
+      "stats_stream",
       // §2E
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_cdc",

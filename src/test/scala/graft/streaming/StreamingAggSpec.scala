@@ -34,4 +34,10 @@ class StreamingAggSpec extends SparkSpec {
     assert(streamedTotal == batchTotal)
     assert(got.select("site").distinct().count() == 10)
   }
+
+  test("stats_stream equals batch stats exactly") {
+    val streamed = StreamOps.statsStream(spark, sf).head()
+    val batch = graft.logs.Shaping.stats(LogView(spark, sf)).head()
+    assert(streamed == batch)
+  }
 }
