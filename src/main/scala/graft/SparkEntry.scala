@@ -200,6 +200,25 @@ object SparkEntry {
           "traffic_received := traffic_received, traffic_sent := traffic_sent, " +
           "duration := duration_us, \"type\" := type))) AS VARCHAR) AS json " +
           "FROM log WHERE site = 'site_1' ORDER BY event_id"))),
+    // write-then-read through the JSONL wire format: the SOURCE path,
+    // gate-compared field-by-field against the original log view
+    ("jsonl_source",
+      (s: SparkSession, d: String) =>
+        graft.sources.JsonlSource.roundTrip(s, d),
+      Some(LogView.oracle(
+        "SELECT timestamp, site, host, generator, analytics_id, " +
+          "forwarded_to, remote_host, type, method, uri, referer, " +
+          "user_agent, status, \"length\", content_type, duration_us, " +
+          "traffic_sent, traffic_received, message " +
+          "FROM log ORDER BY timestamp, remote_host, uri"))),
+    ("top_pages",
+      (s: SparkSession, d: String) => Shaping.topPages(LogView(s, d)),
+      Some(LogView.oracle(
+        "SELECT regexp_replace(uri, '[?#].*$', '') AS page, " +
+          "CAST(count(*) AS BIGINT) AS n_hits, " +
+          "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent " +
+          "FROM log WHERE uri IS NOT NULL " +
+          "GROUP BY 1 ORDER BY n_hits DESC, page LIMIT 10"))),
     ("one_line",
       (s: SparkSession, d: String) => Shaping.oneLine(
         LogView(s, d).filter(col("site") === "site_4")).orderBy("event_id"),
@@ -685,6 +704,54 @@ object SparkEntry {
       (s: SparkSession, d: String) => Curation.sampleHash(s, d, rateBp = 2000),
       Some("SELECT doc_id, lang, source FROM documents WHERE " +
         Curation.hashBelowSql("doc_id", "s0", 2000) + " ORDER BY doc_id")),
+    ("sample_stratified",
+      (s: SparkSession, d: String) => Curation.sampleStratified(s, d),
+      Some("SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn FROM (" +
+        "SELECT doc_id, lang, source, row_number() OVER (" +
+        "PARTITION BY lang, source " +
+        "ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 10 ORDER BY doc_id")),
+    ("token_df_score",
+      (s: SparkSession, d: String) => TextAnalysis.tokenDfScore(s, d),
+      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+        "dt AS (SELECT doc_id, unnest(list_distinct(" +
+        "regexp_split_to_array(txt, ' '))) AS term FROM nd), " +
+        "dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df " +
+        "FROM dt GROUP BY 1) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
+        "CAST(sum(df) AS BIGINT) AS sum_df, " +
+        "CAST(sum(df) * 1000000 // count(*) AS BIGINT) AS df_score_micro " +
+        "FROM dt JOIN dfr USING (term) GROUP BY doc_id ORDER BY doc_id")),
+    ("tfidf_top_terms",
+      (s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d),
+      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+        "t AS (SELECT doc_id, unnest(regexp_split_to_array(txt, ' ')) AS term " +
+        "FROM nd), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM t GROUP BY 1, 2), " +
+        "dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df " +
+        "FROM tf GROUP BY 1) " +
+        "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df FROM (" +
+        "SELECT tf.doc_id, tf.term, tf.tf, dfr.df, " +
+        "row_number() OVER (PARTITION BY tf.doc_id " +
+        "ORDER BY tf.tf DESC, dfr.df ASC, tf.term ASC) AS rank " +
+        "FROM tf JOIN dfr ON tf.term = dfr.term) " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank")),
+    ("dedup_winnow_pairs",
+      (s: SparkSession, d: String) => Dedup.winnowPairs(s, d),
+      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+        "g AS (SELECT doc_id, " +
+        "[substr(md5(substr(txt, i, 5)), 1, 8) for i in range(1, greatest(length(txt) - 4, 1) + 1)] AS hs " +
+        "FROM nd), " +
+        "f AS (SELECT doc_id, unnest(CASE WHEN len(hs) >= 4 THEN " +
+        "list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]) " +
+        "ELSE [list_min(hs)] END) AS fp FROM g), " +
+        "rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50), " +
+        "k AS (SELECT doc_id, fp FROM f WHERE fp IN (SELECT fp FROM rare)) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 20 ORDER BY 1, 2")),
     ("mix_sources",
       (s: SparkSession, d: String) => Curation.mixSources(s, d,
         rates = Map("src0" -> 10000L, "src1" -> 5000L), defaultBp = 2500),

@@ -65,6 +65,21 @@ object Shaping {
       .orderBy(col("n").desc, col("value"))
       .limit(n)
 
+  /** Top pages report: URI normalised to its page (query string and
+    * fragment stripped), top `n` by hit count with bytes served — the
+    * first report anyone runs over an access log. Normalisation is a
+    * codegen'd regexp on the scan; the top-N is
+    * TakeOrderedAndProject over the aggregated (page) grain, never a
+    * global sort of the log.
+    */
+  def topPages(df: DataFrame, n: Int = 10): DataFrame =
+    df.filter(col("uri").isNotNull)
+      .withColumn("page", regexp_replace(col("uri"), "[?#].*$", ""))
+      .groupBy("page")
+      .agg(count(lit(1)).as("n_hits"), sum("traffic_sent").as("bytes_sent"))
+      .orderBy(col("n_hits").desc, col("page"))
+      .limit(n)
+
   /** `--accumulate=FIELD,more,N` (reference client/ResultWriter.cxx:432
     * `PrintAccumulateMore`): values with count >= N.
     */

@@ -62,6 +62,28 @@ object Curation {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Stratified sampling: EXACTLY `k` documents per (lang, source)
+    * stratum (or the whole stratum if smaller), selected by salted-
+    * hash order — deterministic, content-independent, and unbiased
+    * within each stratum, unlike [[sampleHash]]'s global rate which
+    * under-represents small strata. The per-stratum top-k is a rank
+    * window, which [[graft.plans.TopKPerGroup]] executes as bounded
+    * heaps (k rows of state per stratum, no per-stratum sort) — one
+    * shuffle on the stratum key at any scale.
+    */
+  def sampleStratified(spark: SparkSession, dir: String,
+                       k: Int = 10, salt: String = "strat"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source")
+      .orderBy(md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("doc_id", "lang", "source", "rn")
+      .orderBy("doc_id")
+  }
+
   /** Source mixing (training-mixture weights): per-source keep rates,
     * e.g. upweight curated sources and downsample crawl. The rate
     * lookup is a broadcast dim joined on `source` (the 100 TB shape —

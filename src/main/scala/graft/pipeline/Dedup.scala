@@ -275,4 +275,32 @@ object Dedup {
       .distinct()
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Winnowing-based near-dup pairs (MOSS-style): documents sharing
+    * ≥ `minShared` winnowed k-gram fingerprints
+    * ([[TextAnalysis.winnowFps]], Schleimer et al. 2003). The same
+    * inverted-index discipline as [[cdcPairsOf]]: fingerprints with
+    * document frequency above `maxDf` are corpus boilerplate, not
+    * copied passages — dropped BEFORE the pair join so one hot
+    * fingerprint can't cost df²/2 pairs. Guarantee inherited from
+    * winnowing: any shared run ≥ k+w−1 chars shares a fingerprint,
+    * so high-overlap pairs always surface.
+    */
+  def winnowPairs(spark: SparkSession, dir: String,
+                  minShared: Long = 20, maxDf: Long = 50): DataFrame = {
+    val fps = graft.pipeline.TextAnalysis.winnowFps(spark, dir)
+    val rare = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(rare.hint("shuffle_hash"), Seq("fp"), "left_semi")
+    val a = kept.as("a")
+    val b = kept.as("b")
+    a.join(b.hint("shuffle_hash"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -174,7 +175,15 @@ object TextAnalysis {
     * yield their single minimum (the whole doc is one window).
     */
   def fingerprintWinnow(spark: SparkSession, dir: String,
-                        k: Int = 5, w: Int = 4): DataFrame = {
+                        k: Int = 5, w: Int = 4): DataFrame =
+    winnowFps(spark, dir, k, w).orderBy("doc_id", "fp")
+
+  /** [[fingerprintWinnow]] without the presentation sort — the
+    * join-input form ([[Dedup.winnowPairs]] consumes this; a sort
+    * feeding a shuffle would be thrown away work).
+    */
+  def winnowFps(spark: SparkSession, dir: String,
+                k: Int = 5, w: Int = 4): DataFrame = {
     // the gram-hash array is BOUND through a lambda variable (`h`):
     // referencing a withColumn alias 3 times lets the optimizer
     // substitute the whole 100s-of-elements transform tree into every
@@ -191,6 +200,65 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), normText(col("text")).as("txt"))
       .select(col("doc_id"), explode(expr(winnow)).as("fp"))
-      .orderBy("doc_id", "fp")
+  }
+
+  /** Per-document distinct terms — the (doc, term) incidence relation
+    * that [[tokenDfScore]] and [[tfidfTopTerms]] aggregate. One
+    * explode, no UDF; at 100 TB this is the classic inverted-index
+    * build shape (shuffle on term is the only wide dependency
+    * downstream).
+    */
+  private def docTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(normText(col("text")), " ")))
+          .as("term"))
+
+  /** Document-frequency scoring: how "common" a document's vocabulary
+    * is — mean corpus document-frequency of its distinct terms, in
+    * exact integer micro-units. Low scores flag rare-vocabulary
+    * (often noisy/non-lingual) documents; the integer formulation
+    * (`sum_df × 1e6 div n_terms`) is division-free float-safe algebra
+    * shared with the oracle. Shapes: one groupBy(term) for df, one
+    * shuffle join back on term (vocabulary-sized build side), one
+    * groupBy(doc). A df table is Zipf-skewed — stop words are hot
+    * keys — but the join's probe side is (doc, term) pairs, which
+    * AQE skew-split handles; the aggregates are partial-aggregated
+    * map-side.
+    */
+  def tokenDfScore(spark: SparkSession, dir: String): DataFrame = {
+    val dt = docTerms(spark, dir)
+    val dfr = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    dt.join(dfr, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("df").as("sum_df"))
+      .withColumn("df_score_micro",
+        expr("sum_df * 1000000 div n_terms"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document most-distinctive terms: top-k by (tf DESC, df ASC,
+    * term ASC) — the division-free stand-in for tf-idf ranking
+    * (log(N/df) is float and engine-divergent; the lexicographic
+    * (tf, −df) order is exact and agrees with tf·idf whenever tf
+    * dominates). The rank window is a grouped top-k, which
+    * [[graft.plans.TopKPerGroup]] executes as bounded heaps instead
+    * of a per-doc sort.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String,
+                    k: Int = 3): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfr, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df")
+      .orderBy("doc_id", "rank")
   }
 }

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.logs.{LogView, Shaping}
+
+/** JSONL access-log *source*: read lines in the reference client's
+  * FormatJson layout (reference src/client/FormatJson.cxx:25-97 —
+  * what `pond --jsonl` emits and what a downstream pipeline ingests)
+  * back into the engine's typed log schema.
+  *
+  * The schema is EXPLICIT, never inferred: inference is a second full
+  * pass over the data and makes the schema depend on which fields
+  * happened to be present — at 100 TB both are disqualifying. Fields
+  * absent from a line (FormatJson skips null members) surface as
+  * NULL, exactly the reference's optional-attribute semantics.
+  */
+object JsonlSource {
+
+  /** FormatJson's members, in emission order, typed. `time` is the
+    * ISO8601 micro-second stamp; numerics are longs on the wire.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("time", StringType),
+    StructField("remote_host", StringType),
+    StructField("host", StringType),
+    StructField("site", StringType),
+    StructField("analytics_id", StringType),
+    StructField("generator", StringType),
+    StructField("forwarded_to", StringType),
+    StructField("method", StringType),
+    StructField("uri", StringType),
+    StructField("referer", StringType),
+    StructField("user_agent", StringType),
+    StructField("message", StringType),
+    StructField("status", StringType),
+    StructField("length", LongType),
+    StructField("content_type", StringType),
+    StructField("traffic_received", LongType),
+    StructField("traffic_sent", LongType),
+    StructField("duration", LongType),
+    StructField("type", StringType)))
+
+  private val TimeFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+
+  /** Parse a JSONL directory into the typed log view (the FormatJson
+    * field subset — the wire format carries no event_id/user_id).
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+      .select(
+        unix_micros(to_timestamp(col("time"), TimeFmt)).as("timestamp"),
+        col("site"), col("host"), col("generator"), col("analytics_id"),
+        col("forwarded_to"), col("remote_host"), col("type"),
+        col("method"), col("uri"), col("referer"), col("user_agent"),
+        col("status").cast("int").as("status"), col("length"),
+        col("content_type"), col("duration").as("duration_us"),
+        col("traffic_sent"), col("traffic_received"), col("message"))
+
+  /** Round trip: render the log as JSONL ([[Shaping.jsonl]]), read it
+    * back through [[read]]. Lossless up to the fields the wire format
+    * carries — the gate compares the result against the original log
+    * table, proving writer and reader agree byte-for-byte on every
+    * field (timestamps to the microsecond, null-member omission).
+    */
+  def roundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_jsonl_src").toString
+    Shaping.jsonl(LogView(spark, dir))
+      .select("json").write.mode("overwrite").text(tmp)
+    read(spark, tmp).orderBy("timestamp", "remote_host", "uri")
+  }
+}

@@ -24,6 +24,7 @@ class SparkEntrySpec extends SparkSpec {
       "stats", "per_site_out", "per_site_layout", "jsonl", "one_line",
       "one_line_full", "one_line_clf", "age_only", "follow",
       "max_age_retention", "rate_limit", "rate_limit_stream",
+      "jsonl_source", "top_pages",
       "duration_quantiles",
       "duration_quantiles_approx", "timeseries", "timeseries_stream",
       "dedup_exact_stream",
@@ -45,8 +46,9 @@ class SparkEntrySpec extends SparkSpec {
       "token_count", "repetition_score", "fingerprint", "fingerprint_winnow",
       "mm_decode", "mm_resize",
       "mm_frame_sample",
-      "sample_hash", "mix_sources", "decontaminate", "pii_scrub",
-      "pack_sequences")
+      "sample_hash", "sample_stratified", "mix_sources", "decontaminate",
+      "pii_scrub", "pack_sequences", "token_df_score", "tfidf_top_terms",
+      "dedup_winnow_pairs")
     val registered = SparkEntry.queries.keySet
     assert((expected -- registered).isEmpty,
       s"missing operators: ${expected -- registered}")

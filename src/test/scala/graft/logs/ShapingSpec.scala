@@ -119,4 +119,17 @@ class ShapingSpec extends SparkSpec {
     assert(j.forall(_.contains("\"site\":\"site_")))
     assert(j.forall(_.endsWith("\"}")))
   }
+
+  test("top pages strips query and fragment, caps at n, orders by hits") {
+    import spark.implicits._
+    val rows = Seq(
+      ("/a?x=1", 10L), ("/a?y=2", 5L), ("/a#frag", 1L),
+      ("/b", 7L), ("/c?z", 2L))
+      .toDF("uri", "traffic_sent")
+    val got = Shaping.topPages(rows, n = 2).collect()
+    assert(got.length == 2)
+    assert(got(0).getString(0) == "/a" && got(0).getLong(1) == 3L &&
+      got(0).getLong(2) == 16L)
+    assert(got(1).getString(0) == "/b" && got(1).getLong(1) == 1L)
+  }
 }

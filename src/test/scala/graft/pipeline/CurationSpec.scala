@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class CurationSpec extends SparkSpec {
@@ -80,5 +80,23 @@ class CurationSpec extends SparkSpec {
     assert(got(1) == "from <IP> port 443")
     assert(got(2) == "card <NUM> pin 12")
     assert(got(3) == "clean text stays clean")
+  }
+
+  test("stratified sample takes exactly min(k, |stratum|) per stratum") {
+    val k = 10
+    val got = Curation.sampleStratified(spark, sf, k = k)
+    val perStratum = got.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), max("rn").as("max_rn"))
+    val sizes = Tables.documents(spark, sf)
+      .groupBy("lang", "source").agg(count(lit(1)).as("total"))
+    perStratum.join(sizes, Seq("lang", "source")).collect().foreach { r =>
+      val (n, maxRn, total) =
+        (r.getAs[Long]("n"), r.getAs[Long]("max_rn"), r.getAs[Long]("total"))
+      assert(n == math.min(k.toLong, total), r)
+      assert(maxRn == n, r) // ranks are 1..n, no gaps
+    }
+    // deterministic: same salt → same selection
+    val again = Curation.sampleStratified(spark, sf, k = k)
+    assert(got.collect().toSeq == again.collect().toSeq)
   }
 }

@@ -118,6 +118,50 @@ class PipelineSpec extends SparkSpec {
     assert(fps.values.map(_.size).sum < 500 * 500)
   }
 
+  test("winnow pairs: near-identical docs surface; scattered overlap doesn't") {
+    val pairs = Dedup.winnowPairs(spark, sf01, minShared = 20, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the winnowing guarantee covers CONTIGUOUS shared runs — docs that
+    // are near-identical (ngram Jaccard ≥ 0.95) must share many
+    // fingerprints; 0.65-Jaccard scrambled-token pairs need not (and on
+    // this corpus do not — that's the semantic difference between the
+    // two operators, not a bug)
+    val nearIdentical = Dedup.ngramJaccardPairs(spark, sf01, minBp = 9500)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nearIdentical.nonEmpty)
+    assert(nearIdentical.subsetOf(pairs),
+      s"missed near-identical pairs: ${nearIdentical -- pairs}")
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("token df score: shared-vocabulary docs score higher than unique-vocab docs") {
+    val scores = TextAnalysis.tokenDfScore(spark, sf01)
+    // df_score_micro = mean df × 1e6 ≥ 1e6 (every term appears in ≥ 1
+    // doc — itself) and the integer algebra holds per row
+    val rows = scores.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, sum, score) = (r.getAs[Long]("n_terms"),
+        r.getAs[Long]("sum_df"), r.getAs[Long]("df_score_micro"))
+      assert(score == sum * 1000000L / n, r)
+      assert(score >= 1000000L, r)
+    }
+  }
+
+  test("tfidf top terms: ≤3 per doc, ranked by (tf desc, df asc, term)") {
+    val top = TextAnalysis.tfidfTopTerms(spark, sf01).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(top.nonEmpty)
+    top.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      val keys = sorted.map(r => (-r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[String]("term")))
+      assert(keys.sorted.sameElements(keys), rows.mkString("; "))
+    }
+  }
+
   test("repetition score omits sub-2-word docs instead of crashing (ANSI element_at)") {
     import spark.implicits._
     val docs = Seq(
