@@ -211,6 +211,23 @@ object SparkEntry {
           "user_agent, status, \"length\", content_type, duration_us, " +
           "traffic_sent, traffic_received, message " +
           "FROM log ORDER BY timestamp, remote_host, uri"))),
+    // full-schema CSV round trip: unlike JSONL the CSV carries
+    // event_id, so this is keyed on the primary key
+    ("csv_source",
+      (s: SparkSession, d: String) =>
+        graft.sources.CsvSource.roundTrip(s, d),
+      Some(LogView.oracle(
+        s"SELECT $logCols FROM log ORDER BY event_id"))),
+    // the 100 TB storage layout through the gate: date-partitioned
+    // write + read-back rollup per partition directory
+    ("partitioned_sink",
+      (s: SparkSession, d: String) =>
+        graft.sources.DateLayout.writeRollup(s, d),
+      Some(LogView.oracle(
+        "SELECT CAST(CAST(make_timestamp(timestamp) AS DATE) AS VARCHAR) AS date, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent " +
+          "FROM log GROUP BY 1 ORDER BY 1"))),
     ("top_pages",
       (s: SparkSession, d: String) => Shaping.topPages(LogView(s, d)),
       Some(LogView.oracle(
@@ -564,6 +581,13 @@ object SparkEntry {
         "FROM li JOIN pp ON l_partkey = p_key " +
         "WHERE qty_mu * 5 * n_li < sum_mu " +
         "GROUP BY 1 ORDER BY 1")),
+    ("q_window_range",
+      (s: SparkSession, d: String) => Analytics.qWindowRange(s, d),
+      Some(LogView.oracle(
+        "SELECT event_id, site, timestamp, " +
+          "CAST(sum(traffic_sent) OVER (PARTITION BY site ORDER BY timestamp " +
+          "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) " +
+          "AS trailing_bytes FROM log ORDER BY event_id"))),
     ("q_intersect",
       (s: SparkSession, d: String) => Analytics.qIntersect(s, d),
       Some("SELECT o_custkey FROM orders " +
@@ -704,6 +728,15 @@ object SparkEntry {
       (s: SparkSession, d: String) => Curation.sampleHash(s, d, rateBp = 2000),
       Some("SELECT doc_id, lang, source FROM documents WHERE " +
         Curation.hashBelowSql("doc_id", "s0", 2000) + " ORDER BY doc_id")),
+    ("embedding_centroid",
+      (s: SparkSession, d: String) => Ann.embeddingCentroids(s, d),
+      Some("WITH e AS (SELECT label, " +
+        "unnest(generate_series(0, len(embedding) - 1)) AS dim, " +
+        "unnest(embedding) AS x FROM embeddings) " +
+        "SELECT label, CAST(dim AS INTEGER) AS dim, " +
+        "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_mu, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM e GROUP BY 1, 2 ORDER BY 1, 2")),
     ("sample_stratified",
       (s: SparkSession, d: String) => Curation.sampleStratified(s, d),
       Some("SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn FROM (" +

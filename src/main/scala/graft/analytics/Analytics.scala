@@ -131,6 +131,26 @@ object Analytics {
       .orderBy("user_id", "rn")
   }
 
+  /** RANGE-frame window — the time-based sibling of [[qWindow]]'s
+    * ROWS frame: per record, bytes served by its site in the trailing
+    * hour (closed interval [t−1h, t]). RANGE frames include all rows
+    * whose ORDER BY key falls in the value interval, so ties on the
+    * key get identical frames — deterministic under duplicate
+    * timestamps where a ROWS frame would not be. One shuffle on site;
+    * the frame is evaluated with a sliding aggregate inside each
+    * partition, never a self-join.
+    */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("site").orderBy(col("timestamp"))
+      .rangeBetween(-3600000000L, 0)
+    graft.logs.LogView(spark, dir)
+      .select(col("event_id"), col("site"), col("timestamp"),
+        col("traffic_sent"))
+      .withColumn("trailing_bytes", sum("traffic_sent").over(w))
+      .select("event_id", "site", "timestamp", "trailing_bytes")
+      .orderBy("event_id")
+  }
+
   /** Exact distinct-count per group. (The HLL variant is
     * `q_approx_distinct`, rows-only — sketch internals differ across
     * engines by design.)

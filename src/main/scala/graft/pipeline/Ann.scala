@@ -139,6 +139,26 @@ object Ann {
       })
   }
 
+  /** Per-label centroid components as exact integers: each float
+    * component is floored to micro-units (IEEE double ×1e6 + floor —
+    * bit-identical across engines, unlike a float mean), then summed
+    * per (label, dim) with the count alongside, so any consumer can
+    * form the mean at full precision. Plan shape: the ×64 posexplode
+    * is immediately partial-aggregated map-side — only
+    * |labels × dims| rows cross the shuffle, never the exploded
+    * corpus. This is the cluster-statistics pass an IVF index
+    * maintenance job runs at 100 TB.
+    */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"),
+        floor(col("col").cast("double") * lit(1000000.0))
+          .cast("long").as("mu"))
+      .groupBy("label", "dim")
+      .agg(sum("mu").as("sum_mu"), count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+
   def ivfTopK(spark: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10,
               cells: Int = 16, nprobe: Int = 4): DataFrame = {

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.logs.LogView
+
+/** The 100 TB storage layout as an operator: the log written as
+  * date-partitioned parquet (`.../date=2024-01-05/part-*.parquet`) —
+  * the layout that makes pond's time-window queries partition-prunable
+  * (whole directories skipped on since/until, PlanSpec asserts the
+  * PartitionFilters) and max_age retention a directory drop instead
+  * of a scan.
+  */
+object DateLayout {
+
+  /** Write the log date-partitioned, read it back, and roll up per
+    * partition — the round trip proves writer and reader agree on the
+    * partition column derivation and that no row is lost or
+    * duplicated across partition boundaries (the gate compares
+    * per-date counts and byte sums against the unpartitioned log).
+    */
+  def writeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_datepart").toString
+    LogView(spark, dir)
+      .withColumn("date", expr("date(timestamp_micros(timestamp))"))
+      .write.mode("overwrite").partitionBy("date").parquet(tmp)
+    spark.read.parquet(tmp)
+      .groupBy(col("date").cast("string").as("date"))
+      .agg(count(lit(1)).as("n"), sum("traffic_sent").as("bytes_sent"))
+      .orderBy("date")
+  }
+}

@@ -24,7 +24,7 @@ class SparkEntrySpec extends SparkSpec {
       "stats", "per_site_out", "per_site_layout", "jsonl", "one_line",
       "one_line_full", "one_line_clf", "age_only", "follow",
       "max_age_retention", "rate_limit", "rate_limit_stream",
-      "jsonl_source", "top_pages",
+      "jsonl_source", "csv_source", "partitioned_sink", "top_pages",
       "duration_quantiles",
       "duration_quantiles_approx", "timeseries", "timeseries_stream",
       "dedup_exact_stream",
@@ -36,7 +36,7 @@ class SparkEntrySpec extends SparkSpec {
       "q_approx_distinct", "q_exists", "q_funnel", "q_sessionize", "q_json",
       "q_rollup", "q_cube", "q_asof", "q_pivot", "q_skew_join",
       "q_semi", "q_grouping_sets", "q_correlated", "q_intersect",
-      "stats_stream",
+      "q_window_range", "stats_stream", "embedding_centroid",
       // §2E
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_cdc",

@@ -20,4 +20,21 @@ class JsonlSourceSpec extends SparkSpec {
     assert(nulls == origNulls && nulls > 0)
     assert(key.forall(back.columns.contains))
   }
+
+  test("csv round trip is lossless on the full schema, nulls stay null") {
+    val back = CsvSource.roundTrip(spark, sf)
+    val orig = LogView(spark, sf)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // the \N sentinel came back as NULL, not as a literal string
+    assert(back.filter(col("forwarded_to") === "\\N").count() == 0)
+    assert(back.filter(col("forwarded_to").isNull).count() ==
+      orig.filter(col("forwarded_to").isNull).count())
+  }
+
+  test("date layout: partition dirs exist and rollup preserves totals") {
+    val rollup = DateLayout.writeRollup(spark, sf)
+    val total = rollup.agg(sum("n")).head().getLong(0)
+    assert(total == LogView(spark, sf).count())
+  }
 }
