@@ -231,7 +231,7 @@ object SparkEntry {
     ("top_pages",
       (s: SparkSession, d: String) => Shaping.topPages(LogView(s, d)),
       Some(LogView.oracle(
-        "SELECT regexp_replace(uri, '[?#].*$', '') AS page, " +
+        "SELECT regexp_replace(uri, '[?#].*', '', 's') AS page, " +
           "CAST(count(*) AS BIGINT) AS n_hits, " +
           "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent " +
           "FROM log WHERE uri IS NOT NULL " +
@@ -603,6 +603,19 @@ object SparkEntry {
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  // the winnowed-fingerprint relation (doc_id, fp) as a shared CTE
+  // chain — fingerprint_winnow and dedup_winnow_pairs gate against the
+  // SAME text so the two oracles can never drift from one another
+  // (mirror of TextAnalysis.winnowFps, k=5 w=4)
+  private val winnowFpCte =
+    "WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+      "g AS (SELECT doc_id, " +
+      "[substr(md5(substr(txt, i, 5)), 1, 8) for i in range(1, greatest(length(txt) - 4, 1) + 1)] AS hs " +
+      "FROM nd), " +
+      "f AS (SELECT doc_id, unnest(CASE WHEN len(hs) >= 4 THEN " +
+      "list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]) " +
+      "ELSE [list_min(hs)] END) AS fp FROM g)"
+
   private def markerCountSql(words: Seq[String]): String =
     words.map { w =>
       s"(length(' ' || txt || ' ') - length(regexp_replace(' ' || txt || ' ', '\\s$w\\s', '', 'g'))) / ${w.length + 2}"
@@ -772,14 +785,8 @@ object SparkEntry {
         "WHERE rank <= 3 ORDER BY doc_id, rank")),
     ("dedup_winnow_pairs",
       (s: SparkSession, d: String) => Dedup.winnowPairs(s, d),
-      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
-        "g AS (SELECT doc_id, " +
-        "[substr(md5(substr(txt, i, 5)), 1, 8) for i in range(1, greatest(length(txt) - 4, 1) + 1)] AS hs " +
-        "FROM nd), " +
-        "f AS (SELECT doc_id, unnest(CASE WHEN len(hs) >= 4 THEN " +
-        "list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]) " +
-        "ELSE [list_min(hs)] END) AS fp FROM g), " +
-        "rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50), " +
+      Some(winnowFpCte +
+        ", rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50), " +
         "k AS (SELECT doc_id, fp FROM f WHERE fp IN (SELECT fp FROM rare)) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "CAST(count(*) AS BIGINT) AS n_shared " +
@@ -824,14 +831,8 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id")),
     ("fingerprint_winnow",
       (s: SparkSession, d: String) => TextAnalysis.fingerprintWinnow(s, d),
-      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
-        "g AS (SELECT doc_id, " +
-        "[substr(md5(substr(txt, i, 5)), 1, 8) for i in range(1, greatest(length(txt) - 4, 1) + 1)] AS hs " +
-        "FROM nd) " +
-        "SELECT doc_id, unnest(CASE WHEN len(hs) >= 4 THEN " +
-        "list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]) " +
-        "ELSE [list_min(hs)] END) AS fp " +
-        "FROM g ORDER BY doc_id, fp")),
+      Some(winnowFpCte +
+        " SELECT doc_id, fp FROM f ORDER BY doc_id, fp")),
     ("mm_resize",
       (s: SparkSession, d: String) => Multimodal.resizePlan(s, d),
       Some("SELECT doc_id, format, width, height, " +

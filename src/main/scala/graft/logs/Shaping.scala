@@ -74,7 +74,11 @@ object Shaping {
     */
   def topPages(df: DataFrame, n: Int = 10): DataFrame =
     df.filter(col("uri").isNotNull)
-      .withColumn("page", regexp_replace(col("uri"), "[?#].*$", ""))
+      // DOTALL, unanchored: Java's `$` matches before a trailing
+      // newline while RE2's does not — `(?s).*` strips to end-of-text
+      // identically in both engines even for URIs with embedded
+      // newlines
+      .withColumn("page", regexp_replace(col("uri"), "(?s)[?#].*", ""))
       .groupBy("page")
       .agg(count(lit(1)).as("n_hits"), sum("traffic_sent").as("bytes_sent"))
       .orderBy(col("n_hits").desc, col("page"))

@@ -37,8 +37,8 @@ object CsvSource {
     * exact bits).
     */
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_csv_src").toString
+    val tmp = TmpDir.scoped("csv_src",
+      spark.sparkContext.applicationId, dir)
     val log = LogView(spark, dir)
     write(log, tmp)
     read(spark, tmp, log.schema)

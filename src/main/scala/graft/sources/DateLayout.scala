@@ -21,8 +21,8 @@ object DateLayout {
     * per-date counts and byte sums against the unpartitioned log).
     */
   def writeRollup(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_datepart").toString
+    val tmp = TmpDir.scoped("datepart",
+      spark.sparkContext.applicationId, dir)
     LogView(spark, dir)
       .withColumn("date", expr("date(timestamp_micros(timestamp))"))
       .write.mode("overwrite").partitionBy("date").parquet(tmp)

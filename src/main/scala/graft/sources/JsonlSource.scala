@@ -66,10 +66,14 @@ object JsonlSource {
     * field (timestamps to the microsecond, null-member omission).
     */
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_jsonl_src").toString
+    val tmp = TmpDir.scoped("jsonl_src",
+      spark.sparkContext.applicationId, dir)
     Shaping.jsonl(LogView(spark, dir))
       .select("json").write.mode("overwrite").text(tmp)
+    // the wire format carries no event_id, so (timestamp, remote_host,
+    // uri) is the best available sort key and is NOT provably unique —
+    // a documented exception to the unique-ORDER-BY convention; the
+    // gate is safe because the driver sorts full rows before hashing
     read(spark, tmp).orderBy("timestamp", "remote_host", "uri")
   }
 }

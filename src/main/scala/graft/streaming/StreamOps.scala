@@ -14,6 +14,33 @@ import graft.logs.LogView
   */
 object StreamOps {
 
+  /** Shared drain scaffold: one testdata table as a file stream →
+    * `transform` → memory sink, AvailableNow-drained to completion.
+    * The schema comes from the batch loader (explicit — stream
+    * sources must never infer), and the glob pins the stream to the
+    * one table file. Every streaming operator here differs ONLY in
+    * its transform, output mode and sink name; a change to the drain
+    * pattern (trigger, checkpointing) lands in exactly one place.
+    */
+  private def drain(spark: SparkSession, dir: String, table: String,
+                    name: String, mode: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val schema = Tables.load(spark, dir, table).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(dir)
+    val q = transform(stream)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** The [[graft.logs.Shaping.timeseries]] rollup as an incremental
     * windowed aggregation: watermarked event-time 1-hour windows over
     * the log stream — the dashboard query kept continuously up to
@@ -23,38 +50,26 @@ object StreamOps {
     * AvailableNow drains a finite source (append would hold back the
     * final unexpired windows).
     */
-  def timeseriesStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val name = "graft_timeseries_stream"
-    val q = LogView.fromEvents(stream)
-      .withColumn("ts", timestamp_micros(col("timestamp")))
-      .withWatermark("ts", "1 hour")
-      .groupBy(col("site"), window(col("ts"), "1 hour").as("w"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(when(col("status") >= 200 && col("status") < 300, 1)
-          .otherwise(0)).as("n_2xx"),
-        sum(when(col("status") >= 400 && col("status") < 500, 1)
-          .otherwise(0)).as("n_4xx"),
-        sum(when(col("status") >= 500, 1).otherwise(0)).as("n_5xx"),
-        sum("traffic_sent").as("bytes_sent"))
-      .select(col("site"),
-        expr("unix_micros(w.start) div 3600000000").as("hour_bucket"),
-        col("n"), col("n_2xx"), col("n_4xx"), col("n_5xx"),
-        col("bytes_sent"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("site", "hour_bucket")
-  }
+  def timeseriesStream(spark: SparkSession, dir: String): DataFrame =
+    drain(spark, dir, "events", "graft_timeseries_stream", "complete") {
+      stream =>
+        LogView.fromEvents(stream)
+          .withColumn("ts", timestamp_micros(col("timestamp")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("site"), window(col("ts"), "1 hour").as("w"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("status") >= 200 && col("status") < 300, 1)
+              .otherwise(0)).as("n_2xx"),
+            sum(when(col("status") >= 400 && col("status") < 500, 1)
+              .otherwise(0)).as("n_4xx"),
+            sum(when(col("status") >= 500, 1).otherwise(0)).as("n_5xx"),
+            sum("traffic_sent").as("bytes_sent"))
+          .select(col("site"),
+            expr("unix_micros(w.start) div 3600000000").as("hour_bucket"),
+            col("n"), col("n_2xx"), col("n_4xx"), col("n_5xx"),
+            col("bytes_sent"))
+    }.orderBy("site", "hour_bucket")
 
   /** Streaming exact dedup: the ingestion-time variant of
     * [[graft.pipeline.TextAnalysis.dedupExact]] — drop every document
@@ -66,26 +81,14 @@ object StreamOps {
     * hash set — order-insensitive, so the gate compares it exactly
     * against batch DISTINCT.
     */
-  def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.documents(spark, dir).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-    val name = "graft_dedup_stream"
-    val q = stream
-      .select(md5(graft.pipeline.TextAnalysis.normText(col("text")))
-        .as("content_hash"))
-      .dropDuplicates("content_hash")
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("content_hash")
-  }
+  def dedupExactStream(spark: SparkSession, dir: String): DataFrame =
+    drain(spark, dir, "documents", "graft_dedup_stream", "append") {
+      stream =>
+        stream
+          .select(md5(graft.pipeline.TextAnalysis.normText(col("text")))
+            .as("content_hash"))
+          .dropDuplicates("content_hash")
+    }.orderBy("content_hash")
 
   /** [[graft.logs.Shaping.stats]] as a continuously-maintained global
     * aggregate — pond's STATS counters (record/byte totals, time
@@ -95,27 +98,15 @@ object StreamOps {
     * batch answer once the AvailableNow drain completes — gated
     * against the SAME oracle SQL as batch `stats`.
     */
-  def statsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val name = "graft_stats_stream"
-    val q = LogView.fromEvents(stream)
-      .agg(
-        count(lit(1)).as("record_count"),
-        sum("traffic_sent").as("bytes_sent"),
-        sum("traffic_received").as("bytes_received"),
-        min("timestamp").as("first_us"),
-        max("timestamp").as("last_us"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def statsStream(spark: SparkSession, dir: String): DataFrame =
+    drain(spark, dir, "events", "graft_stats_stream", "complete") {
+      stream =>
+        LogView.fromEvents(stream)
+          .agg(
+            count(lit(1)).as("record_count"),
+            sum("traffic_sent").as("bytes_sent"),
+            sum("traffic_received").as("bytes_received"),
+            min("timestamp").as("first_us"),
+            max("timestamp").as("last_us"))
+    }
 }
