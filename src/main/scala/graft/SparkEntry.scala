@@ -616,6 +616,23 @@ object SparkEntry {
       "list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]) " +
       "ELSE [list_min(hs)] END) AS fp FROM g)"
 
+  // the blocked ngram-Jaccard pair relation p(doc_a, doc_b, jac_bp ≥
+  // 6500) — shared between dedup_ngram and dedup_clusters so the edge
+  // set the clusters are built on is gate-identical to the pairs
+  // operator's output (body split out so dedup_clusters can prepend
+  // WITH RECURSIVE)
+  private val ngramPairsCteBody =
+    "d AS (SELECT doc_id, lang, source, " + normSql + " AS txt FROM documents), " +
+      "g AS (SELECT doc_id, lang, source, " +
+      "list_distinct([substr(txt, i, 3) for i in range(1, greatest(length(txt) - 2, 1) + 1)]) AS sh " +
+      "FROM d), " +
+      "p AS (SELECT doc_a, doc_b, jac_bp FROM (" +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(floor(10000.0 * len(list_intersect(a.sh, b.sh)) / " +
+      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_bp " +
+      "FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source " +
+      "AND a.doc_id < b.doc_id) WHERE jac_bp >= 6500)"
+
   private def markerCountSql(words: Seq[String]): String =
     words.map { w =>
       s"(length(' ' || txt || ' ') - length(regexp_replace(' ' || txt || ' ', '\\s$w\\s', '', 'g'))) / ${w.length + 2}"
@@ -652,16 +669,21 @@ object SparkEntry {
     ("dedup_simhash", (s: SparkSession, d: String) => Dedup.simhashPairs(s, d), None),
     ("dedup_ngram",
       (s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d, minBp = 6500),
-      Some("WITH d AS (SELECT doc_id, lang, source, " + normSql + " AS txt FROM documents), " +
-        "g AS (SELECT doc_id, lang, source, " +
-        "list_distinct([substr(txt, i, 3) for i in range(1, greatest(length(txt) - 2, 1) + 1)]) AS sh " +
-        "FROM d) " +
-        "SELECT doc_a, doc_b, jac_bp FROM (" +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CAST(floor(10000.0 * len(list_intersect(a.sh, b.sh)) / " +
-        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_bp " +
-        "FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source " +
-        "AND a.doc_id < b.doc_id) WHERE jac_bp >= 6500 ORDER BY doc_a, doc_b")),
+      Some("WITH " + ngramPairsCteBody +
+        " SELECT doc_a, doc_b, jac_bp FROM p ORDER BY doc_a, doc_b")),
+    // pairs → clusters: min-label propagation + pointer jumping in
+    // Spark, exact recursive-CTE transitive closure in the oracle —
+    // two independent component algorithms, one answer
+    ("dedup_clusters",
+      (s: SparkSession, d: String) => Dedup.clusters(s, d),
+      Some("WITH RECURSIVE " + ngramPairsCteBody +
+        ", e AS (SELECT doc_a AS a, doc_b AS b FROM p " +
+        "UNION SELECT doc_b, doc_a FROM p " +
+        "UNION SELECT doc_id, doc_id FROM documents), " +
+        "r AS (SELECT a, b FROM e " +
+        "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a) " +
+        "SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep " +
+        "FROM r GROUP BY 1 ORDER BY 1")),
     ("dedup_cdc",
       (s: SparkSession, d: String) => Dedup.cdcPairs(s, d, minShared = 1),
       None),

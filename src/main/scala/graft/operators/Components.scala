@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the step that turns near-dup
+  * PAIRS into dedup CLUSTERS (keep one representative per component,
+  * drop the rest). Min-label propagation with pointer jumping:
+  *
+  *  - neighbour step: `label(v) ← min(label(v), min over neighbours)`
+  *    propagates one hop per round;
+  *  - pointer-jumping step: `label(v) ← label(label(v))` halves the
+  *    remaining path, so convergence is O(log diameter) rounds, not
+  *    O(diameter) — the discipline that makes a 100 TB run's round
+  *    count single-digit (cf. the alternating large-star/small-star
+  *    formulation of Kiveris et al., "Connected Components in
+  *    MapReduce and Beyond", SoCC 2014).
+  *
+  * Each round is two shuffle joins on node id; `localCheckpoint`
+  * truncates the iterative lineage (an uncut 2·k-join plan tree hangs
+  * the optimizer long before the data is the problem — on a cluster
+  * this would be a reliable checkpoint instead). Convergence is
+  * detected by the label-sum invariant: labels only ever decrease, so
+  * an unchanged sum means a fixpoint.
+  */
+object Components {
+
+  /** @param nodes one column `node` (every vertex, including
+    *              singletons — they emerge as their own component)
+    * @param edges two columns `a`, `b` (undirected; either order)
+    * @return (node, label) with label = min node id of the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxRounds: Int = 25): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("n")).agg(min("label").as("nbr_label"))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("n"), "left")
+        .select(labels("node").as("node"),
+          least(labels("label"),
+            coalesce(col("nbr_label"), labels("label"))).as("label"))
+      // pointer jumping: every label IS a node id (min over a set
+      // containing ids), so the self-join is total
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("node").as("pn"), col("label").as("pl")).as("y"),
+          col("x.label") === col("y.pn"))
+        .select(col("x.node").as("node"),
+          least(col("x.label"), col("pl")).as("label"))
+        .localCheckpoint(true)
+      val newSum = jumped.agg(sum("label")).head().getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
+      labels = jumped
+    }
+    labels
+  }
+}

@@ -286,6 +286,25 @@ object Dedup {
     * winnowing: any shared run ≥ k+w−1 chars shares a fingerprint,
     * so high-overlap pairs always surface.
     */
+  /** Near-dup pairs → dedup clusters: connected components over the
+    * [[ngramJaccardPairs]] edge set ([[graft.operators.Components]]),
+    * every document labelled with its component's min doc_id — the
+    * "keep one representative, drop the rest" step that actually
+    * deduplicates a corpus once pair detection has run. Singletons
+    * label themselves. The oracle computes the same components with
+    * an exact recursive-CTE transitive closure.
+    */
+  def clusters(spark: SparkSession, dir: String,
+               minBp: Long = 6500): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, minBp)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = Tables.documents(spark, dir)
+      .select(col("doc_id").as("node"))
+    graft.operators.Components.connectedComponents(nodes, pairs)
+      .select(col("node").as("doc_id"), col("label").as("rep"))
+      .orderBy("doc_id")
+  }
+
   def winnowPairs(spark: SparkSession, dir: String,
                   minShared: Long = 20, maxDf: Long = 50): DataFrame = {
     val fps = graft.pipeline.TextAnalysis.winnowFps(spark, dir)

@@ -39,7 +39,7 @@ class SparkEntrySpec extends SparkSpec {
       "q_window_range", "stats_stream", "embedding_centroid",
       // §2E
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-      "dedup_cdc",
+      "dedup_cdc", "dedup_clusters",
       "dedup_embedding", "dedup_embedding_ivf",
       "ann_brute", "ann_lsh", "ann_ivf", "lang_id",
       "quality_score",

@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+
+  test("components: chain, triangle and singleton resolve to min labels") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 — exercises pointer jumping),
+    // triangle 10-11-12, singleton 20
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("a", "b")
+    val nodes = (Seq(20L) ++ (1L to 5L) ++ (10L to 12L)).toDF("node")
+    val got = Components.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 5L).foreach(n => assert(got(n) == 1L, s"node $n"))
+    (10L to 12L).foreach(n => assert(got(n) == 10L, s"node $n"))
+    assert(got(20L) == 20L)
+    assert(got.size == 9)
+  }
+
+  test("components: edge direction does not matter") {
+    import spark.implicits._
+    val edges = Seq((7L, 3L), (3L, 9L)).toDF("a", "b")
+    val nodes = Seq(3L, 7L, 9L).toDF("node")
+    val got = Components.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
+  }
+}
