@@ -25,6 +25,12 @@ object DateLayout {
       spark.sparkContext.applicationId, dir)
     LogView(spark, dir)
       .withColumn("date", expr("date(timestamp_micros(timestamp))"))
+      // repartition on the partition column first: without it every
+      // task writes a file into every date directory (tasks × dates
+      // small files — the classic partitioned-write mistake at scale);
+      // with it each date is one task's contiguous write. AQE coalesces
+      // the post-shuffle partitions, so skewed dates still split.
+      .repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(tmp)
     spark.read.parquet(tmp)
       .groupBy(col("date").cast("string").as("date"))
