@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   * the optimizer long before the data is the problem — on a cluster
   * this would be a reliable checkpoint instead). Convergence is
   * detected by the label-sum invariant: labels only ever decrease, so
-  * an unchanged sum means a fixpoint.
+  * an unchanged sum means a fixpoint (summed in decimal — see
+  * labelSum).
   */
 object Components {
 
@@ -39,7 +40,15 @@ object Components {
     var labels = nodes
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    // the sum accumulates in DECIMAL(38,0): int64 would overflow (and,
+    // under the session's pinned ANSI mode, raise) once node ids are
+    // content hashes or the corpus passes ~1e9 rows; coalesce covers
+    // the empty-input case (sum over zero rows is NULL)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("s"))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -58,8 +67,8 @@ object Components {
         .select(col("x.node").as("node"),
           least(col("x.label"), col("pl")).as("label"))
         .localCheckpoint(true)
-      val newSum = jumped.agg(sum("label")).head().getLong(0)
-      converged = newSum == prevSum
+      val newSum = labelSum(jumped)
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       labels = jumped
     }

@@ -276,16 +276,6 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Winnowing-based near-dup pairs (MOSS-style): documents sharing
-    * ≥ `minShared` winnowed k-gram fingerprints
-    * ([[TextAnalysis.winnowFps]], Schleimer et al. 2003). The same
-    * inverted-index discipline as [[cdcPairsOf]]: fingerprints with
-    * document frequency above `maxDf` are corpus boilerplate, not
-    * copied passages — dropped BEFORE the pair join so one hot
-    * fingerprint can't cost df²/2 pairs. Guarantee inherited from
-    * winnowing: any shared run ≥ k+w−1 chars shares a fingerprint,
-    * so high-overlap pairs always surface.
-    */
   /** Near-dup pairs → dedup clusters: connected components over the
     * [[ngramJaccardPairs]] edge set ([[graft.operators.Components]]),
     * every document labelled with its component's min doc_id — the
@@ -305,6 +295,16 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Winnowing-based near-dup pairs (MOSS-style): documents sharing
+    * ≥ `minShared` winnowed k-gram fingerprints
+    * ([[TextAnalysis.winnowFps]], Schleimer et al. 2003). The same
+    * inverted-index discipline as [[cdcPairsOf]]: fingerprints with
+    * document frequency above `maxDf` are corpus boilerplate, not
+    * copied passages — dropped BEFORE the pair join so one hot
+    * fingerprint can't cost df²/2 pairs. Guarantee inherited from
+    * winnowing: any shared run ≥ k+w−1 chars shares a fingerprint,
+    * so high-overlap pairs always surface.
+    */
   def winnowPairs(spark: SparkSession, dir: String,
                   minShared: Long = 20, maxDf: Long = 50): DataFrame = {
     val fps = graft.pipeline.TextAnalysis.winnowFps(spark, dir)

@@ -202,11 +202,13 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(winnow)).as("fp"))
   }
 
-  /** Per-document distinct terms — the (doc, term) incidence relation
-    * that [[tokenDfScore]] and [[tfidfTopTerms]] aggregate. One
-    * explode, no UDF; at 100 TB this is the classic inverted-index
-    * build shape (shuffle on term is the only wide dependency
-    * downstream).
+  /** Per-document DISTINCT terms — the (doc, term) incidence relation
+    * [[tokenDfScore]] aggregates. ([[tfidfTopTerms]] deliberately does
+    * NOT use this: tf needs duplicate occurrences, so it explodes
+    * without array_distinct — folding it onto this relation would
+    * silently pin every tf to 1.) One explode, no UDF; at 100 TB this
+    * is the classic inverted-index build shape (shuffle on term is the
+    * only wide dependency downstream).
     */
   private def docTerms(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -29,6 +29,10 @@ object CsvSource {
     spark.read.schema(schema)
       .option("nullValue", NullToken)
       .option("emptyValue", "")
+      // the writer quotes fields with embedded newlines; without
+      // multiLine the reader would split such records on the raw
+      // newline before parsing quotes and corrupt the row
+      .option("multiLine", "true")
       .csv(path)
 
   /** Write the log view as CSV, read it back typed. Lossless for

@@ -20,6 +20,14 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 9)
   }
 
+  test("components: empty graph yields empty result, not a crash") {
+    import spark.implicits._
+    val got = Components.connectedComponents(
+      Seq.empty[Long].toDF("node"),
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(got.count() == 0)
+  }
+
   test("components: edge direction does not matter") {
     import spark.implicits._
     val edges = Seq((7L, 3L), (3L, 9L)).toDF("a", "b")

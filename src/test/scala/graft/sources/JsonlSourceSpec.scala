@@ -32,6 +32,20 @@ class JsonlSourceSpec extends SparkSpec {
       orig.filter(col("forwarded_to").isNull).count())
   }
 
+  test("csv survives embedded newlines and quotes in string fields") {
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "line1\nline2", "plain"),
+      (2L, "has \"quotes\" and, commas", null),
+      (3L, null, "x"))
+      .toDF("id", "message", "extra")
+    val dir = java.nio.file.Files.createTempDirectory("csvnl").toString
+    CsvSource.write(tricky, dir)
+    val back = CsvSource.read(spark, dir, tricky.schema)
+    assert(back.count() == 3)
+    assert(back.exceptAll(tricky).isEmpty && tricky.exceptAll(back).isEmpty)
+  }
+
   test("date layout: partition dirs exist and rollup preserves totals") {
     val rollup = DateLayout.writeRollup(spark, sf)
     val total = rollup.agg(sum("n")).head().getLong(0)
