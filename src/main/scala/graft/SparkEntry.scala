@@ -142,6 +142,12 @@ object SparkEntry {
       Some(LogView.oracle(
         "SELECT remote_host AS value, CAST(count(*) AS BIGINT) AS n FROM log " +
           "WHERE remote_host IS NOT NULL GROUP BY 1 ORDER BY n DESC, value LIMIT 10"))),
+    ("accumulate_top_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.accumulateTopStream(s, d),
+      Some(LogView.oracle(
+        "SELECT remote_host AS value, CAST(count(*) AS BIGINT) AS n FROM log " +
+          "WHERE remote_host IS NOT NULL GROUP BY 1 ORDER BY n DESC, value LIMIT 10"))),
     ("accumulate_more",
       (s: SparkSession, d: String) => Shaping.accumulateMore(LogView(s, d), "site", 1000L),
       Some(LogView.oracle(
@@ -581,6 +587,16 @@ object SparkEntry {
         "FROM li JOIN pp ON l_partkey = p_key " +
         "WHERE qty_mu * 5 * n_li < sum_mu " +
         "GROUP BY 1 ORDER BY 1")),
+    ("q_except",
+      (s: SparkSession, d: String) => Analytics.qExcept(s, d),
+      Some("SELECT o_custkey FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1995-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-01-01' " +
+        "EXCEPT " +
+        "SELECT o_custkey FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "ORDER BY o_custkey")),
     ("q_window_range",
       (s: SparkSession, d: String) => Analytics.qWindowRange(s, d),
       Some(LogView.oracle(

@@ -385,13 +385,22 @@ object Analytics {
     * shuffle, so the exchanged volume is |active customers|, not
     * |orders|, per branch.
     */
-  def qIntersect(spark: SparkSession, dir: String): DataFrame = {
-    def activeIn(year: Int) =
-      Tables.orders(spark, dir)
-        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
-        .select(col("o_custkey"))
-    activeIn(1995).intersect(activeIn(1996))
+  def qIntersect(spark: SparkSession, dir: String): DataFrame =
+    activeIn(spark, dir, 1995).intersect(activeIn(spark, dir, 1996))
       .orderBy("o_custkey")
-  }
+
+  /** Set operation (EXCEPT): customers active in 1995 who did NOT
+    * return in 1996 — churn. Same distinct-keys-per-branch shape as
+    * [[qIntersect]], planned as a left-anti aggregate.
+    */
+  def qExcept(spark: SparkSession, dir: String): DataFrame =
+    activeIn(spark, dir, 1995).except(activeIn(spark, dir, 1996))
+      .orderBy("o_custkey")
+
+  private def activeIn(spark: SparkSession, dir: String,
+                       year: Int): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
 }

@@ -90,6 +90,22 @@ object StreamOps {
           .dropDuplicates("content_hash")
     }.orderBy("content_hash")
 
+  /** [[graft.logs.Shaping.accumulateTop]] as a live top-N: the
+    * per-value counts are maintained incrementally (complete-mode
+    * grouped count — bounded state, one row per distinct value); the
+    * top-10 cut happens on the drained table, where it is a
+    * TakeOrderedAndProject over the aggregate, exactly like batch.
+    * Gated against the identical batch oracle.
+    */
+  def accumulateTopStream(spark: SparkSession, dir: String): DataFrame =
+    drain(spark, dir, "events", "graft_accumulate_top_stream", "complete") {
+      stream =>
+        LogView.fromEvents(stream)
+          .filter(col("remote_host").isNotNull)
+          .groupBy(col("remote_host").as("value"))
+          .agg(count(lit(1)).as("n"))
+    }.orderBy(col("n").desc, col("value")).limit(10)
+
   /** [[graft.logs.Shaping.stats]] as a continuously-maintained global
     * aggregate — pond's STATS counters (record/byte totals, time
     * range) kept live over the stream instead of recomputed. All five

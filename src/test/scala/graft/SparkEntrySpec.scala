@@ -36,7 +36,8 @@ class SparkEntrySpec extends SparkSpec {
       "q_approx_distinct", "q_exists", "q_funnel", "q_sessionize", "q_json",
       "q_rollup", "q_cube", "q_asof", "q_pivot", "q_skew_join",
       "q_semi", "q_grouping_sets", "q_correlated", "q_intersect",
-      "q_window_range", "stats_stream", "embedding_centroid",
+      "q_except", "q_window_range", "stats_stream", "embedding_centroid",
+      "accumulate_top_stream",
       // §2E
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_cdc", "dedup_clusters",
