@@ -441,6 +441,22 @@ object SparkEntry {
   // decimal canonicalize differently in the gate's hasher).
   private val decSum = "CAST(sum(CAST(%s AS DECIMAL(38,6))) * 1000000 AS BIGINT)"
 
+  // 30-min-gap sessionization — shared by the batch operator and the
+  // native-session-window streaming operator so both gate against
+  // literally the same session definition
+  private val sessionizeOracleSql =
+    "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
+      "CAST(count(*) AS BIGINT) AS n_events, " +
+      "max(ts_us) - min(ts_us) AS duration_us FROM (" +
+      "SELECT user_id, ts_us, " +
+      "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS session_seq FROM (" +
+      "SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+      "CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL " +
+      "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= 1800000000 " +
+      "THEN 1 ELSE 0 END AS is_new FROM events)) " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+
   private val analyticsQueries: Seq[(String, Q, Option[String])] = Seq(
     ("q1_agg", (s: SparkSession, d: String) => Analytics.q1Agg(s, d),
       Some("SELECT l_returnflag, l_linestatus, " +
@@ -498,17 +514,13 @@ object SparkEntry {
         "CAST(count(CASE WHEN last_purchase_us >= signup_us THEN 1 END) AS BIGINT) " +
         "AS n_converted FROM s LEFT JOIN p USING (user_id)")),
     ("q_sessionize", (s: SparkSession, d: String) => Analytics.qSessionize(s, d),
-      Some("SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
-        "CAST(count(*) AS BIGINT) AS n_events, " +
-        "max(ts_us) - min(ts_us) AS duration_us FROM (" +
-        "SELECT user_id, ts_us, " +
-        "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
-        "ROWS UNBOUNDED PRECEDING) AS session_seq FROM (" +
-        "SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
-        "CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL " +
-        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= 1800000000 " +
-        "THEN 1 ELSE 0 END AS is_new FROM events)) " +
-        "GROUP BY 1, 2 ORDER BY 1, 2")),
+      Some(sessionizeOracleSql)),
+    // the SAME oracle gates the native session_window streaming path:
+    // stateful merge vs lag/cumsum — two algorithms, one session set
+    ("sessionize_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.sessionizeStream(s, d),
+      Some(sessionizeOracleSql)),
     ("q_json", (s: SparkSession, d: String) => Analytics.qJson(s, d),
       Some("SELECT k % 10 AS k_bucket, CAST(count(*) AS BIGINT) AS n, " +
         decSum.format("value") + " AS sum_value FROM (" +
@@ -586,6 +598,16 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n " +
         "FROM li JOIN pp ON l_partkey = p_key " +
         "WHERE qty_mu * 5 * n_li < sum_mu " +
+        "GROUP BY 1 ORDER BY 1")),
+    // the co-located-join layout through the gate: bucketed tables
+    // must return byte-identical results to the plain-parquet oracle
+    ("q_bucket_join",
+      (s: SparkSession, d: String) =>
+        graft.sources.Bucketed.bucketJoinAgg(s, d),
+      Some("SELECT o_orderstatus, " +
+        decSum.format("l_quantity") + " AS sum_qty, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY 1 ORDER BY 1")),
     ("q_except",
       (s: SparkSession, d: String) => Analytics.qExcept(s, d),
@@ -788,6 +810,19 @@ object SparkEntry {
         "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_mu, " +
         "CAST(count(*) AS BIGINT) AS n " +
         "FROM e GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("bigram_fluency",
+      (s: SparkSession, d: String) => TextAnalysis.bigramFluency(s, d),
+      Some("WITH w AS (SELECT doc_id, " +
+        "regexp_split_to_array(" + normSql + ", ' ') AS ws FROM documents), " +
+        "bg AS (SELECT doc_id, " +
+        "unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg " +
+        "FROM w WHERE len(ws) >= 2), " +
+        "dfr AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM (" +
+        "SELECT DISTINCT doc_id, bg FROM bg) GROUP BY 1) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(df) AS BIGINT) AS sum_df, " +
+        "CAST(sum(df) * 1000000 // count(*) AS BIGINT) AS lm_score_micro " +
+        "FROM bg JOIN dfr USING (bg) GROUP BY 1 ORDER BY 1")),
     ("sample_stratified",
       (s: SparkSession, d: String) => Curation.sampleStratified(s, d),
       Some("SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn FROM (" +

@@ -239,6 +239,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram fluency: mean corpus document-frequency of a document's
+    * bigram occurrences, in exact integer micro-units — the
+    * two-token sibling of [[tokenDfScore]] and the poor man's
+    * language-model score (text whose word PAIRS recur across the
+    * corpus reads as fluent; rare-bigram text is disfluent or
+    * scrambled even when its unigrams are common). Documents with
+    * fewer than 2 words have no bigrams and are OMITTED — same CASE
+    * guard as [[repetitionScoreOf]] (`sequence(1, 0)` is DESCENDING
+    * in Spark and would throw under ANSI).
+    */
+  def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(expr("CASE WHEN size(ws) >= 2 THEN " +
+          "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
+          "ELSE array() END")).as("bg"))
+    val dfr = bg.select(col("doc_id"), col("bg")).distinct()
+      .groupBy("bg").agg(count(lit(1)).as("df"))
+    bg.join(dfr, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("df").as("sum_df"))
+      .withColumn("lm_score_micro",
+        expr("sum_df * 1000000 div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document most-distinctive terms: top-k by (tf DESC, df ASC,
     * term ASC) — the division-free stand-in for tf-idf ranking
     * (log(N/df) is float and engine-divergent; the lexicographic

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Bucketed fact tables — the co-located-join layout (SURVEY §4): both
+  * sides written `bucketBy(n, key).sortBy(key)`, so every subsequent
+  * join or aggregation on the key plans WITHOUT an Exchange on either
+  * input. At 100 TB the one-time layout cost is repaid by every query;
+  * BucketedJoinSpec asserts the shuffle-free plan, and the
+  * `q_bucket_join` gate entry proves the bucketed path returns results
+  * identical to the plain-parquet oracle.
+  */
+object Bucketed {
+
+  /** Write lineitem/orders bucketed on the order key (idempotent per
+    * (session, sf dir) — Bench's repeated passes reuse the tables).
+    * Table names carry a dir digest so different scale factors in one
+    * JVM can't collide; a stale same-name warehouse dir from an
+    * earlier JVM is deleted first (saveAsTable refuses to overwrite a
+    * path the in-memory catalog has no entry for).
+    */
+  def ensureTables(spark: SparkSession, dir: String,
+                   buckets: Int = 8): (String, String) = {
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val li = s"li_bkt_$suf"
+    val ord = s"ord_bkt_$suf"
+    if (!spark.catalog.tableExists(li) || !spark.catalog.tableExists(ord)) {
+      Seq(li, ord).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(s"spark-warehouse/$t")
+        if (loc.exists()) {
+          java.nio.file.Files.walk(loc.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.delete(p))
+        }
+      }
+      Tables.lineitem(spark, dir).write
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(li)
+      Tables.orders(spark, dir).write
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ord)
+    }
+    (li, ord)
+  }
+
+  /** Revenue-per-status over the bucketed join — the query whose plan
+    * has no Exchange below the join (both sides pre-partitioned and
+    * pre-sorted on the key by the layout).
+    */
+  def bucketJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = ensureTables(spark, dir)
+    spark.table(li)
+      .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg((sum(col("l_quantity").cast("decimal(38,6)")) * lit(1000000))
+        .cast("long").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+}

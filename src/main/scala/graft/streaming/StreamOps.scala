@@ -106,6 +106,45 @@ object StreamOps {
           .agg(count(lit(1)).as("n"))
     }.orderBy(col("n").desc, col("value")).limit(10)
 
+  /** [[graft.analytics.Analytics.qSessionize]] as a NATIVE streaming
+    * session window: `session_window(t, 30 min)` merges events whose
+    * gap is < 30 min and closes the session otherwise — the same
+    * boundary rule as the batch operator's `gap >= 30min ⇒ new`
+    * (Spark's session interval is half-open: an event exactly at
+    * last + gap starts a new session). State is per-open-session and
+    * watermark-bounded. Session ordinals and durations are recovered
+    * after the drain: `end − gap = max event time`, so
+    * `duration = end − gap − start` exactly, and the gate compares
+    * the result against the SAME oracle as the hand-rolled batch
+    * sessionization — two different algorithms (stateful merge vs
+    * lag/cumsum window) must produce identical sessions.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String,
+                       gapUs: Long = 1800000000L): DataFrame = {
+    val sessions =
+      drain(spark, dir, "events", "graft_sessionize_stream", "complete") {
+        stream =>
+          stream
+            .select(col("user_id"),
+              timestamp_micros(expr("ts div 1000")).as("t"))
+            .withWatermark("t", "1 hour")
+            .groupBy(col("user_id"),
+              session_window(col("t"), s"${gapUs / 1000000} seconds").as("w"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("user_id"),
+              expr("unix_micros(w.start)").as("start_us"),
+              expr("unix_micros(w.end)").as("end_us"),
+              col("n_events"))
+      }
+    val seq = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_us")
+    sessions
+      .withColumn("session_seq", row_number().over(seq).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        (col("end_us") - lit(gapUs) - col("start_us")).as("duration_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** [[graft.logs.Shaping.stats]] as a continuously-maintained global
     * aggregate — pond's STATS counters (record/byte totals, time
     * range) kept live over the stream instead of recomputed. All five

@@ -11,29 +11,11 @@ class BucketedJoinSpec extends SparkSpec {
 
   test("bucketed fact tables join without a shuffle") {
     // saveAsTable writes to the default warehouse dir (./spark-warehouse,
-    // gitignored) — warehouse.dir is a static conf and cannot move here.
-    // The catalog is in-memory per JVM, so also clear stale locations
-    // left by earlier runs.
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
-    Seq("li_b", "ord_b").foreach { t =>
-      val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) {
-        java.nio.file.Files.walk(loc.toPath)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-      }
-    }
-
-    Tables.lineitem(spark, sf).write
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_b")
-    Tables.orders(spark, sf).write
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("ord_b")
-
-    val joined = spark.table("li_b")
-      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+    // gitignored); Bucketed.ensureTables handles the stale-dir and
+    // per-sf-dir naming concerns
+    val (li, ord) = graft.sources.Bucketed.ensureTables(spark, sf)
+    val joined = spark.table(li)
+      .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("q"))
     // disable broadcast for this check: force the merge-join path that a

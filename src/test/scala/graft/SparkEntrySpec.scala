@@ -37,7 +37,8 @@ class SparkEntrySpec extends SparkSpec {
       "q_rollup", "q_cube", "q_asof", "q_pivot", "q_skew_join",
       "q_semi", "q_grouping_sets", "q_correlated", "q_intersect",
       "q_except", "q_window_range", "stats_stream", "embedding_centroid",
-      "accumulate_top_stream",
+      "accumulate_top_stream", "sessionize_stream", "q_bucket_join",
+      "bigram_fluency",
       // §2E
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_cdc", "dedup_clusters",
