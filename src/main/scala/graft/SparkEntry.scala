@@ -599,6 +599,12 @@ object SparkEntry {
         "FROM li JOIN pp ON l_partkey = p_key " +
         "WHERE qty_mu * 5 * n_li < sum_mu " +
         "GROUP BY 1 ORDER BY 1")),
+    ("q_sql_exists",
+      (s: SparkSession, d: String) => Analytics.qSqlExists(s, d),
+      Some("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n " +
+        "FROM customer c WHERE EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) " +
+        "GROUP BY 1 ORDER BY 1")),
     // the co-located-join layout through the gate: bucketed tables
     // must return byte-identical results to the plain-parquet oracle
     ("q_bucket_join",

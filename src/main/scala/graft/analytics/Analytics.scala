@@ -397,6 +397,24 @@ object Analytics {
     activeIn(spark, dir, 1995).except(activeIn(spark, dir, 1996))
       .orderBy("o_custkey")
 
+  /** The SQL-text front end: the engine's tables exposed as views and
+    * queried with plain SQL, including a correlated EXISTS that
+    * Catalyst decorrelates into the same semi join [[qSemi]] builds
+    * by hand — the surface a BI tool or notebook user actually
+    * touches. The oracle is the near-verbatim same SQL in DuckDB.
+    */
+  def qSqlExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   private def activeIn(spark: SparkSession, dir: String,
                        year: Int): DataFrame =
     Tables.orders(spark, dir)

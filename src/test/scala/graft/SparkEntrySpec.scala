@@ -38,7 +38,7 @@ class SparkEntrySpec extends SparkSpec {
       "q_semi", "q_grouping_sets", "q_correlated", "q_intersect",
       "q_except", "q_window_range", "stats_stream", "embedding_centroid",
       "accumulate_top_stream", "sessionize_stream", "q_bucket_join",
-      "bigram_fluency",
+      "bigram_fluency", "q_sql_exists",
       // §2E
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_cdc", "dedup_clusters",
