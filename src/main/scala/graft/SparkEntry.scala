@@ -41,6 +41,14 @@ object SparkEntry {
   private def logSql(where: String, order: String = "timestamp, event_id"): String =
     LogView.oracle(s"SELECT $logCols FROM log WHERE $where ORDER BY $order")
 
+  // top-10 remote hosts — shared by the batch and streaming
+  // accumulate_top entries so the two can't gate against different
+  // definitions (declared before shapingQueries: object vals
+  // initialize in order)
+  private val accumulateTopOracleSql = LogView.oracle(
+    "SELECT remote_host AS value, CAST(count(*) AS BIGINT) AS n FROM log " +
+      "WHERE remote_host IS NOT NULL GROUP BY 1 ORDER BY n DESC, value LIMIT 10")
+
   // ---- §2A filters ----
 
   private val combinedFilter = LogFilter(
@@ -139,15 +147,12 @@ object SparkEntry {
           "ORDER BY site, timestamp, event_id"))),
     ("accumulate_top",
       (s: SparkSession, d: String) => Shaping.accumulateTop(LogView(s, d), "remote_host", 10),
-      Some(LogView.oracle(
-        "SELECT remote_host AS value, CAST(count(*) AS BIGINT) AS n FROM log " +
-          "WHERE remote_host IS NOT NULL GROUP BY 1 ORDER BY n DESC, value LIMIT 10"))),
+      Some(accumulateTopOracleSql)),
+    // the same top-N definition gates the streaming path
     ("accumulate_top_stream",
       (s: SparkSession, d: String) =>
         graft.streaming.StreamOps.accumulateTopStream(s, d),
-      Some(LogView.oracle(
-        "SELECT remote_host AS value, CAST(count(*) AS BIGINT) AS n FROM log " +
-          "WHERE remote_host IS NOT NULL GROUP BY 1 ORDER BY n DESC, value LIMIT 10"))),
+      Some(accumulateTopOracleSql)),
     ("accumulate_more",
       (s: SparkSession, d: String) => Shaping.accumulateMore(LogView(s, d), "site", 1000L),
       Some(LogView.oracle(

@@ -46,7 +46,7 @@ object Analytics {
     * switches the affected query to a DECIMAL(38,6) accumulator with
     * the ×1e6 BIGINT cast moved to the final column.
     */
-  private def sumMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def sumMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum((c.cast("decimal(38,6)") * lit(1000000L)).cast("long"))
 
   /** TPC-H Q1 shape: scan-heavy grouped aggregation, fully

@@ -26,16 +26,20 @@ object Bucketed {
                    buckets: Int = 8): (String, String) = {
     val suf = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val li = s"li_bkt_$suf"
-    val ord = s"ord_bkt_$suf"
+    // bucket count is part of the identity: asking for a different
+    // count must never silently reuse a differently-bucketed table
+    val li = s"li_bkt_${suf}_$buckets"
+    val ord = s"ord_bkt_${suf}_$buckets"
     if (!spark.catalog.tableExists(li) || !spark.catalog.tableExists(ord)) {
       Seq(li, ord).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         val loc = new java.io.File(s"spark-warehouse/$t")
         if (loc.exists()) {
-          java.nio.file.Files.walk(loc.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.delete(p))
+          val walk = java.nio.file.Files.walk(loc.toPath)
+          try {
+            walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.delete(p))
+          } finally walk.close()
         }
       }
       Tables.lineitem(spark, dir).write
@@ -57,8 +61,7 @@ object Bucketed {
     spark.table(li)
       .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
-      .agg((sum(col("l_quantity").cast("decimal(38,6)")) * lit(1000000))
-        .cast("long").as("sum_qty"),
+      .agg(graft.analytics.Analytics.sumMicros(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
   }

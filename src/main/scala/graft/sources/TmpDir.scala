@@ -20,9 +20,11 @@ object TmpDir {
       created.forEach { p =>
         try {
           if (Files.exists(p)) {
-            Files.walk(p)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => { try Files.delete(f) catch { case _: Throwable => () } })
+            val walk = Files.walk(p)
+            try {
+              walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => { try Files.delete(f) catch { case _: Throwable => () } })
+            } finally walk.close()
           }
         } catch { case _: Throwable => () }
       }

@@ -107,20 +107,24 @@ object StreamOps {
     }.orderBy(col("n").desc, col("value")).limit(10)
 
   /** [[graft.analytics.Analytics.qSessionize]] as a NATIVE streaming
-    * session window: `session_window(t, 30 min)` merges events whose
-    * gap is < 30 min and closes the session otherwise — the same
-    * boundary rule as the batch operator's `gap >= 30min ⇒ new`
-    * (Spark's session interval is half-open: an event exactly at
-    * last + gap starts a new session). State is per-open-session and
-    * watermark-bounded. Session ordinals and durations are recovered
-    * after the drain: `end − gap = max event time`, so
-    * `duration = end − gap − start` exactly, and the gate compares
-    * the result against the SAME oracle as the hand-rolled batch
+    * session window. Boundary subtlety (verified empirically on
+    * Spark 4.1.2): `session_window(t, g)` MERGES two events exactly
+    * `g` apart, while the batch operator's rule is `gap >= gapUs ⇒
+    * new session`. With µs-integral event times the two agree iff the
+    * window gap is `gapUs − 1` µs: merge ⇔ gap ≤ gapUs−1 ⇔
+    * gap < gapUs. The gap is passed in microseconds (never floored to
+    * seconds), and duration is recovered as `end − (gapUs−1) − start`
+    * since `end = max event time + window gap`. State is
+    * per-open-session and watermark-bounded; the gate compares the
+    * result against the SAME oracle as the hand-rolled batch
     * sessionization — two different algorithms (stateful merge vs
-    * lag/cumsum window) must produce identical sessions.
+    * lag/cumsum window) must produce identical sessions, including at
+    * exact-gap boundaries (SessionWindowBoundarySpec pins the rule).
     */
   def sessionizeStream(spark: SparkSession, dir: String,
                        gapUs: Long = 1800000000L): DataFrame = {
+    require(gapUs >= 2, s"gapUs must be >= 2 µs, got $gapUs")
+    val winGapUs = gapUs - 1
     val sessions =
       drain(spark, dir, "events", "graft_sessionize_stream", "complete") {
         stream =>
@@ -129,7 +133,7 @@ object StreamOps {
               timestamp_micros(expr("ts div 1000")).as("t"))
             .withWatermark("t", "1 hour")
             .groupBy(col("user_id"),
-              session_window(col("t"), s"${gapUs / 1000000} seconds").as("w"))
+              session_window(col("t"), s"$winGapUs microseconds").as("w"))
             .agg(count(lit(1)).as("n_events"))
             .select(col("user_id"),
               expr("unix_micros(w.start)").as("start_us"),
@@ -141,7 +145,7 @@ object StreamOps {
     sessions
       .withColumn("session_seq", row_number().over(seq).cast("long"))
       .select(col("user_id"), col("session_seq"), col("n_events"),
-        (col("end_us") - lit(gapUs) - col("start_us")).as("duration_us"))
+        (col("end_us") - lit(winGapUs) - col("start_us")).as("duration_us"))
       .orderBy("user_id", "session_seq")
   }
 
