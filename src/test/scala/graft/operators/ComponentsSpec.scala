@@ -28,6 +28,37 @@ class ComponentsSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("components: random graphs agree with a union-find reference") {
+    import spark.implicits._
+    // seeded generator — deterministic across runs
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 20 + rnd.nextInt(30)
+      val nodes = (0L until n.toLong).toVector
+      val edges = Vector.fill(rnd.nextInt(n * 2))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: plain union-find by min root
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val expected = nodes.map(x => x -> find(x)).toMap
+      val got = Components.connectedComponents(
+        nodes.toDF("node"), edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n, |E|=${edges.size})")
+    }
+  }
+
   test("components: edge direction does not matter") {
     import spark.implicits._
     val edges = Seq((7L, 3L), (3L, 9L)).toDF("a", "b")
