@@ -296,6 +296,13 @@ object SparkEntry {
     ("follow",
       (s: SparkSession, d: String) => Follow.followTail(s, d, FollowSinceUs),
       Some(logSql(s"timestamp >= $FollowSinceUs"))),
+    ("duration_histogram",
+      (s: SparkSession, d: String) =>
+        Shaping.durationHistogram(LogView(s, d)),
+      Some(LogView.oracle(
+        "SELECT site, CAST(length(format('{:b}', duration_us)) - 1 AS BIGINT) " +
+          "AS bucket, CAST(count(*) AS BIGINT) AS n " +
+          "FROM log GROUP BY 1, 2 ORDER BY 1, 2"))),
     ("duration_quantiles",
       (s: SparkSession, d: String) => Shaping.durationQuantiles(LogView(s, d)),
       Some(LogView.oracle(

@@ -84,6 +84,22 @@ object Shaping {
       .orderBy(col("n_hits").desc, col("page"))
       .limit(n)
 
+  /** Log-scale latency histogram: per-site request counts in
+    * power-of-two duration buckets (0–1 µs, 1–2, 2–4, …) — the
+    * HDR-histogram shape every latency dashboard draws, mergeable
+    * across shards because buckets are fixed. `floor(log2(d))` is
+    * computed EXACTLY as `length(bin(d)) − 1` (binary digits minus
+    * one) — no float log whose rounding could differ between engines
+    * at bucket boundaries. One map + one partial-aggregated shuffle
+    * on (site, bucket).
+    */
+  def durationHistogram(df: DataFrame): DataFrame =
+    df.select(col("site"),
+      (length(expr("bin(duration_us)")) - 1).cast("long").as("bucket"))
+      .groupBy("site", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("site", "bucket")
+
   /** `--accumulate=FIELD,more,N` (reference client/ResultWriter.cxx:432
     * `PrintAccumulateMore`): values with count >= N.
     */

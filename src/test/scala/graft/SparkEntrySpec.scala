@@ -25,7 +25,7 @@ class SparkEntrySpec extends SparkSpec {
       "one_line_full", "one_line_clf", "age_only", "follow",
       "max_age_retention", "rate_limit", "rate_limit_stream",
       "jsonl_source", "csv_source", "partitioned_sink", "top_pages",
-      "duration_quantiles",
+      "duration_quantiles", "duration_histogram",
       "duration_quantiles_approx", "timeseries", "timeseries_stream",
       "dedup_exact_stream",
       // §2C

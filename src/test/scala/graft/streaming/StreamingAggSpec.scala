@@ -35,6 +35,56 @@ class StreamingAggSpec extends SparkSpec {
     assert(got.select("site").distinct().count() == 10)
   }
 
+  test("watermark drops events later than the threshold (bounded state)") {
+    // the 100 TB claim behind every watermarked agg here: state can't
+    // grow without bound because sufficiently-late data is DISCARDED.
+    // Run 1 establishes watermark = base (max base+1h − 1h). Run 2
+    // (checkpoint-resumed, parquet sink — memory can't recover) adds
+    // an event 2 h BEFORE the watermark and one 10 h after base; the
+    // far-future event pushes the watermark to base+9h, finalizing
+    // every window below it. If the late event had been accepted, its
+    // window [base−2h, base−1h) would finalize and emit too — so the
+    // emitted set proves the drop, not just row counting.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wmtest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wmckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("wmout").toString
+    val hourUs = 3600000000L
+    val base = 1704844800000000L
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, us LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .select(col("id"), timestamp_micros(col("us")).as("t"))
+        .withWatermark("t", "1 hour")
+        .groupBy(window(col("t"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(expr("unix_micros(w.start)").as("start_us"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((1L, base), (2L, base + hourUs)).toDF("id", "us")
+      .coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    Seq((3L, base - 2 * hourUs), (4L, base + 10 * hourUs))
+      .toDF("id", "us").coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    val emitted = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // finalized: [base] and [base+1h], one event each; the late id 3
+    // must NOT have produced a finalized [base-2h] window
+    assert(emitted.get(base).contains(1L), emitted)
+    assert(emitted.get(base + hourUs).contains(1L), emitted)
+    assert(!emitted.contains(base - 2 * hourUs),
+      s"late event leaked into a finalized window: $emitted")
+  }
+
   test("stats_stream equals batch stats exactly") {
     val streamed = StreamOps.statsStream(spark, sf).head()
     val batch = graft.logs.Shaping.stats(LogView(spark, sf)).head()
