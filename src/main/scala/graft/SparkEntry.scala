@@ -302,7 +302,7 @@ object SparkEntry {
       Some(LogView.oracle(
         "SELECT site, CAST(length(format('{:b}', duration_us)) - 1 AS BIGINT) " +
           "AS bucket, CAST(count(*) AS BIGINT) AS n " +
-          "FROM log GROUP BY 1, 2 ORDER BY 1, 2"))),
+          "FROM log WHERE duration_us >= 0 GROUP BY 1, 2 ORDER BY 1, 2"))),
     ("duration_quantiles",
       (s: SparkSession, d: String) => Shaping.durationQuantiles(LogView(s, d)),
       Some(LogView.oracle(

@@ -94,8 +94,12 @@ object Shaping {
     * on (site, bucket).
     */
   def durationHistogram(df: DataFrame): DataFrame =
-    df.select(col("site"),
-      (length(expr("bin(duration_us)")) - 1).cast("long").as("bucket"))
+    // non-negative guard: bin() renders a negative long as 64
+    // two's-complement digits while the oracle's {:b} renders a sign —
+    // a malformed negative duration must be excluded, not disagree
+    df.filter(col("duration_us") >= 0)
+      .select(col("site"),
+        (length(expr("bin(duration_us)")) - 1).cast("long").as("bucket"))
       .groupBy("site", "bucket")
       .agg(count(lit(1)).as("n"))
       .orderBy("site", "bucket")
