@@ -421,6 +421,18 @@ object SparkEntry {
           "SELECT event_id, remote_host, " +
           "CAST(split_part(remote_host, '.', 2) AS INTEGER) AS octet2 FROM log) " +
           "ORDER BY event_id"))),
+    // the same enrichment as a STREAM-STATIC join: broadcast dim into
+    // every micro-batch, stateful only in the rollup
+    ("geoip_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.geoipStream(s, d),
+      Some(LogView.oracle(
+        "SELECT country, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent FROM (" +
+          "SELECT " + Enrich.geoCountryCase + " AS country, traffic_sent FROM (" +
+          "SELECT traffic_sent, " +
+          "CAST(split_part(remote_host, '.', 2) AS INTEGER) AS octet2 FROM log)) " +
+          "GROUP BY 1 ORDER BY 1"))),
     ("resolve_forwarded_to",
       (s: SparkSession, d: String) =>
         Enrich.resolveForwardedTo(s, LogView(s, d))

@@ -106,6 +106,23 @@ object StreamOps {
           .agg(count(lit(1)).as("n"))
     }.orderBy(col("n").desc, col("value")).limit(10)
 
+  /** Stream-static join: the live log stream enriched against the
+    * broadcast GeoIP range dim ([[graft.logs.Enrich.geoip]] — the
+    * SAME bucketed-broadcast-hash-join code path as batch; Structured
+    * Streaming joins a static broadcast side into every micro-batch
+    * without extra state), rolled up per country. This is the
+    * canonical streaming-enrichment shape at 100 TB: dims broadcast,
+    * facts stream, only the aggregate is stateful.
+    */
+  def geoipStream(spark: SparkSession, dir: String): DataFrame =
+    drain(spark, dir, "events", "graft_geoip_stream", "complete") {
+      stream =>
+        graft.logs.Enrich.geoip(spark, LogView.fromEvents(stream))
+          .groupBy("country")
+          .agg(count(lit(1)).as("n"),
+            sum("traffic_sent").as("bytes_sent"))
+    }.orderBy("country")
+
   /** [[graft.analytics.Analytics.qSessionize]] as a NATIVE streaming
     * session window. Boundary subtlety (verified empirically on
     * Spark 4.1.2): `session_window(t, g)` MERGES two events exactly

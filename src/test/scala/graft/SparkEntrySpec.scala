@@ -30,6 +30,7 @@ class SparkEntrySpec extends SparkSpec {
       "dedup_exact_stream",
       // §2C
       "anonymize_ip", "track_visitors", "track_visitors_stream", "geoip",
+      "geoip_stream",
       "resolve_forwarded_to", "visitor_stats",
       // §2D
       "q1_agg", "q3_topn", "q5_join", "q_window", "q_distinct",
