@@ -623,6 +623,19 @@ object SparkEntry {
         "FROM li JOIN pp ON l_partkey = p_key " +
         "WHERE qty_mu * 5 * n_li < sum_mu " +
         "GROUP BY 1 ORDER BY 1")),
+    // stream-stream interval join: both sides watermarked, state
+    // evicted by the time-bound — drained inner matches = batch join
+    ("attribution_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.attributionStream(s, d),
+      Some("SELECT p.event_id AS p_id, v.event_id AS v_id FROM " +
+        "(SELECT event_id, user_id, epoch_us(ts) AS pt FROM events " +
+        "WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT event_id, user_id, epoch_us(ts) AS vt FROM events " +
+        "WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id " +
+        "AND p.pt BETWEEN v.vt AND v.vt + 3600000000 " +
+        "ORDER BY p_id, v_id")),
     ("q_sql_exists",
       (s: SparkSession, d: String) => Analytics.qSqlExists(s, d),
       Some("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n " +

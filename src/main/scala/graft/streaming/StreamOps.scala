@@ -106,6 +106,37 @@ object StreamOps {
           .agg(count(lit(1)).as("n"))
     }.orderBy(col("n").desc, col("value")).limit(10)
 
+  /** STREAM-STREAM interval join — the last join class: purchases
+    * attributed to every view by the same user in the preceding hour,
+    * both sides streaming. Each side carries its own event-time
+    * watermark and the join condition bounds the time skew
+    * (`pt ∈ [vt, vt+1h]`), which is exactly what lets Structured
+    * Streaming EVICT buffered state: a view older than the watermark
+    * minus the interval can never match a future purchase and is
+    * dropped. Inner-join matches emit as they form, so the
+    * AvailableNow drain yields precisely the batch join — gate-checked
+    * against the equivalent DuckDB interval join.
+    */
+  def attributionStream(spark: SparkSession, dir: String): DataFrame =
+    drain(spark, dir, "events", "graft_attribution_stream", "append") {
+      stream =>
+        val views = stream.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"),
+            col("event_id").as("v_id"),
+            timestamp_micros(expr("ts div 1000")).as("vt"))
+          .withWatermark("vt", "1 hour")
+        val purchases = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("p_id"),
+            timestamp_micros(expr("ts div 1000")).as("pt"))
+          .withWatermark("pt", "1 hour")
+        purchases.join(views,
+          col("p_user") === col("v_user") &&
+            col("pt") >= col("vt") &&
+            col("pt") <= col("vt") + expr("INTERVAL 1 HOUR"))
+          .select(col("p_id"), col("v_id"))
+    }.orderBy("p_id", "v_id")
+
   /** Stream-static join: the live log stream enriched against the
     * broadcast GeoIP range dim ([[graft.logs.Enrich.geoip]] — the
     * SAME bucketed-broadcast-hash-join code path as batch; Structured

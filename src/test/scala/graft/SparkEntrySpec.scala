@@ -39,7 +39,7 @@ class SparkEntrySpec extends SparkSpec {
       "q_semi", "q_grouping_sets", "q_correlated", "q_intersect",
       "q_except", "q_window_range", "stats_stream", "embedding_centroid",
       "accumulate_top_stream", "sessionize_stream", "q_bucket_join",
-      "bigram_fluency", "q_sql_exists",
+      "bigram_fluency", "q_sql_exists", "attribution_stream",
       // §2E
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_cdc", "dedup_clusters",
