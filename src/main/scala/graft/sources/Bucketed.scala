@@ -31,7 +31,16 @@ object Bucketed {
     val li = s"li_bkt_${suf}_$buckets"
     val ord = s"ord_bkt_${suf}_$buckets"
     if (!spark.catalog.tableExists(li) || !spark.catalog.tableExists(ord)) {
-      Seq(li, ord).foreach { t =>
+      // reclaim EVERY orphaned bucketed artifact, not just the two
+      // names being (re)created: earlier JVMs (or other bucket
+      // counts) leave li_bkt_*/ord_bkt_* dirs the in-memory catalog
+      // has forgotten — without the sweep they accumulate forever
+      val warehouse = new java.io.File("spark-warehouse")
+      val stale = Option(warehouse.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory &&
+          (f.getName.startsWith("li_bkt_") || f.getName.startsWith("ord_bkt_")) &&
+          !spark.catalog.tableExists(f.getName))
+      (stale.map(_.getName) ++ Seq(li, ord)).distinct.foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         val loc = new java.io.File(s"spark-warehouse/$t")
         if (loc.exists()) {
