@@ -287,6 +287,19 @@ object SparkEntry {
           "' \"' || coalesce(user_agent, '-') || '\"' || " +
           "' ' || coalesce(content_type, '-') AS line " +
           "FROM log WHERE site = 'site_4' ORDER BY event_id"))),
+    // --gzip: write gzip-framed one-line text, read the frames back;
+    // the oracle renders the same lines straight from the table, so a
+    // codec that corrupted or dropped a byte anywhere hash-mismatches
+    ("raw_gzip_out",
+      (s: SparkSession, d: String) => Shaping.rawGzipRoundTrip(s, d),
+      Some(LogView.oracle(
+        "SELECT line FROM (SELECT site || ' ' || remote_host || ' - - [' || " +
+          "strftime(make_timestamp(timestamp), '%Y-%m-%dT%H:%M:%SZ') || '] \"' || " +
+          "method || ' ' || uri || ' HTTP/1.1\" ' || " +
+          "CAST(status AS VARCHAR) || ' ' || CAST(traffic_sent AS VARCHAR) || " +
+          "' \"' || coalesce(referer, '-') || '\"' || " +
+          "' \"' || coalesce(user_agent, '-') || '\"' AS line FROM log) " +
+          "WHERE line IS NOT NULL ORDER BY line"))),
     ("age_only",
       (s: SparkSession, d: String) =>
         Shaping.ageOnly(LogView(s, d)).orderBy("event_id"),

@@ -307,6 +307,27 @@ object Shaping {
     (if (gzip) w.option("compression", "gzip") else w).text(outDir)
   }
 
+  /** `--gzip` end-to-end (reference client/Main.cxx:250-252): render
+    * the one-line format, write it gzip-framed via [[textWrite]], read
+    * the frames back as text. The gate compares the read-back lines
+    * against the oracle rendering the same lines straight from the
+    * table — proving the codec round-trips byte-for-byte. Lines sorted
+    * by value: gzip partition files carry no global order (the line
+    * text is not provably unique, which is safe — the driver sorts
+    * full rows before hashing, and duplicate lines are identical rows).
+    */
+  def rawGzipRoundTrip(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val tmp = graft.sources.TmpDir.scoped("raw_gzip",
+      spark.sparkContext.applicationId, dir)
+    // records missing a non-optional member (method/uri on non-access
+    // types) render NULL — no line to emit, and the text sink rejects
+    // nulls; the oracle applies the same IS NOT NULL
+    textWrite(oneLine(LogView(spark, dir)).filter(col("line").isNotNull),
+      tmp, gzip = true)
+    spark.read.text(tmp).select(col("value").as("line")).orderBy("line")
+  }
+
   /** `--age-only` (reference client/ResultWriter.cxx:199-210): emit
     * only each record's age in whole seconds. The reference measures
     * against wallclock; for a deterministic result the engine measures

@@ -111,11 +111,20 @@ object Ann {
     * Used by both [[ivfTopK]] and
     * [[Dedup.embeddingPairsIvf]] — one quantiser, two
     * consumers, exactly how an IVF index is shared at 100 TB: the
-    * model is trained ONCE (on a sample there) and every consumer
-    * assigns against it, so training is memoized per
+    * model is trained ONCE — on a bounded deterministic hash sample
+    * (≤[[MaxTrainVectors]]) — and every consumer assigns against it,
+    * so training is memoized per
     * (session, dir, cells) here — the local stand-in for a persisted
     * model artifact.
     */
+  /** Cap on the quantiser's training-set size: KMeans quality needs a
+    * representative sample, not the corpus — a full-corpus fit is the
+    * one step of IVF construction that would NOT scale (10 iterations
+    * × all N vectors through the driver-coordinated ML job). 100k
+    * vectors is orders of magnitude more than `cells` needs.
+    */
+  val MaxTrainVectors = 100000L
+
   def ivfAssign(spark: SparkSession, dir: String,
                 cells: Int = 16): (DataFrame, DataFrame) = {
     evictStopped()
@@ -126,9 +135,22 @@ object Ann {
         val all = vectors(spark, dir)
           .withColumn("fv", array_to_vector(col("v")))
           .cache()
+        // deterministic hash sample: keep ≈MaxTrainVectors rows however
+        // large the corpus (xxhash64(vec_id) is a fixed uniform map, so
+        // the training set is stable across runs and partitionings; no
+        // global sort, one column-pruned count). n·h < n·1e6·(cap/n)
+        // stays within int64 for any realistic corpus (h < 1e6).
+        val n = all.count()
+        val train =
+          if (n <= MaxTrainVectors) all
+          else all.filter(
+            pmod(xxhash64(col("vec_id")), lit(1000000L)) * n
+              < lit(1000000L) * MaxTrainVectors)
         val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
           .setFeaturesCol("fv").setPredictionCol("cell")
-          .fit(all)
+          .fit(train)
+        // assignment runs over the FULL corpus — one map pass against
+        // the (tiny) trained model, the part of IVF that IS linear
         val assigned = model.transform(all).select("vec_id", "v", "cell").cache()
         assigned.count() // materialize BEFORE dropping the training
         all.unpersist() // cache, or the first consumer re-scans parquet
