@@ -222,6 +222,18 @@ object SparkEntry {
           "user_agent, status, \"length\", content_type, duration_us, " +
           "traffic_sent, traffic_received, message " +
           "FROM log ORDER BY timestamp, remote_host, uri"))),
+    // binary LOG_RECORD packet stream (the `inject` verb, reference
+    // doc/index.rst:410-425): serialize to framed datagrams, parse
+    // back — header framing, CRC, attribute codecs, null omission
+    ("datagram_source",
+      (s: SparkSession, d: String) =>
+        graft.sources.DatagramSource.roundTrip(s, d),
+      Some(LogView.oracle(
+        "SELECT timestamp, site, host, generator, analytics_id, " +
+          "forwarded_to, remote_host, type, method, uri, referer, " +
+          "user_agent, status, \"length\", content_type, duration_us, " +
+          "traffic_sent, traffic_received, message " +
+          "FROM log ORDER BY timestamp, remote_host, uri"))),
     // full-schema CSV round trip: unlike JSONL the CSV carries
     // event_id, so this is keyed on the primary key
     ("csv_source",

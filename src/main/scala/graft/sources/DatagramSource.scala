@@ -1,0 +1,310 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.logs.LogView
+
+/** One parsed `LOG_RECORD` datagram — the wire subset of the log
+  * schema (the packet stream carries no event_id/user_id/value, like
+  * the JSONL wire format). Optional attributes surface as None/NULL.
+  */
+case class LogRecordPacket(
+    timestamp: Option[Long],
+    site: Option[String],
+    host: Option[String],
+    generator: Option[String],
+    analytics_id: Option[String],
+    forwarded_to: Option[String],
+    remote_host: Option[String],
+    `type`: Option[String],
+    method: Option[String],
+    uri: Option[String],
+    referer: Option[String],
+    user_agent: Option[String],
+    status: Option[Int],
+    length: Option[Long],
+    content_type: Option[String],
+    duration_us: Option[Long],
+    traffic_sent: Option[Long],
+    traffic_received: Option[Long],
+    message: Option[String])
+
+/** Binary log-record packet codec — the `inject` ingestion path
+  * (reference doc/index.rst:410-425, src/client/Main.cxx:608-622):
+  * pond's client reads `LOG_RECORD` packets (e.g. captured with
+  * `--raw`) and replays them into the server.
+  *
+  * Framing is the reference's own `PondHeader` (reference
+  * src/Protocol.hxx:199-223): `{id:u16, command:u16, size:u16}`
+  * big-endian, followed by `size` payload bytes; a `LOG_RECORD`
+  * payload (Protocol.hxx:182-185) is one serialized log record. The
+  * record layout follows the net/log protocol's documented design —
+  * a magic word, then single-byte-tagged attributes (strings
+  * NUL-terminated, integers big-endian), then a trailing CRC-32 of
+  * the attribute bytes. The upstream `net/log/Protocol.hxx` header is
+  * not vendored in the reference tree, so the tag/magic VALUES below
+  * are this engine's own assignment, kept in one table: adapting to a
+  * real capture is a constant swap, and the round-trip gate pins
+  * writer↔reader agreement regardless.
+  *
+  * Malformed payloads (bad magic, CRC mismatch, truncated attribute)
+  * are DROPPED, not fatal — the reference's receiver counts and skips
+  * malformed datagrams (src/Receiver.cxx:28-43). A drop is still
+  * gate-visible as a row-count mismatch.
+  */
+object DatagramCodec {
+
+  /** PondResponseCommand::LOG_RECORD (reference src/Protocol.hxx:185). */
+  val LogRecordCommand = 3
+
+  /** Record-payload magic word ("GLR1" — graft log record v1). */
+  val Magic = 0x474c5231
+
+  // attribute tags, one byte each
+  private val TTimestamp = 1 // u64 epoch-µs
+  private val TRemoteHost = 2 // string
+  private val TForwardedTo = 3 // string
+  private val THost = 4 // string
+  private val TSite = 5 // string
+  private val TMethod = 6 // u8, table below
+  private val TUri = 7 // string
+  private val TReferer = 8 // string
+  private val TUserAgent = 9 // string
+  private val TStatus = 10 // u16
+  private val TLength = 11 // u64
+  private val TTraffic = 12 // u64 received, u64 sent
+  private val TDuration = 13 // u64 µs
+  private val TType = 14 // u8, table below
+  private val TMessage = 15 // string
+  private val TContentType = 16 // string
+  private val TAnalyticsId = 17 // string
+  private val TGenerator = 18 // string
+
+  private val methodToByte: Map[String, Byte] = Map(
+    "GET" -> 1, "HEAD" -> 2, "POST" -> 3, "PUT" -> 4, "DELETE" -> 5,
+    "OPTIONS" -> 6, "TRACE" -> 7, "PATCH" -> 8, "CONNECT" -> 9)
+  private val byteToMethod: Map[Byte, String] = methodToByte.map(_.swap)
+
+  private val typeToByte: Map[String, Byte] = Map(
+    "http_access" -> 1, "http_error" -> 2, "submission" -> 3,
+    "ssh" -> 4, "job" -> 5)
+  private val byteToType: Map[Byte, String] = typeToByte.map(_.swap)
+
+  /** Serialize one record into a framed packet (header + payload). */
+  def serialize(r: LogRecordPacket, id: Int = 1): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream(256)
+    def u8(v: Int): Unit = body.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >>> 16).toInt); u16(v.toInt) }
+    def u64(v: Long): Unit = { u32(v >>> 32); u32(v) }
+    def str(tag: Int, s: String): Unit = {
+      u8(tag); body.write(s.getBytes(UTF_8)); u8(0)
+    }
+    u32(Magic.toLong & 0xffffffffL)
+    val crcFrom = body.size()
+    r.timestamp.foreach { v => u8(TTimestamp); u64(v) }
+    r.remote_host.foreach(str(TRemoteHost, _))
+    r.forwarded_to.foreach(str(TForwardedTo, _))
+    r.host.foreach(str(THost, _))
+    r.site.foreach(str(TSite, _))
+    r.generator.foreach(str(TGenerator, _))
+    r.analytics_id.foreach(str(TAnalyticsId, _))
+    r.method.flatMap(methodToByte.get).foreach { m => u8(TMethod); u8(m) }
+    r.uri.foreach(str(TUri, _))
+    r.referer.foreach(str(TReferer, _))
+    r.user_agent.foreach(str(TUserAgent, _))
+    r.status.foreach { v => u8(TStatus); u16(v) }
+    r.length.foreach { v => u8(TLength); u64(v) }
+    if (r.traffic_received.isDefined || r.traffic_sent.isDefined) {
+      u8(TTraffic)
+      u64(r.traffic_received.getOrElse(0L))
+      u64(r.traffic_sent.getOrElse(0L))
+    }
+    r.duration_us.foreach { v => u8(TDuration); u64(v) }
+    r.`type`.flatMap(typeToByte.get).foreach { t => u8(TType); u8(t) }
+    r.content_type.foreach(str(TContentType, _))
+    r.message.foreach(str(TMessage, _))
+    val attrs = body.toByteArray
+    val crc = new CRC32
+    crc.update(attrs, crcFrom, attrs.length - crcFrom)
+    u32(crc.getValue)
+    val payload = body.toByteArray
+    require(payload.length <= 0xffff,
+      s"record payload ${payload.length} exceeds u16 frame size")
+    val out = ByteBuffer.allocate(6 + payload.length)
+    out.putShort(id.toShort)
+    out.putShort(LogRecordCommand.toShort)
+    out.putShort(payload.length.toShort)
+    out.put(payload)
+    out.array()
+  }
+
+  /** Parse a packet-stream buffer (one capture file) into records.
+    * Non-LOG_RECORD packets are passed over; malformed payloads and a
+    * truncated trailing packet are dropped like the reference's
+    * receiver drops malformed datagrams.
+    */
+  def parse(buf: Array[Byte]): Iterator[LogRecordPacket] =
+    new Iterator[LogRecordPacket] {
+      private var off = 0
+      private var nextRec: LogRecordPacket = _
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && off + 6 <= buf.length) {
+          val bb = ByteBuffer.wrap(buf, off, buf.length - off)
+          bb.getShort() // transaction id — irrelevant to ingestion
+          val cmd = bb.getShort() & 0xffff
+          val size = bb.getShort() & 0xffff
+          if (off + 6 + size > buf.length) { off = buf.length } // truncated
+          else {
+            if (cmd == LogRecordCommand)
+              nextRec = parsePayload(buf, off + 6, size).orNull
+            off += 6 + size
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): LogRecordPacket = {
+        val r = nextRec; advance(); r
+      }
+    }
+
+  private def parsePayload(buf: Array[Byte], start: Int,
+                           size: Int): Option[LogRecordPacket] = {
+    if (size < 8) return None // magic + crc minimum
+    val bb = ByteBuffer.wrap(buf, start, size)
+    if (bb.getInt() != Magic) return None
+    val crcEnd = start + size - 4
+    val crc = new CRC32
+    crc.update(buf, start + 4, size - 8)
+    if (ByteBuffer.wrap(buf, crcEnd, 4).getInt() != crc.getValue.toInt)
+      return None
+    var r = LogRecordPacket(None, None, None, None, None, None, None, None,
+      None, None, None, None, None, None, None, None, None, None, None)
+    def str(): String = {
+      val from = bb.position()
+      var end = from
+      while (end < crcEnd && buf(end) != 0) end += 1
+      if (end >= crcEnd) throw new IllegalArgumentException("unterminated")
+      bb.position(end + 1)
+      new String(buf, from, end - from, UTF_8)
+    }
+    try {
+      while (bb.position() < crcEnd) {
+        val tag = bb.get() & 0xff
+        tag match {
+          case TTimestamp => r = r.copy(timestamp = Some(bb.getLong()))
+          case TRemoteHost => r = r.copy(remote_host = Some(str()))
+          case TForwardedTo => r = r.copy(forwarded_to = Some(str()))
+          case THost => r = r.copy(host = Some(str()))
+          case TSite => r = r.copy(site = Some(str()))
+          case TGenerator => r = r.copy(generator = Some(str()))
+          case TAnalyticsId => r = r.copy(analytics_id = Some(str()))
+          case TMethod =>
+            r = r.copy(method = byteToMethod.get(bb.get()))
+          case TUri => r = r.copy(uri = Some(str()))
+          case TReferer => r = r.copy(referer = Some(str()))
+          case TUserAgent => r = r.copy(user_agent = Some(str()))
+          case TStatus => r = r.copy(status = Some(bb.getShort() & 0xffff))
+          case TLength => r = r.copy(length = Some(bb.getLong()))
+          case TTraffic =>
+            r = r.copy(traffic_received = Some(bb.getLong()),
+              traffic_sent = Some(bb.getLong()))
+          case TDuration => r = r.copy(duration_us = Some(bb.getLong()))
+          case TType => r = r.copy(`type` = byteToType.get(bb.get()))
+          case TContentType => r = r.copy(content_type = Some(str()))
+          case TMessage => r = r.copy(message = Some(str()))
+          case _ => return None // unknown attribute: can't skip, drop
+        }
+      }
+      Some(r)
+    } catch {
+      case _: IllegalArgumentException => None
+      case _: java.nio.BufferUnderflowException => None
+    }
+  }
+}
+
+/** Spark source/sink for the binary packet stream — `inject` and
+  * `--raw` as a distributed source ([[DatagramCodec]] for the format).
+  *
+  * Scale notes: a packet stream is not splittable mid-file (packets
+  * are variable-length and unaligned), so the FILE is the unit of
+  * parallelism — the writer emits one capture file per input
+  * partition, and `binaryFile` fans files out across executors; a
+  * producer should size capture files like gzip members (~128 MB).
+  * Parsing is one streaming pass per file, no allocation beyond the
+  * record being built.
+  */
+object DatagramSource {
+
+  /** Render a log DataFrame as capture files under `outDir`, one
+    * `part-NNNNN.bin` per partition, each a concatenation of framed
+    * LOG_RECORD packets — exactly the byte stream `pond query --raw`
+    * emits and `pond inject` consumes.
+    */
+  def write(spark: SparkSession, df: DataFrame, outDir: String): Unit = {
+    import spark.implicits._
+    val p = Paths.get(outDir)
+    if (Files.exists(p)) { // overwrite semantics, like DataFrame writers
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+    Files.createDirectories(p)
+    toPackets(df).foreachPartition { (it: Iterator[LogRecordPacket]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val file = Paths.get(outDir, f"part-$pid%05d.bin")
+      val out = new java.io.BufferedOutputStream(
+        Files.newOutputStream(file))
+      try it.foreach(r => out.write(DatagramCodec.serialize(r)))
+      finally out.close()
+    }
+  }
+
+  private def toPackets(df: DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col("timestamp"), col("site"), col("host"), col("generator"),
+      col("analytics_id"), col("forwarded_to"), col("remote_host"),
+      col("type"), col("method"), col("uri"), col("referer"),
+      col("user_agent"), col("status"), col("length"),
+      col("content_type"), col("duration_us"), col("traffic_sent"),
+      col("traffic_received"), col("message"))
+      .as[LogRecordPacket]
+  }
+
+  /** Parse a capture directory back into the typed log view subset. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(DatagramCodec.parse(_))
+      .select("timestamp", "site", "host", "generator", "analytics_id",
+        "forwarded_to", "remote_host", "type", "method", "uri", "referer",
+        "user_agent", "status", "length", "content_type", "duration_us",
+        "traffic_sent", "traffic_received", "message")
+  }
+
+  /** Round trip for the gate: serialize the log view to packets, read
+    * them back, compare against the original table — framing, CRC,
+    * every attribute codec, and null-member omission all on the line.
+    * Sort key as in JsonlSource (the wire carries no event_id).
+    */
+  def roundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scoped("datagram_src",
+      spark.sparkContext.applicationId, dir)
+    write(spark, LogView(spark, dir), tmp)
+    read(spark, tmp).orderBy("timestamp", "remote_host", "uri")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.logs.LogView
+import org.apache.spark.sql.functions._
+
+class DatagramSourceSpec extends SparkSpec {
+
+  private def sample = LogRecordPacket(
+    timestamp = Some(1704844800123456L), site = Some("site_1"),
+    host = Some("h1.example.com"), generator = Some("gen0"),
+    analytics_id = None, forwarded_to = None,
+    remote_host = Some("10.1.2.3"), `type` = Some("http_access"),
+    method = Some("GET"), uri = Some("/view/item7"),
+    referer = Some("https://ref1.example.org/"),
+    user_agent = Some("curl/8.5.0"), status = Some(200),
+    length = Some(42L), content_type = Some("text/html"),
+    duration_us = Some(1234L), traffic_sent = Some(99L),
+    traffic_received = Some(7L), message = Some("{\"k\":1}"))
+
+  test("codec round-trips a record, including absent attributes") {
+    val packet = DatagramCodec.serialize(sample)
+    val back = DatagramCodec.parse(packet).toList
+    assert(back == List(sample))
+  }
+
+  test("a flipped payload byte fails the CRC and the record is dropped") {
+    val packet = DatagramCodec.serialize(sample)
+    val corrupt = packet.clone()
+    corrupt(20) = (corrupt(20) ^ 0x40).toByte // inside the attributes
+    assert(DatagramCodec.parse(corrupt).isEmpty)
+    // ...but a corrupt packet does not poison its neighbours
+    assert(DatagramCodec.parse(corrupt ++ packet).toList == List(sample))
+  }
+
+  test("a truncated trailing packet is dropped, prior packets survive") {
+    val packet = DatagramCodec.serialize(sample)
+    val stream = packet ++ packet.take(packet.length - 3)
+    assert(DatagramCodec.parse(stream).toList == List(sample))
+  }
+
+  test("non-LOG_RECORD packets are passed over") {
+    // END response (command 2), empty payload, then a record
+    val end = Array[Byte](0, 1, 0, 2, 0, 0)
+    val stream = end ++ DatagramCodec.serialize(sample)
+    assert(DatagramCodec.parse(stream).toList == List(sample))
+  }
+
+  test("datagram round trip is lossless for every wire-format field") {
+    val back = DatagramSource.roundTrip(spark, sf)
+    val orig = LogView(spark, sf).select(
+      back.columns.map(col).toIndexedSeq: _*)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // optional members written only when present come back as NULL
+    assert(back.filter(col("forwarded_to").isNull).count() ==
+      orig.filter(col("forwarded_to").isNull).count())
+  }
+}
