@@ -295,6 +295,72 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Edge-source provenance bits for [[unionEdges]]. */
+  val NgramBit = 1L
+  val WinnowBit = 2L
+  val EmbeddingBit = 4L
+  val CdcBit = 8L
+
+  /** The UNION of the near-dup edge sets with per-edge provenance —
+    * what a production dedup pass actually clusters on: no single
+    * detector catches everything (ngram = global overlap, winnow =
+    * contiguous runs, embedding = semantic, cdc = shared passages), so
+    * the edges are pooled and `sources` records which detectors agree
+    * (bit-or of [[NgramBit]]/[[WinnowBit]]/[[EmbeddingBit]]/[[CdcBit]]).
+    *
+    * `vec_id` is the document's embedding key (ids align 1:1 with
+    * `doc_id` in the testdata, as an `embedding` column would after
+    * `posexplode`-free projection), so embedding edges land in the
+    * same node space. Each detector's pairs are already distinct and
+    * `doc_a < doc_b`-oriented, so the bit sum per (a, b) is exact.
+    * Plan shape: a union of already-blocked pair streams and ONE
+    * groupBy on the pair key — no new quadratic surface.
+    *
+    * @param includeCdc CDC chunk edges use an engine-specific rolling
+    *   hash (no SQL oracle), so the gate queries run without them and
+    *   a PipelineSpec covers the superset property.
+    */
+  def unionEdges(spark: SparkSession, dir: String,
+                 includeCdc: Boolean = true): DataFrame = {
+    val ngram = ngramJaccardPairs(spark, dir, minBp = 6500)
+      .select(col("doc_a"), col("doc_b"), lit(NgramBit).as("m"))
+    val winnow = winnowPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(WinnowBit).as("m"))
+    val emb = embeddingPairs(spark, dir, threshold = 0.45)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        lit(EmbeddingBit).as("m"))
+    val base = ngram.union(winnow).union(emb)
+    val all =
+      if (includeCdc)
+        base.union(cdcPairs(spark, dir, minShared = 1)
+          .select(col("doc_a"), col("doc_b"), lit(CdcBit).as("m")))
+      else base
+    all.groupBy("doc_a", "doc_b")
+      .agg(sum("m").as("sources"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The end-to-end dedup materialization: connected components over
+    * [[unionEdges]], then keep = min doc_id per component — the
+    * keep/drop verdict a corpus dedup actually emits (drop everything
+    * whose `keep` is 0, a single anti-join at write time). Singletons
+    * keep themselves. The oracle recomputes the same components as a
+    * recursive-CTE transitive closure over the identically-defined
+    * union — two independent algorithms, one answer.
+    */
+  def keepDrop(spark: SparkSession, dir: String,
+               includeCdc: Boolean = true): DataFrame = {
+    val edges = unionEdges(spark, dir, includeCdc)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = Tables.documents(spark, dir)
+      .select(col("doc_id").as("node"))
+    graft.operators.Components.connectedComponents(nodes, edges)
+      .select(col("node").as("doc_id"), col("label").as("rep"),
+        when(col("node") === col("label"), lit(1))
+          .otherwise(lit(0)).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing-based near-dup pairs (MOSS-style): documents sharing
     * ≥ `minShared` winnowed k-gram fingerprints
     * ([[TextAnalysis.winnowFps]], Schleimer et al. 2003). The same
