@@ -712,15 +712,41 @@ object SparkEntry {
   // the winnowed-fingerprint relation (doc_id, fp) as a shared CTE
   // chain — fingerprint_winnow and dedup_winnow_pairs gate against the
   // SAME text so the two oracles can never drift from one another
-  // (mirror of TextAnalysis.winnowFps, k=5 w=4)
-  private val winnowFpCte =
-    "WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
-      "g AS (SELECT doc_id, " +
+  // (mirror of TextAnalysis.winnowFps, k=5 w=4). CTE names are
+  // prefixed `w` so the chain composes with ngramPairsCteBody inside
+  // the dedup_keep oracle without clashing.
+  private val winnowFpCteBody =
+    "nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+      "wg AS (SELECT doc_id, " +
       "[substr(md5(substr(txt, i, 5)), 1, 8) for i in range(1, greatest(length(txt) - 4, 1) + 1)] AS hs " +
       "FROM nd), " +
       "f AS (SELECT doc_id, unnest(CASE WHEN len(hs) >= 4 THEN " +
       "list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]) " +
-      "ELSE [list_min(hs)] END) AS fp FROM g)"
+      "ELSE [list_min(hs)] END) AS fp FROM wg)"
+
+  private val winnowFpCte = "WITH " + winnowFpCteBody
+
+  // winnow near-dup pairs wp(doc_a, doc_b, n_shared) — mirror of
+  // Dedup.winnowPairs(minShared = 20, maxDf = 50), shared between
+  // dedup_winnow_pairs and the dedup_keep edge union
+  private val winnowPairsCteBody =
+    winnowFpCteBody +
+      ", rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50), " +
+      "k AS (SELECT doc_id, fp FROM f WHERE fp IN (SELECT fp FROM rare)), " +
+      "wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(count(*) AS BIGINT) AS n_shared " +
+      "FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING count(*) >= 20)"
+
+  // label-blocked embedding-cosine pairs ep(doc_a, doc_b) at the 0.45
+  // threshold — mirror of Dedup.embeddingPairs(threshold = 0.45),
+  // shared between dedup_embedding and the dedup_keep edge union
+  private val embeddingPairsCteBody =
+    "ee AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings), " +
+      "ep AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b " +
+      "FROM ee a JOIN ee b ON a.label = b.label AND a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.v, b.v) >= 0.45)"
 
   // the blocked ngram-Jaccard pair relation p(doc_a, doc_b, jac_bp ≥
   // 6500) — shared between dedup_ngram and dedup_clusters so the edge
@@ -790,16 +816,34 @@ object SparkEntry {
         "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a) " +
         "SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep " +
         "FROM r GROUP BY 1 ORDER BY 1")),
+    // the end-to-end keep/drop verdict: connected components over the
+    // UNION of the ngram/winnow/embedding edge sets (cdc edges use an
+    // engine-specific rolling hash, so the gate runs without them;
+    // PipelineSpec proves adding them only merges components). The
+    // oracle rebuilds the identical union from the three shared CTE
+    // bodies and closes it with an exact recursive CTE.
+    ("dedup_keep",
+      (s: SparkSession, d: String) => Dedup.keepDrop(s, d, includeCdc = false),
+      Some("WITH RECURSIVE " + ngramPairsCteBody + ", " +
+        winnowPairsCteBody + ", " + embeddingPairsCteBody + ", " +
+        "u AS (SELECT doc_a, doc_b FROM p " +
+        "UNION SELECT doc_a, doc_b FROM wp " +
+        "UNION SELECT doc_a, doc_b FROM ep), " +
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM u " +
+        "UNION SELECT doc_b, doc_a FROM u " +
+        "UNION SELECT doc_id, doc_id FROM documents), " +
+        "r AS (SELECT a, b FROM e " +
+        "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a) " +
+        "SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep, " +
+        "CAST(CASE WHEN min(b) = a THEN 1 ELSE 0 END AS INTEGER) AS keep " +
+        "FROM r GROUP BY 1 ORDER BY 1")),
     ("dedup_cdc",
       (s: SparkSession, d: String) => Dedup.cdcPairs(s, d, minShared = 1),
       None),
     ("dedup_embedding",
       (s: SparkSession, d: String) => Dedup.embeddingPairs(s, d, threshold = 0.45),
-      Some("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v " +
-        "FROM embeddings) " +
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
-        "ON a.label = b.label AND a.vec_id < b.vec_id " +
-        "WHERE list_cosine_similarity(a.v, b.v) >= 0.45 ORDER BY 1, 2")),
+      Some("WITH " + embeddingPairsCteBody +
+        " SELECT doc_a AS vec_a, doc_b AS vec_b FROM ep ORDER BY 1, 2")),
     // IVF-cell-blocked variant: the 100 TB blocking behind the label
     // stand-in above; KMeans cells are engine-specific → rows-only,
     // recall vs the exact operator gated in PipelineSpec
@@ -926,13 +970,8 @@ object SparkEntry {
         "WHERE rank <= 3 ORDER BY doc_id, rank")),
     ("dedup_winnow_pairs",
       (s: SparkSession, d: String) => Dedup.winnowPairs(s, d),
-      Some(winnowFpCte +
-        ", rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50), " +
-        "k AS (SELECT doc_id, fp FROM f WHERE fp IN (SELECT fp FROM rare)) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CAST(count(*) AS BIGINT) AS n_shared " +
-        "FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2 HAVING count(*) >= 20 ORDER BY 1, 2")),
+      Some("WITH " + winnowPairsCteBody +
+        " SELECT doc_a, doc_b, n_shared FROM wp ORDER BY 1, 2")),
     ("mix_sources",
       (s: SparkSession, d: String) => Curation.mixSources(s, d,
         rates = Map("src0" -> 10000L, "src1" -> 5000L), defaultBp = 2500),

@@ -311,14 +311,15 @@ object Dedup {
     * `vec_id` is the document's embedding key (ids align 1:1 with
     * `doc_id` in the testdata, as an `embedding` column would after
     * `posexplode`-free projection), so embedding edges land in the
-    * same node space. Each detector's pairs are already distinct and
-    * `doc_a < doc_b`-oriented, so the bit sum per (a, b) is exact.
+    * same node space. The mask aggregates with `bit_or`, so it stays
+    * correct even if a detector ever emits a pair more than once.
     * Plan shape: a union of already-blocked pair streams and ONE
     * groupBy on the pair key — no new quadratic surface.
     *
     * @param includeCdc CDC chunk edges use an engine-specific rolling
-    *   hash (no SQL oracle), so the gate queries run without them and
-    *   a PipelineSpec covers the superset property.
+    *   hash (no SQL oracle), so the `dedup_keep` gate query runs
+    *   without them and PipelineSpec covers the merge-only property
+    *   (adding cdc edges can only shrink the keep set).
     */
   def unionEdges(spark: SparkSession, dir: String,
                  includeCdc: Boolean = true): DataFrame = {
@@ -336,7 +337,7 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"), lit(CdcBit).as("m")))
       else base
     all.groupBy("doc_a", "doc_b")
-      .agg(sum("m").as("sources"))
+      .agg(expr("bit_or(m)").as("sources"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -344,7 +345,8 @@ object Dedup {
     * [[unionEdges]], then keep = min doc_id per component — the
     * keep/drop verdict a corpus dedup actually emits (drop everything
     * whose `keep` is 0, a single anti-join at write time). Singletons
-    * keep themselves. The oracle recomputes the same components as a
+    * keep themselves. Gated as `dedup_keep` (with `includeCdc =
+    * false`): the oracle recomputes the same components as a
     * recursive-CTE transitive closure over the identically-defined
     * union — two independent algorithms, one answer.
     */

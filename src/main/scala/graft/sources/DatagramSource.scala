@@ -2,7 +2,6 @@ package graft.sources
 
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths}
 import java.util.zip.CRC32
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -103,8 +102,18 @@ object DatagramCodec {
     def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
     def u32(v: Long): Unit = { u16((v >>> 16).toInt); u16(v.toInt) }
     def u64(v: Long): Unit = { u32(v >>> 32); u32(v) }
+    // strings are NUL-terminated on the wire, so an embedded NUL would
+    // truncate on parse and desync every following attribute — reject
+    // at write time rather than round-trip corrupted
     def str(tag: Int, s: String): Unit = {
+      require(s.indexOf('\u0000') < 0, s"NUL byte in string attribute $tag")
       u8(tag); body.write(s.getBytes(UTF_8)); u8(0)
+    }
+    // enum attributes must fail fast, not silently round-trip to NULL
+    def enum8(tag: Int, table: Map[String, Byte], v: String): Unit = {
+      val b = table.getOrElse(v, throw new IllegalArgumentException(
+        s"value '$v' has no wire encoding for attribute $tag"))
+      u8(tag); u8(b)
     }
     u32(Magic.toLong & 0xffffffffL)
     val crcFrom = body.size()
@@ -115,7 +124,7 @@ object DatagramCodec {
     r.site.foreach(str(TSite, _))
     r.generator.foreach(str(TGenerator, _))
     r.analytics_id.foreach(str(TAnalyticsId, _))
-    r.method.flatMap(methodToByte.get).foreach { m => u8(TMethod); u8(m) }
+    r.method.foreach(enum8(TMethod, methodToByte, _))
     r.uri.foreach(str(TUri, _))
     r.referer.foreach(str(TReferer, _))
     r.user_agent.foreach(str(TUserAgent, _))
@@ -127,7 +136,7 @@ object DatagramCodec {
       u64(r.traffic_sent.getOrElse(0L))
     }
     r.duration_us.foreach { v => u8(TDuration); u64(v) }
-    r.`type`.flatMap(typeToByte.get).foreach { t => u8(TType); u8(t) }
+    r.`type`.foreach(enum8(TType, typeToByte, _))
     r.content_type.foreach(str(TContentType, _))
     r.message.foreach(str(TMessage, _))
     val attrs = body.toByteArray
@@ -186,6 +195,10 @@ object DatagramCodec {
     crc.update(buf, start + 4, size - 8)
     if (ByteBuffer.wrap(buf, crcEnd, 4).getInt() != crc.getValue.toInt)
       return None
+    // attributes end where the CRC begins: with the limit pinned there,
+    // a truncated fixed-width value near the end underflows (→ dropped)
+    // instead of silently reading the CRC bytes as its value
+    bb.limit(crcEnd)
     var r = LogRecordPacket(None, None, None, None, None, None, None, None,
       None, None, None, None, None, None, None, None, None, None, None)
     def str(): String = {
@@ -224,7 +237,8 @@ object DatagramCodec {
           case _ => return None // unknown attribute: can't skip, drop
         }
       }
-      Some(r)
+      // a well-formed record consumes exactly the attribute bytes
+      if (bb.position() == crcEnd) Some(r) else None
     } catch {
       case _: IllegalArgumentException => None
       case _: java.nio.BufferUnderflowException => None
@@ -249,25 +263,51 @@ object DatagramSource {
     * `part-NNNNN.bin` per partition, each a concatenation of framed
     * LOG_RECORD packets — exactly the byte stream `pond query --raw`
     * emits and `pond inject` consumes.
+    *
+    * All I/O goes through the Hadoop `FileSystem` resolved from
+    * `outDir`'s scheme, so the sink targets HDFS/object storage like
+    * the engine's other sinks, and each task commits by writing a
+    * per-attempt temp file and renaming it into place — a retried or
+    * speculative attempt can never interleave bytes into a committed
+    * part file; first committed rename wins.
     */
   def write(spark: SparkSession, df: DataFrame, outDir: String): Unit = {
-    import spark.implicits._
-    val p = Paths.get(outDir)
-    if (Files.exists(p)) { // overwrite semantics, like DataFrame writers
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dir.getFileSystem(hconf)
+    fs.delete(dir, true) // overwrite semantics, like DataFrame writers
+    fs.mkdirs(dir)
+    // ship the resolved Hadoop conf to executors (credentials, fs
+    // impls); Configuration itself is not serializable
+    val confProps = {
+      val it = hconf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
     }
-    Files.createDirectories(p)
+    val bProps = spark.sparkContext.broadcast(confProps)
     toPackets(df).foreachPartition { (it: Iterator[LogRecordPacket]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val file = Paths.get(outDir, f"part-$pid%05d.bin")
-      val out = new java.io.BufferedOutputStream(
-        Files.newOutputStream(file))
+      val ctx = org.apache.spark.TaskContext.get()
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      bProps.value.foreach { case (k, v) => conf.set(k, v) }
+      val dir = new org.apache.hadoop.fs.Path(outDir)
+      val efs = dir.getFileSystem(conf)
+      val fin = new org.apache.hadoop.fs.Path(
+        dir, f"part-${ctx.partitionId()}%05d.bin")
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        f"_temporary/part-${ctx.partitionId()}%05d-${ctx.taskAttemptId()}.bin")
+      val out = new java.io.BufferedOutputStream(efs.create(tmp, true))
       try it.foreach(r => out.write(DatagramCodec.serialize(r)))
       finally out.close()
+      if (!efs.rename(tmp, fin)) {
+        // another attempt of this partition committed first — its
+        // output is equivalent; discard ours
+        efs.delete(tmp, false)
+        if (!efs.exists(fin))
+          throw new java.io.IOException(s"commit failed for $fin")
+      }
     }
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_temporary"), true)
   }
 
   private def toPackets(df: DataFrame) = {

@@ -95,6 +95,55 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"ivf recall $recall over ${exact.size} pairs")
   }
 
+  test("unionEdges: provenance mask is the bit-or of the detector bits") {
+    val edges = Dedup.unionEdges(spark, sf01, includeCdc = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(edges.nonEmpty)
+    val allBits = Dedup.NgramBit | Dedup.WinnowBit | Dedup.EmbeddingBit
+    edges.values.foreach(m => assert(m >= 1 && (m | allBits) == allBits, m))
+    // every detector's own pair set carries (at least) its bit — and a
+    // pair found by two detectors carries both, which is what bit_or
+    // guarantees and sum would have silently broken on duplicates
+    val ngram = Dedup.ngramJaccardPairs(spark, sf01, minBp = 6500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = Dedup.winnowPairs(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngram.nonEmpty && winnow.nonEmpty)
+    ngram.foreach(p => assert((edges(p) & Dedup.NgramBit) != 0, p))
+    winnow.foreach(p => assert((edges(p) & Dedup.WinnowBit) != 0, p))
+    (ngram & winnow).foreach(p =>
+      assert((edges(p) & (Dedup.NgramBit | Dedup.WinnowBit)) ==
+        (Dedup.NgramBit | Dedup.WinnowBit), p))
+  }
+
+  test("keepDrop: every doc labelled, keeps are exactly the component reps") {
+    val rows = Dedup.keepDrop(spark, sf01, includeCdc = false).collect()
+    assert(rows.length == 500)
+    val reps = rows.map(_.getLong(1)).toSet
+    rows.foreach { r =>
+      val (doc, rep, keep) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(rep <= doc, r) // label is the component min
+      assert((keep == 1) == (doc == rep), r)
+    }
+    // the kept set is exactly the set of representatives
+    assert(rows.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet == reps)
+    // and dropping keeps at least one duplicate pair's loser out
+    assert(rows.exists(_.getInt(2) == 0))
+  }
+
+  test("keepDrop superset property: cdc edges only merge components") {
+    // adding an edge source can merge components but never split them,
+    // so the keep set with cdc edges is a subset of the keep set
+    // without — the invariant that lets the gate run includeCdc=false
+    // while production runs the full union
+    val keepsWithout = Dedup.keepDrop(spark, sf01, includeCdc = false)
+      .collect().filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    val keepsWith = Dedup.keepDrop(spark, sf01, includeCdc = true)
+      .collect().filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    assert(keepsWith.subsetOf(keepsWithout),
+      s"cdc edges must only merge: ${keepsWith -- keepsWithout}")
+  }
+
   test("language id is deterministic and covers all docs") {
     val out = TextAnalysis.langId(spark, sf01).collect()
     assert(out.length == 500)

@@ -39,6 +39,41 @@ class DatagramSourceSpec extends SparkSpec {
     assert(DatagramCodec.parse(stream).toList == List(sample))
   }
 
+  test("a truncated final attribute with a valid CRC is dropped, not misparsed") {
+    // timestamp tag with only 4 of its 8 value bytes, CRC computed over
+    // exactly those bytes: without the attribute-region limit the
+    // fixed-width read would swallow the 4 CRC bytes as the value and
+    // accept the record with a garbage timestamp
+    val body = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = body.write(v & 0xff)
+    u8(0x47); u8(0x4c); u8(0x52); u8(0x31) // magic "GLR1"
+    val crcFrom = body.size()
+    u8(1) // TTimestamp
+    u8(0); u8(1); u8(2); u8(3) // truncated u64
+    val attrs = body.toByteArray
+    val crc = new java.util.zip.CRC32
+    crc.update(attrs, crcFrom, attrs.length - crcFrom)
+    val c = crc.getValue
+    u8((c >>> 24).toInt); u8((c >>> 16).toInt); u8((c >>> 8).toInt); u8(c.toInt)
+    val payload = body.toByteArray
+    val out = java.nio.ByteBuffer.allocate(6 + payload.length)
+    out.putShort(1); out.putShort(DatagramCodec.LogRecordCommand.toShort)
+    out.putShort(payload.length.toShort); out.put(payload)
+    assert(DatagramCodec.parse(out.array()).isEmpty)
+  }
+
+  test("serialize fails fast on unmappable enums and NUL-bearing strings") {
+    intercept[IllegalArgumentException] {
+      DatagramCodec.serialize(sample.copy(method = Some("BREW")))
+    }
+    intercept[IllegalArgumentException] {
+      DatagramCodec.serialize(sample.copy(`type` = Some("mystery")))
+    }
+    intercept[IllegalArgumentException] {
+      DatagramCodec.serialize(sample.copy(uri = Some("/a" + 0.toChar + "b")))
+    }
+  }
+
   test("non-LOG_RECORD packets are passed over") {
     // END response (command 2), empty payload, then a record
     val end = Array[Byte](0, 1, 0, 2, 0, 0)
