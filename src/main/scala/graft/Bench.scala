@@ -79,7 +79,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // run conditions, so cross-round drift is attributable: an 18%
+    // uniform shift with equal load/cpus is code, with higher load is
+    // environment (r5's drift was indistinguishable without this)
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val env = s""""env":{"load_avg":${os.getSystemLoadAverage},""" +
+      s""""cpus_avail":${os.getAvailableProcessors},""" +
+      s""""spark_cpus":$cpus,"passes":2,"warmup_passes":1,""" +
+      s""""jvm":"${esc(System.getProperty("java.version"))}"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir",$env}""")
     spark.stop()
   }
 }

@@ -251,6 +251,25 @@ object SparkEntry {
           "CAST(count(*) AS BIGINT) AS n, " +
           "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent " +
           "FROM log GROUP BY 1 ORDER BY 1"))),
+    // server-to-server backfill (the `clone` verb, reference
+    // doc/index.rst:385-400, src/Clone.cxx): day-partitioned copy
+    // driven to an empty manifest diff; the oracle's per-day counts
+    // are checked against the COPIED bytes, not the source
+    ("clone_backfill",
+      (s: SparkSession, d: String) =>
+        graft.sources.Backfill.cloneBackfill(s, d),
+      Some("SELECT strftime(ts, '%Y-%m-%d') AS day, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+    // file-level min/max pruning (pond's per-file time index): the
+    // pruned read must return exactly the full-scan window filter —
+    // completeness through the gate, files-never-opened in
+    // StatsPruningSpec
+    ("stats_prune",
+      (s: SparkSession, d: String) =>
+        graft.sources.StatsPruning.timeWindow(s, d, SinceUs, UntilUs),
+      Some(logSql(s"timestamp >= $SinceUs AND timestamp <= $UntilUs"))),
     ("top_pages",
       (s: SparkSession, d: String) => Shaping.topPages(LogView(s, d)),
       Some(LogView.oracle(

@@ -119,23 +119,35 @@ object StreamOps {
     */
   def attributionStream(spark: SparkSession, dir: String): DataFrame =
     drain(spark, dir, "events", "graft_attribution_stream", "append") {
-      stream =>
-        val views = stream.filter(col("event_type") === "view")
-          .select(col("user_id").as("v_user"),
-            col("event_id").as("v_id"),
-            timestamp_micros(expr("ts div 1000")).as("vt"))
-          .withWatermark("vt", "1 hour")
-        val purchases = stream.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("p_user"),
-            col("event_id").as("p_id"),
-            timestamp_micros(expr("ts div 1000")).as("pt"))
-          .withWatermark("pt", "1 hour")
-        purchases.join(views,
-          col("p_user") === col("v_user") &&
-            col("pt") >= col("vt") &&
-            col("pt") <= col("vt") + expr("INTERVAL 1 HOUR"))
-          .select(col("p_id"), col("v_id"))
+      attributionJoin
     }.orderBy("p_id", "v_id")
+
+  /** The attribution join body over any events-shaped stream —
+    * factored out so StateBoundSpec can drive it with multi-batch
+    * input and assert the state-store eviction.
+    *
+    * State-size formula (SURVEY §4): each side buffers only rows
+    * newer than `watermark − interval`, so steady-state store size is
+    * `rows/hour(views) · 2h + rows/hour(purchases) · 2h` — arrival
+    * RATE bounded, independent of stream length.
+    */
+  def attributionJoin(stream: DataFrame): DataFrame = {
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"),
+        col("event_id").as("v_id"),
+        timestamp_micros(expr("ts div 1000")).as("vt"))
+      .withWatermark("vt", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("p_id"),
+        timestamp_micros(expr("ts div 1000")).as("pt"))
+      .withWatermark("pt", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("pt") >= col("vt") &&
+        col("pt") <= col("vt") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("v_id"))
+  }
 
   /** Stream-static join: the live log stream enriched against the
     * broadcast GeoIP range dim ([[graft.logs.Enrich.geoip]] — the

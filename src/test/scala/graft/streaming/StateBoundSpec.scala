@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Proves the stream-stream attribution join's state store is
+  * watermark-BOUNDED, not append-only: fed the same month of events
+  * in day-ordered micro-batches, buffered state must stay around the
+  * per-batch arrival volume (the watermark evicts views/purchases
+  * older than `watermark − interval`), never accumulate the stream.
+  * This is the 100 TB viability property — an unbounded join state
+  * OOMs a real cluster in hours.
+  */
+class StateBoundSpec extends SparkSpec {
+
+  test("attribution join state is evicted by the watermark across batches") {
+    // six chunk files of ~5 days each, written sequentially so the
+    // file-stream source (ordered by mod time) replays them in event
+    // order, maxFilesPerTrigger=1 → one chunk per micro-batch
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("chunk", // days 1..30 → chunks 0..5
+        expr("(dayofmonth(timestamp_micros(ts div 1000)) - 1) div 5"))
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_statebound").toString
+    val nChunks = 6
+    (0 until nChunks).foreach { c =>
+      ev.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      Thread.sleep(1100) // distinct whole-second mod times on any fs
+    }
+    val stream = spark.readStream
+      .schema(ev.drop("chunk").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val q = StreamOps.attributionJoin(stream)
+      .writeStream.format("memory").queryName("graft_state_bound")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val states = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(p => (p.batchId, p.stateOperators.map(_.numRowsTotal).sum))
+    assert(states.length >= nChunks - 1, s"expected ~$nChunks batches: $states")
+    val totalRows = ev.count()
+    val maxState = states.map(_._2).max
+    // without eviction the final batch would hold ~every view+purchase;
+    // with the 1h watermark the bound is ~2 batches of arrivals
+    assert(maxState < totalRows / 2,
+      s"state not evicted: max $maxState of $totalRows rows ($states)")
+    // state must not grow monotonically to the end (eviction visibly
+    // kicks in once the watermark advances past the first chunks)
+    val finalState = states.last._2
+    assert(finalState < maxState || maxState < totalRows / 4,
+      s"state kept growing: $states")
+  }
+}
