@@ -19,7 +19,13 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
     var errors = List.empty[(String, String)]
+    // optional name filter for targeted perf iteration (unset = full
+    // set, which is what the driver runs)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // pass 0, untimed: JIT + codegen cache per query shape

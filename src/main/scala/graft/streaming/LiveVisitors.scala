@@ -78,13 +78,15 @@ object LiveVisitors {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateHost)
     val name = "graft_live_visitors"
-    val q = tracked.toDF().writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamOps.sizedForState(spark) {
+      val q = tracked.toDF().writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 }

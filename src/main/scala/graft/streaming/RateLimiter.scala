@@ -100,13 +100,15 @@ object RateLimiter {
       .as[(Long, Long, String)]
       .map(r => Accepted(r._1, r._2, r._3))
     val name = "graft_rate_limit"
-    val q = limited.union(passthrough).toDF().writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamOps.sizedForState(spark) {
+      val q = limited.union(passthrough).toDF().writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("timestamp", "event_id")
   }
 }
