@@ -27,6 +27,24 @@ object Tables {
     if (factTables(name)) spread(spark, df) else df
   }
 
+  /** The same table as a file-stream source (schema from the batch
+    * loader — stream sources must never infer). Handles both testdata
+    * layouts: a single FILE `<name>.parquet` (glob-filtered out of the
+    * sf directory, so sibling tables don't leak into the stream) and a
+    * DIRECTORY `<name>.parquet/part-*.parquet` (any real table; the
+    * path itself is the source root).
+    */
+  def stream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val schema = load(spark, sfDir, name).schema
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val reader = spark.readStream.schema(schema)
+    if (fs.getFileStatus(path).isDirectory)
+      reader.parquet(path.toString)
+    else
+      reader.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
+  }
+
   /** The testdata ships one single-row-group file per table, which
     * Spark cannot split — every downstream operator would run on ONE
     * partition. Repartition up to the core count when (and only when)

@@ -52,13 +52,7 @@ object Follow {
     * plan, returning the drained result as a DataFrame.
     */
   def followTail(spark: SparkSession, dir: String, sinceUs: Long): DataFrame = {
-    val batchSchema = Tables.events(spark, dir).schema
-    // the file stream source wants a directory: list the sf dir and
-    // glob-filter to the events table
-    val stream = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = Tables.stream(spark, dir, "events")
     val name = "graft_follow"
     val q = LogView.fromEvents(stream)
       .filter(col("timestamp") >= sinceUs)

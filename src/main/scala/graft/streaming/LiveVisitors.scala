@@ -65,11 +65,7 @@ object LiveVisitors {
     */
   def trackVisitorsStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = Tables.stream(spark, dir, "events")
     val keyed: Dataset[(Long, Long, String)] = LogView.fromEvents(stream)
       .select(col("event_id"), col("timestamp"), col("remote_host"))
       .as[(Long, Long, String)]

@@ -79,11 +79,7 @@ object RateLimiter {
                       rate: Double, burstOpt: Option[Double] = None): DataFrame = {
     import spark.implicits._
     val burst = burstOpt.getOrElse(10 * rate)
-    val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = Tables.stream(spark, dir, "events")
     val logs = LogView.fromEvents(stream)
       .select(col("event_id"), col("timestamp"), col("site"), col("type"))
     // IsMessage guard (Database.cxx:107-115): only http_error records

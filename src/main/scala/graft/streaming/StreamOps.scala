@@ -25,11 +25,7 @@ object StreamOps {
   private def drain(spark: SparkSession, dir: String, table: String,
                     name: String, mode: String)(
       transform: DataFrame => DataFrame): DataFrame = {
-    val schema = Tables.load(spark, dir, table).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", s"$table.parquet")
-      .parquet(dir)
+    val stream = Tables.stream(spark, dir, table)
     sizedForState(spark) {
       val q = transform(stream)
         .writeStream
