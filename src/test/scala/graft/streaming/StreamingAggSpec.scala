@@ -90,4 +90,19 @@ class StreamingAggSpec extends SparkSpec {
     val batch = graft.logs.Shaping.stats(LogView(spark, sf)).head()
     assert(streamed == batch)
   }
+
+  test("stream source handles directory-layout tables, not just single files") {
+    // regression guard for the sf1 bench bug: the old pathGlobFilter
+    // matched only a FILE named events.parquet, so a real table laid
+    // out as events.parquet/part-*.parquet silently drained an EMPTY
+    // stream (every streaming query "passed" on zero rows)
+    val dirSf = java.nio.file.Files
+      .createTempDirectory("graft_dirlayout").toString
+    val batch = Tables.events(spark, sf)
+    batch.write.mode("overwrite").parquet(s"$dirSf/events.parquet")
+    val drained = StreamOps.statsStream(spark, dirSf).head()
+    val expected = graft.logs.Shaping.stats(LogView(spark, dirSf)).head()
+    assert(drained.getLong(0) == batch.count(), "stream must see every row")
+    assert(drained == expected)
+  }
 }
