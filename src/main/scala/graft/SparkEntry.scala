@@ -822,6 +822,15 @@ object SparkEntry {
       (s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d, minBp = 6500),
       Some("WITH " + ngramPairsCteBody +
         " SELECT doc_a, doc_b, jac_bp FROM p ORDER BY doc_a, doc_b")),
+    // the production-scale detector: MinHash band candidates + exact
+    // sorted-merge verify. Gated against the SAME block-exact oracle
+    // as dedup_ngram — the hash match IS the proof that the LSH pair
+    // set equals the exact one at this threshold (miss probability
+    // ~2e-8 per pair at J = 0.65, deterministic hashes)
+    ("dedup_lsh_verify",
+      (s: SparkSession, d: String) => Dedup.lshJaccardPairs(s, d, minBp = 6500),
+      Some("WITH " + ngramPairsCteBody +
+        " SELECT doc_a, doc_b, jac_bp FROM p ORDER BY doc_a, doc_b")),
     // pairs → clusters: min-label propagation + pointer jumping in
     // Spark, exact recursive-CTE transitive closure in the oracle —
     // two independent component algorithms, one answer

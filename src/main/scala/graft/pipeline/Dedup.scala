@@ -123,6 +123,14 @@ object Dedup {
     * block size, the standard sharded-Jaccard shape. Oracle-checkable:
     * set intersection sizes are exact integers on both engines.
     *
+    * ROLE: calibration oracle. The candidate join is O(block²) by
+    * definition, so this is NOT the production edge source —
+    * [[lshJaccardPairs]] computes the same exact-verified pair set at
+    * LSH cost and is what `dedup_clusters`/[[unionEdges]] consume;
+    * this operator remains gated (`dedup_ngram`) as the ground truth
+    * the LSH path is verified against (gate `dedup_lsh_verify` +
+    * PipelineSpec equality property).
+    *
     * Perf shape: shingle sets are sorted ONCE per document
     * (projection, before the join); each CANDIDATE pair costs one
     * allocation-free [[graft.functions.SortedIntersectCount]] merge
@@ -167,6 +175,94 @@ object Dedup {
         lengthPrune && exactTest)
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        sorted_intersect_count(col("a.sh"), col("b.sh")).as("inter"),
+        sizes.as("sizes"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(10000.0) * col("inter") / (col("sizes") - col("inter")))
+          .cast("long").as("jac_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** [[ngramJaccardPairs]]' exact pair set at LSH cost — the
+    * production-scale detector behind `dedup_keep`/`dedup_clusters`.
+    *
+    * Same SEMANTICS as the block-exact operator (same (lang, source)
+    * blocking, same exact integer threshold `floor(1e4·J) ≥ minBp`,
+    * same output schema); only candidate GENERATION changes, from
+    * all-pairs-per-block (O(block²) — a (lang, source) block at
+    * 100 TB is billions of documents) to MinHash band buckets:
+    *
+    *  - one fused [[graft.functions.MinHashSignature]] pass per doc
+    *    (each shingle hashed once, `numPerm` permutations derived);
+    *  - `bands` band keys per doc, each the xxhash64 of (lang,
+    *    source, band, its `numPerm/bands` signature rows) — the block
+    *    key is IN the bucket key, so candidates never cross blocks;
+    *  - bucket self-join → candidate pairs, bounded by bucket
+    *    occupancy (O(N/2^keybits) per bucket), never O(block²);
+    *  - each candidate verified with the SAME exact integer test as
+    *    [[ngramJaccardPairs]] (cheap length prune first, then the
+    *    allocation-free sorted-merge intersect) — false candidates
+    *    are filtered, so precision is exact by construction.
+    *
+    * Recall is the LSH s-curve: a true pair at Jaccard J is missed
+    * with probability (1 − J^rows)^bands. The defaults (64 perms, 32
+    * bands of 2 rows) put the s-curve midpoint at J ≈ (1/32)^(1/2) ≈
+    * 0.18, far below the dedup thresholds this feeds: at the
+    * `dedup_keep` gate threshold J = 0.65 the miss probability is
+    * (1 − 0.65²)^32 ≈ 2e-8 — the pair set is the exact one with
+    * overwhelming (and, hashes being deterministic, reproducible)
+    * probability, which is what lets `dedup_lsh_verify` gate against
+    * the block-exact DuckDB oracle BY HASH. Lower thresholds need
+    * more bands (rows=1 at minBp ≤ 3000): the s-curve is a parameter,
+    * not a constant.
+    *
+    * Cost at 100 TB: three narrow shuffles (band explode + bucket
+    * join on the 8-byte key; two doc_id joins rehydrating the shingle
+    * arrays for SURVIVING candidates only — the wide arrays never
+    * ride the bucket shuffle). The two rehydration exchanges are
+    * identical, so the second is a ReusedExchange.
+    */
+  def lshJaccardPairs(spark: SparkSession, dir: String,
+                      minBp: Long = 6500, numPerm: Int = 64,
+                      bands: Int = 32): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rows = numPerm / bands
+    val g = normed(spark, dir)
+      .withColumn("sh", array_sort(shingles("txt")))
+      .select(col("doc_id"), col("lang"), col("source"), col("sh"),
+        size(col("sh")).as("nsh"),
+        minhash_signature(col("sh"), numPerm).as("sig"))
+    val bandKeys = (0 until bands).map { bnd =>
+      val slice = (0 until rows)
+        .map(r => s"sig[${bnd * rows + r}]").mkString(", ")
+      expr(s"xxhash64(lang, source, $bnd, $slice)")
+    }
+    val keyed = g.select(col("doc_id"), explode(array(bandKeys: _*)).as("bh"))
+    val cand = keyed.as("ka")
+      .join(keyed.as("kb").hint("shuffle_hash"),
+        col("ka.bh") === col("kb.bh") && col("ka.doc_id") < col("kb.doc_id"))
+      .select(col("ka.doc_id").as("doc_a"), col("kb.doc_id").as("doc_b"))
+      .distinct()
+    val slim = g.select(col("doc_id"), col("lang"), col("source"),
+      col("sh"), col("nsh"))
+    val a = slim.as("a")
+    val b = slim.as("b")
+    val sizes = col("a.nsh") + col("b.nsh")
+    // same cheap-first conjunct order as ngramJaccardPairs: the
+    // two-int length prune short-circuits ahead of the O(|A|+|B|)
+    // merge (block equality re-checked exactly — the bucket key only
+    // makes cross-block candidates hash-collision-unlikely)
+    val lengthPrune =
+      least(col("a.nsh"), col("b.nsh")) * (10000L + minBp) >= lit(minBp) * sizes
+    val exactTest =
+      sorted_intersect_count(col("a.sh"), col("b.sh")) * (10000L + minBp) >=
+        lit(minBp) * sizes
+    cand
+      .join(a.hint("shuffle_hash"), col("doc_a") === col("a.doc_id"))
+      .join(b.hint("shuffle_hash"), col("doc_b") === col("b.doc_id"))
+      .filter(col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") && lengthPrune && exactTest)
+      .select(col("doc_a"), col("doc_b"),
         sorted_intersect_count(col("a.sh"), col("b.sh")).as("inter"),
         sizes.as("sizes"))
       .select(col("doc_a"), col("doc_b"),
@@ -277,16 +373,18 @@ object Dedup {
   }
 
   /** Near-dup pairs → dedup clusters: connected components over the
-    * [[ngramJaccardPairs]] edge set ([[graft.operators.Components]]),
+    * [[lshJaccardPairs]] edge set ([[graft.operators.Components]]),
     * every document labelled with its component's min doc_id — the
     * "keep one representative, drop the rest" step that actually
     * deduplicates a corpus once pair detection has run. Singletons
     * label themselves. The oracle computes the same components with
-    * an exact recursive-CTE transitive closure.
+    * an exact recursive-CTE transitive closure over the BLOCK-EXACT
+    * pair relation — so the gate also re-proves the LSH pair set
+    * equals the exact one end-to-end.
     */
   def clusters(spark: SparkSession, dir: String,
                minBp: Long = 6500): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir, minBp)
+    val pairs = lshJaccardPairs(spark, dir, minBp)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val nodes = Tables.documents(spark, dir)
       .select(col("doc_id").as("node"))
@@ -323,7 +421,7 @@ object Dedup {
     */
   def unionEdges(spark: SparkSession, dir: String,
                  includeCdc: Boolean = true): DataFrame = {
-    val ngram = ngramJaccardPairs(spark, dir, minBp = 6500)
+    val ngram = lshJaccardPairs(spark, dir, minBp = 6500)
       .select(col("doc_a"), col("doc_b"), lit(NgramBit).as("m"))
     val winnow = winnowPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), lit(WinnowBit).as("m"))

@@ -19,6 +19,24 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.6, s"minhash recall $recall over ${truth.size} pairs")
   }
 
+  test("lshJaccardPairs equals the block-exact pair set at dedup thresholds") {
+    // the production edge source (LSH candidates + exact verify) must
+    // reproduce the calibration oracle's EXACT (doc_a, doc_b, jac_bp)
+    // relation: precision is exact by construction (every candidate is
+    // verified), and at J >= 0.65 the banding miss probability is ~2e-8
+    // per pair — a deterministic-hash coin flip that either always
+    // passes on this corpus or demands more bands
+    for (minBp <- Seq(6500L, 8500L)) {
+      val exact = Dedup.ngramJaccardPairs(spark, sf01, minBp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val lsh = Dedup.lshJaccardPairs(spark, sf01, minBp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(exact.nonEmpty)
+      assert(lsh == exact,
+        s"minBp=$minBp missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+    }
+  }
+
   test("simhash: near-identical docs collide, hamming bounded") {
     val rows = Dedup.simhashPairs(spark, sf01).collect()
     assert(rows.forall(_.getInt(2) <= 3))
