@@ -234,6 +234,25 @@ object SparkEntry {
           "user_agent, status, \"length\", content_type, duration_us, " +
           "traffic_sent, traffic_received, message " +
           "FROM log ORDER BY timestamp, remote_host, uri"))),
+    // receiver counters over a fault-bearing capture — pond's
+    // PondStatsPayload n_received/n_malformed/n_discarded (reference
+    // src/Protocol.hxx:236-263, src/Receiver.cxx:28-43): the writer
+    // deterministically interleaves CRC-corrupt copies (event_id%10=0)
+    // and non-LOG_RECORD frames (event_id%15=0), so the oracle
+    // predicts every counter from the clean table
+    ("datagram_stats",
+      (s: SparkSession, d: String) =>
+        graft.sources.DatagramSource.statsCapture(s, d),
+      Some(LogView.oracle(
+        "SELECT CAST(count(*) " +
+          "+ sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) " +
+          "+ sum(CASE WHEN event_id % 15 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_received, " +
+          "CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_malformed, " +
+          "CAST(sum(CASE WHEN event_id % 15 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_discarded, " +
+          "CAST(count(*) AS BIGINT) AS n_parsed FROM log"))),
     // full-schema CSV round trip: unlike JSONL the CSV carries
     // event_id, so this is keyed on the primary key
     ("csv_source",
@@ -465,6 +484,35 @@ object SparkEntry {
           "SELECT event_id, remote_host, " +
           "CAST(split_part(remote_host, '.', 2) AS INTEGER) AS octet2 FROM log) " +
           "ORDER BY event_id"))),
+    // the same lookup over MIXED v4/v6 clients (pond's geoip-database
+    // resolves both families; doc/index.rst --geoip): a deterministic
+    // share of hosts is rewritten to 2001:db8:x::/48 addresses
+    // (matched via the ::-expanded top-64-bit key) and fe80:: ones
+    // (structurally valid, no range → '-'); single-digit hextets keep
+    // the hex spelling engine-neutral
+    ("geoip6",
+      (s: SparkSession, d: String) => {
+        val mixed = LogView(s, d).withColumn("remote_host",
+          when(col("user_id") % 7 === 3,
+            concat(lit("2001:db8:"), (col("user_id") % 10).cast("string"),
+              lit("::"), (col("event_id") % 10).cast("string")))
+            .when(col("user_id") % 7 === 5,
+              concat(lit("fe80::"), (col("event_id") % 10).cast("string")))
+            .otherwise(col("remote_host")))
+        Enrich.geoip(s, mixed)
+          .select("event_id", "remote_host", "country").orderBy("event_id")
+      },
+      Some(LogView.oracle(
+        "SELECT event_id, " +
+          "CASE WHEN user_id % 7 = 3 THEN '2001:db8:' || CAST(user_id % 10 AS VARCHAR) " +
+          "|| '::' || CAST(event_id % 10 AS VARCHAR) " +
+          "WHEN user_id % 7 = 5 THEN 'fe80::' || CAST(event_id % 10 AS VARCHAR) " +
+          "ELSE remote_host END AS remote_host, " +
+          "CASE WHEN user_id % 7 = 3 THEN " +
+          Enrich.geoCountryCase.replace("octet2", "(user_id % 10)") +
+          " WHEN user_id % 7 = 5 THEN '-' ELSE " +
+          Enrich.geoCountryCase.replace("octet2", "(user_id % 200)") +
+          " END AS country FROM log ORDER BY event_id"))),
     // the same enrichment as a STREAM-STATIC join: broadcast dim into
     // every micro-batch, stateful only in the rollup
     ("geoip_stream",

@@ -147,23 +147,79 @@ object Enrich {
     * narrower than a /16) explode to a few hundred thousand bucket
     * rows — still trivially broadcastable.
     */
+  /** The top 64 bits of an IPv6 address as a signed long — the /64
+    * prefix key the v6 range join buckets on. `::`-expansion is the
+    * same as [[anonymizeIpCol]]'s; hex hextets go through `conv`.
+    * Callers guard with [[isValid6]] so this only sees well-formed
+    * addresses (ANSI mode: no silent garbage, no throw on garbage).
+    */
+  private def ipv6Key64(ip: Column): Column = {
+    val halves = split(ip, "::", 2)
+    val lRaw = element_at(halves, 1)
+    val rRaw = when(size(halves) < 2, lit("")).otherwise(element_at(halves, 2))
+    val emptyArr = array().cast("array<string>")
+    val l = when(lRaw === "", emptyArr).otherwise(split(lRaw, ":"))
+    val r = when(rRaw === "", emptyArr).otherwise(split(rRaw, ":"))
+    val expanded = when(ip.contains("::"),
+        concat(l, array_repeat(lit("0"), (lit(8) - size(l) - size(r)).cast("int")), r))
+      .otherwise(split(ip, ":"))
+    (0 until 4).map { i =>
+      shiftleft(conv(element_at(expanded, i + 1), 16, 10).cast("long"), 48 - 16 * i)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Structurally valid dotted-quad / IPv6 (enough validation that
+    * the parse expressions can't throw under ANSI; semantic range
+    * checks are the lookup's job — an out-of-table address simply
+    * doesn't match and gets `-`).
+    */
+  private val isValid4: Column =
+    col("remote_host").rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$")
+  private val isValid6: Column =
+    col("remote_host").rlike("^[0-9a-fA-F:]{2,39}$") &&
+      (col("remote_host").contains("::") ||
+        size(split(col("remote_host"), ":")) === 8)
+
   def geoip(spark: SparkSession, df: DataFrame): DataFrame = {
-    val ranges = spark.range(256).select(
+    // v4: 256 ranges [10.x.0.0, 10.x.255.255]; v6: 256 ranges
+    // 2001:db8:x::/48 (the documentation prefix) keyed on the top 64
+    // bits — same deterministic country function of x for both, same
+    // interval-join-as-BroadcastHashJoin plan. `fam` keeps the two
+    // key spaces from ever cross-matching.
+    val v4 = spark.range(256).select(
+      lit(4).as("fam"),
       (lit(10L * 16777216L) + col("id") * 65536L).as("lo"),
       (lit(10L * 16777216L) + col("id") * 65536L + 65535L).as("hi"),
       expr(geoCountryCase.replace("octet2", "id")).as("country"))
-    val buckets = ranges.select(col("lo"), col("hi"), col("country"),
+    val v6base = (0x2001L << 48) | (0x0db8L << 32)
+    val v6 = spark.range(256).select(
+      lit(6).as("fam"),
+      (lit(v6base) + col("id") * 65536L).as("lo"),
+      (lit(v6base) + col("id") * 65536L + 65535L).as("hi"),
+      expr(geoCountryCase.replace("octet2", "id")).as("country"))
+    val buckets = v4.union(v6).select(
+      col("fam"), col("lo"), col("hi"), col("country"),
       explode(expr("sequence(lo div 65536, hi div 65536)")).as("bucket"))
     val oct = split(col("remote_host"), "\\.")
-    val withIp = df.withColumn("ip_int",
-      element_at(oct, 1).cast("long") * 16777216L +
-        element_at(oct, 2).cast("long") * 65536L +
-        element_at(oct, 3).cast("long") * 256L +
-        element_at(oct, 4).cast("long"))
+    val v4Key = element_at(oct, 1).cast("long") * 16777216L +
+      element_at(oct, 2).cast("long") * 65536L +
+      element_at(oct, 3).cast("long") * 256L +
+      element_at(oct, 4).cast("long")
+    // CaseWhen branches evaluate lazily, so the v4 parse never sees a
+    // colon-bearing address (which would throw under ANSI) and vice
+    // versa; anything structurally invalid keys NULL → join miss → '-'
+    val withIp = df
+      .withColumn("ip_fam",
+        when(col("remote_host").contains(":"), 6).otherwise(4))
+      .withColumn("ip_int",
+        when(col("remote_host").contains(":"),
+          when(isValid6, ipv6Key64(col("remote_host"))))
+          .otherwise(when(isValid4, v4Key)))
     withIp.join(broadcast(buckets),
-        expr("ip_int div 65536") === col("bucket") &&
+        col("ip_fam") === col("fam") &&
+          expr("ip_int div 65536") === col("bucket") &&
           col("ip_int").between(col("lo"), col("hi")), "left")
       .withColumn("country", coalesce(col("country"), lit("-")))
-      .drop("ip_int", "bucket", "lo", "hi")
+      .drop("ip_int", "ip_fam", "fam", "bucket", "lo", "hi")
   }
 }

@@ -185,6 +185,55 @@ object DatagramCodec {
       }
     }
 
+  /** Receiver counters for one capture buffer — pond's
+    * `PondStatsPayload` receive counters (reference
+    * src/Protocol.hxx:236-263, maintained in src/Receiver.cxx:28-43):
+    * `n_received` counts every receive attempt (complete frames of
+    * any command, plus a torn byte tail — one failed receive),
+    * `n_malformed` counts LOG_RECORD payloads rejected by the
+    * magic/CRC/attribute parse plus the torn tail, `n_discarded`
+    * counts well-formed frames the log ingest skips (non-LOG_RECORD
+    * commands — the file-capture analogue of pond's discard counter),
+    * and `n_parsed = n_received - n_malformed - n_discarded` is what
+    * actually landed in the table.
+    */
+  case class CaptureStats(nReceived: Long, nMalformed: Long,
+                          nDiscarded: Long, nParsed: Long)
+
+  /** One classification walk over a capture buffer — the SAME framing
+    * and payload checks as [[parse]], but counting instead of
+    * yielding, so the counters can never drift from what the source
+    * actually ingests.
+    */
+  def parseStats(buf: Array[Byte]): CaptureStats = {
+    var off = 0
+    var received = 0L
+    var malformed = 0L
+    var discarded = 0L
+    var parsed = 0L
+    var torn = false
+    while (!torn && off + 6 <= buf.length) {
+      val bb = ByteBuffer.wrap(buf, off, buf.length - off)
+      bb.getShort()
+      val cmd = bb.getShort() & 0xffff
+      val size = bb.getShort() & 0xffff
+      if (off + 6 + size > buf.length) torn = true
+      else {
+        received += 1
+        if (cmd == LogRecordCommand) {
+          if (parsePayload(buf, off + 6, size).isDefined) parsed += 1
+          else malformed += 1
+        } else discarded += 1
+        off += 6 + size
+      }
+    }
+    if (torn || off < buf.length) { // torn frame or partial header
+      received += 1
+      malformed += 1
+    }
+    CaptureStats(received, malformed, discarded, parsed)
+  }
+
   private def parsePayload(buf: Array[Byte], start: Int,
                            size: Int): Option[LogRecordPacket] = {
     if (size < 8) return None // magic + crc minimum
@@ -271,7 +320,18 @@ object DatagramSource {
     * speculative attempt can never interleave bytes into a committed
     * part file; first committed rename wins.
     */
-  def write(spark: SparkSession, df: DataFrame, outDir: String): Unit = {
+  def write(spark: SparkSession, df: DataFrame, outDir: String): Unit =
+    writeCapture(spark, toPackets(df), outDir)(
+      (r, out) => out.write(DatagramCodec.serialize(r)))
+
+  /** The commit-protocol capture writer shared by [[write]] and
+    * [[writeStatsCapture]]: one part file per partition, each task
+    * writing a per-attempt temp file and renaming it into place.
+    */
+  private def writeCapture[T](spark: SparkSession,
+                              ds: org.apache.spark.sql.Dataset[T],
+                              outDir: String)(
+      emit: (T, java.io.OutputStream) => Unit): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(outDir)
     val fs = dir.getFileSystem(hconf)
@@ -286,7 +346,7 @@ object DatagramSource {
       b.result()
     }
     val bProps = spark.sparkContext.broadcast(confProps)
-    toPackets(df).foreachPartition { (it: Iterator[LogRecordPacket]) =>
+    ds.foreachPartition { (it: Iterator[T]) =>
       val ctx = org.apache.spark.TaskContext.get()
       val conf = new org.apache.hadoop.conf.Configuration(false)
       bProps.value.foreach { case (k, v) => conf.set(k, v) }
@@ -297,15 +357,21 @@ object DatagramSource {
       val tmp = new org.apache.hadoop.fs.Path(dir,
         f"_temporary/part-${ctx.partitionId()}%05d-${ctx.taskAttemptId()}.bin")
       val out = new java.io.BufferedOutputStream(efs.create(tmp, true))
-      try it.foreach(r => out.write(DatagramCodec.serialize(r)))
+      try it.foreach(r => emit(r, out))
       finally out.close()
-      if (!efs.rename(tmp, fin)) {
-        // another attempt of this partition committed first — its
-        // output is equivalent; discard ours
+      // first committed attempt wins. rename-if-absent is checked
+      // BEFORE renaming because RawLocalFileSystem (and some object
+      // store connectors) implement rename as an overwriting
+      // File.renameTo — relying on rename() returning false when the
+      // destination exists would let a slower attempt replace a
+      // committed part file
+      if (efs.exists(fin)) efs.delete(tmp, false)
+      else if (!efs.rename(tmp, fin)) {
         efs.delete(tmp, false)
         if (!efs.exists(fin))
           throw new java.io.IOException(s"commit failed for $fin")
       }
+      ()
     }
     fs.delete(new org.apache.hadoop.fs.Path(dir, "_temporary"), true)
   }
@@ -334,6 +400,83 @@ object DatagramSource {
         "forwarded_to", "remote_host", "type", "method", "uri", "referer",
         "user_agent", "status", "length", "content_type", "duration_us",
         "traffic_sent", "traffic_received", "message")
+  }
+
+  /** Write the log view as a capture that also carries FAULTS, so the
+    * receiver counters have something to count: every record with
+    * `event_id % 10 == 0` is followed by a CRC-corrupted copy of
+    * itself (one payload byte flipped AFTER the CRC was computed —
+    * frame intact, payload malformed), and every record with
+    * `event_id % 15 == 0` is followed by a well-formed non-LOG_RECORD
+    * frame (skipped by ingestion). Deterministic, so the DuckDB
+    * oracle can predict all three counters from the log table alone.
+    */
+  def writeStatsCapture(spark: SparkSession, df: DataFrame,
+                        outDir: String): Unit = {
+    import spark.implicits._
+    val flagged = df.select(
+      struct(
+        col("timestamp"), col("site"), col("host"), col("generator"),
+        col("analytics_id"), col("forwarded_to"), col("remote_host"),
+        col("type"), col("method"), col("uri"), col("referer"),
+        col("user_agent"), col("status"), col("length"),
+        col("content_type"), col("duration_us"), col("traffic_sent"),
+        col("traffic_received"), col("message")).as("r"),
+      (col("event_id") % 10 === 0).as("corrupt"),
+      (col("event_id") % 15 === 0).as("chaff"))
+      .as[(LogRecordPacket, Boolean, Boolean)]
+    // a non-LOG_RECORD frame (command 2 = END in the response
+    // protocol), well-formed, payload "PONG"
+    val chaffFrame: Array[Byte] = {
+      val payload = "PONG".getBytes(UTF_8)
+      val bb = ByteBuffer.allocate(6 + payload.length)
+      bb.putShort(1); bb.putShort(2); bb.putShort(payload.length.toShort)
+      bb.put(payload)
+      bb.array()
+    }
+    writeCapture(spark, flagged, outDir) { case ((r, corrupt, chaff), out) =>
+      val bytes = DatagramCodec.serialize(r)
+      out.write(bytes)
+      if (corrupt) {
+        val bad = bytes.clone()
+        // flip one bit in the last attribute byte (just ahead of the
+        // trailing CRC-32): framing stays valid, the CRC check fails
+        bad(bad.length - 5) = (bad(bad.length - 5) ^ 0x01).toByte
+        out.write(bad)
+      }
+      if (chaff) out.write(chaffFrame)
+    }
+  }
+
+  /** Receiver counters over a capture directory: one
+    * [[DatagramCodec.parseStats]] walk per file (distributed like the
+    * record parse), summed into pond's `PondStatsPayload` receive
+    * counters. One row: (n_received, n_malformed, n_discarded,
+    * n_parsed).
+    */
+  def readStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .map(DatagramCodec.parseStats(_))
+      .agg(
+        sum("nReceived").as("n_received"),
+        sum("nMalformed").as("n_malformed"),
+        sum("nDiscarded").as("n_discarded"),
+        sum("nParsed").as("n_parsed"))
+  }
+
+  /** The `datagram_stats` gate: write a fault-bearing capture of the
+    * log view, then count what the receiver saw — valid, corrupt and
+    * foreign frames all crafted deterministically so the oracle can
+    * recompute every counter from the clean table.
+    */
+  def statsCapture(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scoped("datagram_stats",
+      spark.sparkContext.applicationId, dir)
+    writeStatsCapture(spark, LogView(spark, dir), tmp)
+    readStats(spark, tmp)
   }
 
   /** Round trip for the gate: serialize the log view to packets, read

@@ -37,23 +37,57 @@ object StatsPruning {
   /** One file's time-range row in the manifest. */
   case class FileStat(path: String, minTs: Long, maxTs: Long)
 
+  /** Manifest subdirectory under a layout — `_`-prefixed so data
+    * readers' hidden-path filters never treat it as data.
+    */
+  private val StatsDir = "_graft_stats"
+
   /** Write the log view as `nFiles` range-partitioned parquet files:
     * `repartitionByRange` on timestamp gives disjoint per-file ranges
     * (the property the manifest exploits), `sortWithinPartitions`
-    * additionally tightens parquet's own row-group stats.
+    * additionally tightens parquet's own row-group stats. The
+    * per-file min/max manifest is PERSISTED at layout time
+    * (`_graft_stats/`), so later readers consult a KB-sized parquet
+    * instead of re-aggregating the data — at 100 TB the difference
+    * between opening every file to plan a query and opening none.
     */
   def layoutByTime(spark: SparkSession, sfDir: String, outDir: String,
-                   nFiles: Int = 8): Unit =
+                   nFiles: Int = 8): Unit = {
     LogView(spark, sfDir)
       .repartitionByRange(nFiles, col("timestamp"))
       .sortWithinPartitions("timestamp")
       .write.mode("overwrite").parquet(outDir)
+    // one aggregation pass over the just-written layout (a writer
+    // integrated with the sink would emit these rows from its own
+    // buffers, or read them back from parquet footers — same rows)
+    import spark.implicits._
+    manifestRecomputed(spark, outDir).toSeq
+      .toDF("path", "min_ts", "max_ts")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$StatsDir")
+  }
 
-  /** Per-file min/max manifest of a layout directory. File-level
-    * metadata: one row per file, collected to the driver like any
-    * commit manifest.
+  /** Per-file min/max manifest of a layout directory: the persisted
+    * `_graft_stats/` rows when present (a KB-sized metadata read —
+    * the data files are never opened), recomputed from data only for
+    * layouts written before the manifest existed. Collected to the
+    * driver like any commit manifest.
     */
-  def manifest(spark: SparkSession, dir: String): Array[FileStat] =
+  def manifest(spark: SparkSession, dir: String): Array[FileStat] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$StatsDir")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) manifestRecomputed(spark, dir)
+    else spark.read.parquet(p.toString).collect()
+      .map(r => FileStat(r.getAs[String]("path"),
+        r.getAs[Long]("min_ts"), r.getAs[Long]("max_ts")))
+      .sortBy(_.path)
+  }
+
+  /** The full-scan recount behind [[manifest]] — layout-time input,
+    * gate-time verification ([[timeWindow]] requires persisted ==
+    * recomputed), and the fallback for pre-manifest layouts.
+    */
+  def manifestRecomputed(spark: SparkSession, dir: String): Array[FileStat] =
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("path"))
       .agg(min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))
@@ -89,7 +123,12 @@ object StatsPruning {
     val dir = TmpDir.scoped("statsprune",
       spark.sparkContext.applicationId, sfDir)
     layoutByTime(spark, sfDir, dir)
-    prunedRead(spark, dir, manifest(spark, dir), loUs, hiUs)
+    val m = manifest(spark, dir)
+    // gate: the persisted manifest must equal a fresh recount — the
+    // fast metadata path can never silently drift from the data
+    require(m.toSeq == manifestRecomputed(spark, dir).toSeq,
+      "persisted stats manifest drifted from the layout")
+    prunedRead(spark, dir, m, loUs, hiUs)
       .orderBy("timestamp", "event_id")
   }
 }

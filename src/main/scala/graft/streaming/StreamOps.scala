@@ -39,20 +39,51 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Session conf key overriding the streaming state partition count
+    * for every drain in this module — the deploy-time tuning knob
+    * (the first checkpoint pins whatever value it sees).
+    */
+  val StatePartitionsConf = "spark.graft.streaming.statePartitions"
+
+  /** The arrival-rate formula behind the default: one state store
+    * per shuffle partition per micro-batch is pure constant overhead
+    * (the stream-stream join opens FOUR), so partitions should track
+    * rows-per-batch, not cluster width — enough that each store's
+    * slice stays comfortably in memory, no more.
+    */
+  def statePartitionsFor(rowsPerBatch: Long,
+                         targetRowsPerPartition: Long = 50000L): Int = {
+    // overflow-safe ceil division (rowsPerBatch may be Long.MaxValue)
+    val ceilDiv = rowsPerBatch / targetRowsPerPartition +
+      (if (rowsPerBatch % targetRowsPerPartition > 0) 1L else 0L)
+    math.max(1L, math.min(2048L, ceilDiv)).toInt
+  }
+
   /** Run a start-and-drain `body` with STREAMING state partitioning
     * sized to the drain's arrival rate. State partitioning is an
     * arrival-rate knob, not a data-size knob: every stateful operator
-    * opens one state store per shuffle partition per micro-batch (the
-    * stream-stream join opens FOUR), so the batch-sized session
-    * default pays 4×N store setups of pure constant overhead per
-    * batch (measured 2.5× on attribution_stream's drain at local[32]).
-    * On a real deployment this is tuned once to throughput and then
-    * pinned by the first checkpoint. Batch queries are unaffected —
-    * the conf is restored after the drain completes.
+    * opens one state store per shuffle partition per micro-batch, so
+    * the batch-sized session default pays N store setups of pure
+    * constant overhead per batch (measured 2.5× on
+    * attribution_stream's drain at local[32]).
+    *
+    * Sizing precedence: explicit `n` > [[StatePartitionsConf]] >
+    * [[statePartitionsFor]] of the drain's batch size (AvailableNow
+    * delivers the whole table as ~one batch; 4e5 rows at sf0.1 → 8
+    * partitions). Batch queries are unaffected — the conf is restored
+    * after the drain completes. The set/restore mutates the SESSION
+    * conf, so drains must not run concurrently with other queries on
+    * the same session (true of the bench/verify harness; a concurrent
+    * deployment would set [[StatePartitionsConf]] per session or pass
+    * `n` and skip the mutation).
     */
-  private[streaming] def sizedForState[T](spark: SparkSession)(body: => T): T = {
+  private[streaming] def sizedForState[T](spark: SparkSession,
+                                          n: Option[Int] = None)(body: => T): T = {
+    val target = n
+      .orElse(spark.conf.getOption(StatePartitionsConf).map(_.toInt))
+      .getOrElse(statePartitionsFor(400000L))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", target.toString)
     try body
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }

@@ -49,14 +49,25 @@ object ScaleUp {
         shift("user_id", 1000000L))
       case "documents" => Seq(
         shift("doc_id", 10000000L),
-        _.withColumn("text",
+        // copy 0 is the original; every later copy rotates by
+        // (copy-1) % 25 + 1 ∈ [1,25] — never the identity, so no copy
+        // count reintroduces verbatim cross-copy clones
+        _.withColumn("text", {
+          val k = if (copy == 0) 0 else (copy - 1) % 25 + 1
           translate(col("text"), alpha + alpha.toUpperCase,
-            rot(alpha, copy % 26) + rot(alpha, copy % 26).toUpperCase)))
+            rot(alpha, k) + rot(alpha, k).toUpperCase)
+        }))
       case "embeddings" => Seq(
         shift("vec_id", 10000000L),
-        _.withColumn("embedding", expr(
-          s"concat(slice(embedding, ${copy % 64 + 1}, size(embedding) - ${copy % 64}), " +
-            s"slice(embedding, 1, ${copy % 64}))")))
+        // circular shift clamped to the runtime dimension: for
+        // copy >= 1 the shift is (copy-1) % (dim-1) + 1 ∈ [1, dim-1] —
+        // never 0 (identity) and never > dim (negative slice length)
+        _.withColumn("embedding",
+          if (copy == 0) col("embedding")
+          else expr(
+            s"concat(slice(embedding, ((${copy - 1}) % (size(embedding) - 1)) + 2, " +
+              s"size(embedding) - (((${copy - 1}) % (size(embedding) - 1)) + 1)), " +
+              s"slice(embedding, 1, ((${copy - 1}) % (size(embedding) - 1)) + 1))")))
       case _ => Seq() // dims (region/nation): identical copies are wrong
       // — they are key-unique; handled below by emitting copy 0 only
     }

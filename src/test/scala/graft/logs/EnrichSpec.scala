@@ -57,4 +57,23 @@ class EnrichSpec extends SparkSpec {
     assert(out.filter(col("country") === "-").count() == 0)
     assert(out.select("country").distinct().count() > 1)
   }
+
+  test("geoip resolves IPv6: matched ranges, unmatched prefixes, garbage") {
+    import spark.implicits._
+    val hosts = Seq(
+      (1L, "2001:db8:0:0:0:0:0:1"), // full form, range x=0 → US
+      (2L, "2001:db8:5::9"), // compressed, x=5 → JP
+      (3L, "2001:db8:c8::1"), // hex hextet, x=0xc8=200 → 200%10=0 → US
+      (4L, "2001:0db8:00c8::1"), // zero-padded spelling of the same /48
+      (5L, "fe80::1"), // valid v6 outside every range → '-'
+      (6L, "2001:db9::1"), // adjacent /32, no range → '-'
+      (7L, "10.3.0.1"), // v4 still resolves alongside → GB
+      (8L, "not:an::ip:zz"), // structurally invalid v6 → '-'
+      (9L, "garbage.host.name")) // invalid v4 → '-'
+      .toDF("event_id", "remote_host")
+    val got = Enrich.geoip(spark, hosts).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("country")).toMap
+    assert(got == Map(1L -> "US", 2L -> "JP", 3L -> "US", 4L -> "US",
+      5L -> "-", 6L -> "-", 7L -> "GB", 8L -> "-", 9L -> "-"), got.toString)
+  }
 }

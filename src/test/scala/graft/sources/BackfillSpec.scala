@@ -47,6 +47,50 @@ class BackfillSpec extends SparkSpec {
     assert(Backfill.diff(spark, sf, dest).isEmpty)
   }
 
+  test("destManifest reads the persisted manifest, not the copied data") {
+    val dest = freshDest()
+    Backfill.backfill(spark, sf, dest)
+    // the persisted manifest exists...
+    val mDir = new java.io.File(dest, "_graft_manifest")
+    assert(mDir.isDirectory, "backfill must persist its manifest")
+    // ...and is what destManifest answers from: doctor one day's
+    // entry (keeping the fs signature valid by editing values only)
+    // and the doctored value must come back — proof the day was NOT
+    // recounted from data
+    val m = spark.read.parquet(mDir.toString)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    val doctored = m.withColumn("n_rows",
+      when(col("day") === m.orderBy("day").head().getAs[String]("day"), lit(424242L))
+        .otherwise(col("n_rows")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doctored").toString
+    doctored.coalesce(1).write.mode("overwrite").partitionBy("day").parquet(tmp)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(mDir)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), mDir.toPath)
+    val got = Backfill.destManifest(spark, dest).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.count(_ == 424242L) == 1,
+      s"destManifest must answer from the persisted manifest: $got")
+  }
+
+  test("dest-only orphan days are flagged by the diff and removed") {
+    val dest = freshDest()
+    Backfill.backfill(spark, sf, dest)
+    assert(Backfill.diff(spark, sf, dest).isEmpty)
+    // plant an orphan day the source never had
+    graft.Tables.events(spark, sf).limit(5)
+      .write.mode("overwrite").parquet(s"$dest/day=1999-12-31")
+    val d = Backfill.diff(spark, sf, dest).collect()
+    assert(d.length == 1 && d.head.getString(0) == "1999-12-31" &&
+      d.head.isNullAt(1), s"orphan must be flagged with NULL src: ${d.mkString(",")}")
+    // repair removes it (no copy work → returns 0) and the diff closes
+    assert(Backfill.backfill(spark, sf, dest) == 0)
+    assert(Backfill.diff(spark, sf, dest).isEmpty)
+    assert(!new java.io.File(dest, "day=1999-12-31").exists)
+  }
+
   test("a torn day partition is detected by the diff and repaired") {
     val dest = freshDest()
     Backfill.backfill(spark, sf, dest)

@@ -81,6 +81,39 @@ class DatagramSourceSpec extends SparkSpec {
     assert(DatagramCodec.parse(stream).toList == List(sample))
   }
 
+  test("parseStats counts received/malformed/discarded/parsed per frame class") {
+    val good = DatagramCodec.serialize(sample)
+    val bad = good.clone()
+    bad(bad.length - 5) = (bad(bad.length - 5) ^ 0x01).toByte // CRC fails
+    val other = Array[Byte](0, 1, 0, 2, 0, 0) // END frame, empty payload
+    val torn = good.take(good.length - 3)
+    val s1 = DatagramCodec.parseStats(good ++ bad ++ other ++ good)
+    assert(s1 == DatagramCodec.CaptureStats(4, 1, 1, 2), s1)
+    // torn tail is one failed receive attempt
+    val s2 = DatagramCodec.parseStats(good ++ torn)
+    assert(s2 == DatagramCodec.CaptureStats(2, 1, 0, 1), s2)
+    // partial header tail likewise
+    val s3 = DatagramCodec.parseStats(good ++ Array[Byte](0, 1, 0))
+    assert(s3 == DatagramCodec.CaptureStats(2, 1, 0, 1), s3)
+    // counters reconcile: received = malformed + discarded + parsed
+    for (s <- Seq(s1, s2, s3))
+      assert(s.nReceived == s.nMalformed + s.nDiscarded + s.nParsed, s)
+  }
+
+  test("statsCapture counters match the crafted fault plan") {
+    import graft.Tables
+    val n = Tables.events(spark, sf).count()
+    val row = DatagramSource.statsCapture(spark, sf).head()
+    val nCorrupt = Tables.events(spark, sf)
+      .filter(col("event_id") % 10 === 0).count()
+    val nChaff = Tables.events(spark, sf)
+      .filter(col("event_id") % 15 === 0).count()
+    assert(row.getLong(0) == n + nCorrupt + nChaff) // n_received
+    assert(row.getLong(1) == nCorrupt) // n_malformed
+    assert(row.getLong(2) == nChaff) // n_discarded
+    assert(row.getLong(3) == n) // n_parsed
+  }
+
   test("datagram round trip is lossless for every wire-format field") {
     val back = DatagramSource.roundTrip(spark, sf)
     val orig = LogView(spark, sf).select(

@@ -44,6 +44,37 @@ class StatsPruningSpec extends SparkSpec {
       plan.contains("GreaterThanOrEqual(timestamp"), plan.take(2000))
   }
 
+  test("manifest() answers from the persisted stats, not a data rescan") {
+    // layoutByTime persisted _graft_stats; doctor it (widen one file's
+    // max by a known delta) — manifest() must return the doctored
+    // value, proving no recount happened; manifestRecomputed() must
+    // still return the truth
+    val statsDir = new java.io.File(dir, "_graft_stats")
+    assert(statsDir.isDirectory, "layout must persist its stats manifest")
+    val truth = StatsPruning.manifestRecomputed(spark, dir)
+    val doctored = spark.read.parquet(statsDir.toString)
+      .withColumn("max_ts", col("max_ts") + lit(777L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doctored_stats").toString
+    doctored.coalesce(1).write.mode("overwrite").parquet(tmp)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(statsDir)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), statsDir.toPath)
+    try {
+      val got = StatsPruning.manifest(spark, dir)
+      assert(got.map(_.maxTs).sorted.toSeq ==
+        truth.map(_.maxTs + 777L).sorted.toSeq,
+        "manifest must come from the persisted rows")
+    } finally {
+      // restore the true manifest for any later test using `dir`
+      import spark.implicits._
+      rmrf(statsDir)
+      truth.toSeq.toDF("path", "min_ts", "max_ts")
+        .coalesce(1).write.mode("overwrite").parquet(statsDir.toString)
+    }
+  }
+
   test("a window beyond the data prunes every file") {
     val m = StatsPruning.manifest(spark, dir)
     val maxTs = m.map(_.maxTs).max

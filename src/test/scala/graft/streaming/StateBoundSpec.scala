@@ -54,4 +54,26 @@ class StateBoundSpec extends SparkSpec {
     assert(finalState < maxState || maxState < totalRows / 4,
       s"state kept growing: $states")
   }
+
+  test("sizedForState: precedence explicit > conf > formula, and restores") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def inside(): Int =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // formula default (AvailableNow drain, ~4e5-row batch → 8)
+    assert(StreamOps.sizedForState(spark)(inside()) == 8)
+    // session conf override — the deploy-time knob
+    spark.conf.set(StreamOps.StatePartitionsConf, "4")
+    try {
+      assert(StreamOps.sizedForState(spark)(inside()) == 4)
+      // explicit parameter beats the conf
+      assert(StreamOps.sizedForState(spark, Some(16))(inside()) == 16)
+    } finally spark.conf.unset(StreamOps.StatePartitionsConf)
+    // batch queries never see the drain sizing
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    // the formula itself: ceil(rows/target), clamped
+    assert(StreamOps.statePartitionsFor(400000L) == 8)
+    assert(StreamOps.statePartitionsFor(1L) == 1)
+    assert(StreamOps.statePartitionsFor(0L) == 1)
+    assert(StreamOps.statePartitionsFor(Long.MaxValue) == 2048)
+  }
 }
