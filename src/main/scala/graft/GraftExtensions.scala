@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CdcChunks, CosineSimilarity, HyperplaneBuckets, MinHashSignature, RollingHash, SimHashAgg, SortedIntersectCount}
+import graft.functions.{CdcChunks, CosineSimilarity, HyperplaneBuckets, MinHashSignature, RollingHash, SimHashAgg, SortedIntersectCount, WinnowFps}
 
 /** SparkSessionExtensions hook registering graft's native expressions
   * as SQL functions, so `spark.sql("SELECT rolling_hash(text) ...")`
@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (children: Seq[Expression]) => MinHashSignature(
         children(0), children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => WinnowFps(children(0),
+        children(1).eval().asInstanceOf[Int],
+        children(2).eval().asInstanceOf[Int])))
     ext.injectFunction((
       new FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),

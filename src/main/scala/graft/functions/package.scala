@@ -40,6 +40,12 @@ package object functions {
   def simhash_agg(tokenHash: Column): Column =
     call_function("simhash_agg", tokenHash)
 
+  /** [[graft.functions.WinnowFps]] as a Column function. */
+  def winnow_fps(txt: Column, k: Int, w: Int): Column =
+    call_function("winnow_fps", txt,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
+
   /** [[graft.functions.MinHashSignature]] as a Column function. */
   def minhash_signature(sh: Column, numPerm: Int): Column =
     call_function("minhash_signature", sh,

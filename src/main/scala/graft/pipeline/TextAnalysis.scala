@@ -183,7 +183,21 @@ object TextAnalysis {
     * feeding a shuffle would be thrown away work).
     */
   def winnowFps(spark: SparkSession, dir: String,
-                k: Int = 5, w: Int = 4): DataFrame = {
+                k: Int = 5, w: Int = 4): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normText(col("text")).as("txt"))
+      .select(col("doc_id"),
+        explode(graft.functions.winnow_fps(col("txt"), k, w)).as("fp"))
+
+  /** The SQL formulation [[winnowFps]]'s native expression replaced —
+    * kept as the equality reference (FunctionsSpec asserts the two
+    * produce identical (doc_id, fp) relations; the DuckDB oracle
+    * mirrors THIS form). One full md5() evaluation per character per
+    * document plus per-window slice arrays — ~3× the native
+    * expression's cost at sf1.
+    */
+  def winnowFpsSql(spark: SparkSession, dir: String,
+                   k: Int = 5, w: Int = 4): DataFrame = {
     // the gram-hash array is BOUND through a lambda variable (`h`):
     // referencing a withColumn alias 3 times lets the optimizer
     // substitute the whole 100s-of-elements transform tree into every

@@ -63,6 +63,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("geoip over mixed v4/v6 hosts still plans a broadcast HASH join") {
+    // the family-tagged bucket dim must not degrade the probe to a
+    // nested loop, and no cartesian may appear anywhere in the lookup
+    val mixed = LogView(spark, sf).withColumn("remote_host",
+      when(col("user_id") % 7 === 3,
+        concat(lit("2001:db8:"), (col("user_id") % 10).cast("string"),
+          lit("::"), (col("event_id") % 10).cast("string")))
+        .otherwise(col("remote_host")))
+    val p = plan(graft.logs.Enrich.geoip(spark, mixed))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("lshJaccardPairs: bucket + rehydration joins are hash joins, no quadratic op") {
+    // the point of the operator is that NOTHING in the plan is
+    // all-pairs: bucket self-join and both doc_id rehydration joins
+    // must be (shuffled) hash joins; the wide shingle arrays must
+    // never ride a broadcast; no sort-merge on array-bearing rows
+    val p = plan(graft.pipeline.Dedup.lshJaccardPairs(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("resolve_forwarded_to broadcasts the resolver dim") {
     val p = plan(graft.logs.Enrich.resolveForwardedTo(spark, LogView(spark, sf)))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -108,6 +108,36 @@ class ExpressionsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("winnow_fps equals the SQL md5/array_min formulation exactly") {
+    // the native expression must be value-identical to the SQL form
+    // the DuckDB oracles mirror — per doc, per fingerprint, both ways
+    def rel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val native = rel(graft.pipeline.TextAnalysis.winnowFps(spark, sf01))
+    val sql = rel(graft.pipeline.TextAnalysis.winnowFpsSql(spark, sf01))
+    assert(native == sql,
+      s"native-only=${(native -- sql).take(3)} sql-only=${(sql -- native).take(3)}")
+    assert(native.nonEmpty)
+    // edge cases the corpus may not cover: shorter-than-k text (one
+    // whole-string gram), fewer grams than the window, empty string
+    import spark.implicits._
+    val edge = Seq((1L, "ab"), (2L, "abcdef"), (3L, ""), (4L, "abcdefghij"))
+      .toDF("doc_id", "text")
+    def edgeRel(fn: org.apache.spark.sql.Column) = edge
+      .select(col("doc_id"), explode(fn).as("fp")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val nativeEdge = edgeRel(winnow_fps(col("text"), 5, 4))
+    val sqlEdge = edgeRel(expr(
+      """element_at(transform(array(
+        |  transform(sequence(1, greatest(length(text) - 4, 1)),
+        |    i -> substr(md5(substr(text, i, 5)), 1, 8))),
+        |  h -> CASE WHEN size(h) >= 4 THEN
+        |    array_distinct(transform(sequence(1, size(h) - 4 + 1),
+        |      i -> array_min(slice(h, i, 4))))
+        |  ELSE array(array_min(h)) END), 1)""".stripMargin))
+    assert(nativeEdge == sqlEdge, s"$nativeEdge vs $sqlEdge")
+  }
+
   test("expressions stay inside whole-stage codegen") {
     // a real file scan (LocalRelation would constant-fold away);
     // execute first so AQE finalises the plan, then look for the
