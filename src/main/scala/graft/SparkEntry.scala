@@ -253,6 +253,24 @@ object SparkEntry {
           "CAST(sum(CASE WHEN event_id % 15 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
           "AS n_discarded, " +
           "CAST(count(*) AS BIGINT) AS n_parsed FROM log"))),
+    // the counters maintained LIVE over the arriving capture stream
+    // (pond's STATS against a running receiver): binaryFile file
+    // stream + incremental global aggregate, same fault plan and the
+    // SAME oracle as the batch operator — streaming path proven
+    // batch-equal
+    ("datagram_stats_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.datagramStatsStream(s, d),
+      Some(LogView.oracle(
+        "SELECT CAST(count(*) " +
+          "+ sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) " +
+          "+ sum(CASE WHEN event_id % 15 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_received, " +
+          "CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_malformed, " +
+          "CAST(sum(CASE WHEN event_id % 15 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_discarded, " +
+          "CAST(count(*) AS BIGINT) AS n_parsed FROM log"))),
     // full-schema CSV round trip: unlike JSONL the CSV carries
     // event_id, so this is keyed on the primary key
     ("csv_source",

@@ -227,6 +227,15 @@ object Dedup {
                       bands: Int = 32): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rows = numPerm / bands
+    // the guarantee this operator sells is "the exact pair set at LSH
+    // cost" — refuse configurations where the banding would miss
+    // at-threshold pairs at a rate a gate could ever observe, instead
+    // of silently under-recalling (miss prob at J: (1 - J^rows)^bands)
+    val missAtThreshold =
+      math.pow(1.0 - math.pow(minBp / 10000.0, rows), bands)
+    require(missAtThreshold < 1e-6,
+      f"banding $bands×$rows misses J=${minBp / 10000.0}%.2f pairs with " +
+        f"p=$missAtThreshold%.2e — use more bands (rows=1 for low thresholds)")
     val g = normed(spark, dir)
       .withColumn("sh", array_sort(shingles("txt")))
       .select(col("doc_id"), col("lang"), col("source"), col("sh"),

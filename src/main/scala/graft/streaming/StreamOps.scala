@@ -137,6 +137,49 @@ object StreamOps {
           .dropDuplicates("content_hash")
     }.orderBy("content_hash")
 
+  /** The receiver counters maintained LIVE over an arriving capture
+    * stream — pond's STATS command against a running receiver
+    * (reference src/Protocol.hxx:236-263: the counters are cumulative
+    * server state, polled while datagrams arrive). The fault-bearing
+    * capture ([[graft.sources.DatagramSource.writeStatsCapture]]) is
+    * consumed as a `binaryFile` FILE STREAM (each capture file = one
+    * arriving batch of datagrams), every file classified by the same
+    * [[graft.sources.DatagramCodec.parseStats]] walk as the batch
+    * operator, and the four counters folded by an incremental global
+    * aggregate — state is FOUR longs regardless of stream length.
+    * Gated against the identical batch oracle.
+    */
+  def datagramStatsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = graft.sources.TmpDir.scoped("datagram_stats_stream",
+      spark.sparkContext.applicationId, dir)
+    graft.sources.DatagramSource.writeStatsCapture(
+      spark, LogView(spark, dir), tmp)
+    // binaryFile's fixed schema — stream sources must never infer
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("path", "string").add("modificationTime", "timestamp")
+      .add("length", "long").add("content", "binary")
+    val stream = spark.readStream.format("binaryFile")
+      .schema(schema).load(tmp)
+    sizedForState(spark) {
+      val q = stream.select(col("content")).as[Array[Byte]]
+        .map(graft.sources.DatagramCodec.parseStats(_))
+        .agg(
+          sum("nReceived").as("n_received"),
+          sum("nMalformed").as("n_malformed"),
+          sum("nDiscarded").as("n_discarded"),
+          sum("nParsed").as("n_parsed"))
+        .writeStream
+        .format("memory")
+        .queryName("graft_datagram_stats_stream")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table("graft_datagram_stats_stream")
+  }
+
   /** [[graft.logs.Shaping.accumulateTop]] as a live top-N: the
     * per-value counts are maintained incrementally (complete-mode
     * grouped count — bounded state, one row per distinct value); the

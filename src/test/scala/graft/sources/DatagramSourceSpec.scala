@@ -114,6 +114,13 @@ class DatagramSourceSpec extends SparkSpec {
     assert(row.getLong(3) == n) // n_parsed
   }
 
+  test("streaming counters equal the batch counters over the same capture plan") {
+    val batch = DatagramSource.statsCapture(spark, sf).head()
+    val streamed = graft.streaming.StreamOps.datagramStatsStream(spark, sf).head()
+    assert((0 to 3).forall(i => batch.getLong(i) == streamed.getLong(i)),
+      s"batch=$batch streamed=$streamed")
+  }
+
   test("datagram round trip is lossless for every wire-format field") {
     val back = DatagramSource.roundTrip(spark, sf)
     val orig = LogView(spark, sf).select(
