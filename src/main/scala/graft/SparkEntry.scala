@@ -288,6 +288,18 @@ object SparkEntry {
           "CAST(count(*) AS BIGINT) AS n, " +
           "CAST(sum(traffic_sent) AS BIGINT) AS bytes_sent " +
           "FROM log GROUP BY 1 ORDER BY 1"))),
+    // small-file compaction over the date layout (OPTIMIZE): fragment
+    // deliberately, compact via the staged dir-rename swap protocol,
+    // and prove row preservation against the clean source; the
+    // file-count contraction is CompactionSpec's assertion
+    ("compact_partition",
+      (s: SparkSession, d: String) =>
+        graft.sources.Compaction.compactRollup(s, d),
+      Some(LogView.oracle(
+        "SELECT CAST(CAST(make_timestamp(timestamp) AS DATE) AS VARCHAR) AS date, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+          "FROM log GROUP BY 1 ORDER BY 1"))),
     // server-to-server backfill (the `clone` verb, reference
     // doc/index.rst:385-400, src/Clone.cxx): day-partitioned copy
     // driven to an empty manifest diff; the oracle's per-day counts

@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.logs.LogView
+
+/** Small-file compaction over a date-partitioned layout — the
+  * operational companion to [[DateLayout]] (OPTIMIZE in lakehouse
+  * terms). A live ingest (per-minute micro-batches, [[graft.streaming
+  * .Follow]]-style tails, speculative retries) fragments day
+  * directories into thousands of KB-sized files; at 100 TB that
+  * multiplies list/open costs per query and starves the scan of
+  * row-group-sized reads. pond never faces this — its per-day per-site
+  * file IS the compaction unit (reference doc/index.rst per-day
+  * layout); a parquet lake has to re-establish that property
+  * explicitly, and this operator is that step.
+  *
+  * Discipline:
+  *  - listing-only planning: a partition is selected for rewrite iff
+  *    its file count exceeds what its BYTE SIZE justifies
+  *    (`ceil(bytes / targetBytes)`, min 1) — no data is read to
+  *    decide;
+  *  - each selected partition is rewritten to exactly that many
+  *    files via `repartition(n)` under dynamic partition overwrite —
+  *    healthy partitions are never touched (their files, and their
+  *    parquet footers' stats, stay byte-identical);
+  *  - content is provably preserved: the gate compares per-day
+  *    counts/id-checksums of the COMPACTED table against the clean
+  *    source, and CompactionSpec asserts the file-count contraction
+  *    and the untouched-partition property.
+  */
+object Compaction {
+
+  /** One partition's compaction plan: files present vs files its
+    * byte size justifies at `targetBytes`.
+    */
+  case class PartPlan(partition: String, nFiles: Int, bytes: Long,
+                      targetFiles: Int) {
+    def fragmented: Boolean = nFiles > targetFiles
+  }
+
+  /** Listing-only planning pass over `dir`'s first-level partition
+    * directories (`<col>=<value>`).
+    */
+  def plan(spark: SparkSession, dir: String,
+           targetBytes: Long = 128L * 1024 * 1024): Seq[PartPlan] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        val bytes = files.map(_.getLen).sum
+        val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        PartPlan(d.getPath.getName, files.length, bytes, target)
+      }
+      .sortBy(_.partition)
+  }
+
+  private val StageRoot = "_graft_compact_stage"
+  private val TrashRoot = "_graft_compact_old"
+
+  /** Crash recovery for [[compact]]'s swap protocol, run before every
+    * planning pass. The swap per partition is: (1) stage the
+    * compacted files (job commit ends with `_SUCCESS`), (2) rename
+    * the live partition dir into the trash, (3) rename the staged dir
+    * into place, (4) drop the trash. Every window is recoverable:
+    *
+    *  - stage without `_SUCCESS`: staging died — live dir untouched,
+    *    drop the stage;
+    *  - stage with `_SUCCESS` and the live dir present: died between
+    *    (1) and (2) — drop the stage, a re-plan re-stages;
+    *  - stage with `_SUCCESS` and the live dir missing: died between
+    *    (2) and (3) — complete the swap (the staged copy is whole);
+    *  - trash leftovers: died at (4) — drop them.
+    *
+    * Directory RENAME is the commit primitive (atomic on HDFS and
+    * posix filesystems), never file-by-file moves into a live dir —
+    * a mid-crash can therefore never mix old and new files. On an
+    * object store without atomic dir rename this is exactly where a
+    * table format's transaction log takes over; the reader-visible
+    * gap between (2) and (3) is the gap Delta/Iceberg close.
+    */
+  private def recover(fs: FileSystem, root: Path): Unit = {
+    val stageRoot = new Path(root, StageRoot)
+    if (fs.exists(stageRoot)) {
+      fs.listStatus(stageRoot).filter(_.isDirectory).foreach { st =>
+        val live = new Path(root, st.getPath.getName)
+        val staged = fs.exists(new Path(st.getPath, "_SUCCESS"))
+        if (staged && !fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(s"compaction recovery failed for $live")
+        } else fs.delete(st.getPath, true)
+      }
+      fs.delete(stageRoot, true)
+    }
+    fs.delete(new Path(root, TrashRoot), true)
+  }
+
+  /** Rewrite every fragmented partition to its target file count.
+    * Returns the plans of the partitions rewritten.
+    *
+    * Each partition is staged by a distributed job over ONLY its own
+    * rows (one day's data never shuffles with another's) and
+    * committed by the [[recover]] swap protocol. Healthy partitions
+    * are never touched, byte for byte. Partitions are independent, so
+    * a deployment would submit these jobs concurrently from a pool;
+    * sequential here.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Seq[PartPlan] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    recover(fs, root)
+    val fragmented = plan(spark, dir, targetBytes).filter(_.fragmented)
+    if (fragmented.isEmpty) return Nil
+    fs.mkdirs(new Path(root, TrashRoot))
+    fragmented.foreach { p =>
+      val live = new Path(root, p.partition)
+      val stage = new Path(root, s"$StageRoot/${p.partition}")
+      val trash = new Path(root, s"$TrashRoot/${p.partition}")
+      // reading the partition DIRECTORY yields exactly its data
+      // columns (the partition value lives in the path, and goes back
+      // into the same path) — and keeps the read set disjoint from
+      // the write set, so no overwrite-while-reading hazard
+      spark.read.parquet(live.toString)
+        .repartition(p.targetFiles)
+        .write.mode("overwrite").parquet(stage.toString)
+      if (!fs.rename(live, trash) || !fs.rename(stage, live))
+        throw new java.io.IOException(s"compaction swap failed for $live")
+      fs.delete(trash, true)
+      fs.delete(new Path(live, "_SUCCESS"), false)
+    }
+    fs.delete(new Path(root, StageRoot), true)
+    fs.delete(new Path(root, TrashRoot), true)
+    fragmented
+  }
+
+  /** The gate query: fragment the log into a date-partitioned layout
+    * with deliberately tiny files (the post-ingest state), compact,
+    * and return the per-day rollup of the COMPACTED table — row
+    * preservation across the rewrite is what the oracle checks
+    * against the clean source. The file-count contraction itself is
+    * CompactionSpec's assertion (file counts aren't SQL-visible).
+    */
+  def compactRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scoped("compact",
+      spark.sparkContext.applicationId, dir)
+    fragmentedLayout(spark, dir, tmp)
+    compact(spark, tmp, targetBytes = 4L * 1024 * 1024)
+    spark.read.parquet(tmp)
+      .groupBy(col("date").cast("string").as("date"))
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+      .orderBy("date")
+  }
+
+  /** A deliberately fragmented date layout: many small files per day
+    * (what per-minute micro-batch commits leave behind).
+    */
+  private[sources] def fragmentedLayout(spark: SparkSession, dir: String,
+                                        outDir: String): Unit =
+    LogView(spark, dir)
+      .withColumn("date", expr("date(timestamp_micros(timestamp))"))
+      // round-robin WITHIN each day so every day directory gets many
+      // small part files — the anti-pattern compact() repairs
+      .repartition(32)
+      .write.mode("overwrite").partitionBy("date").parquet(outDir)
+}
