@@ -967,6 +967,10 @@ object SparkEntry {
         "ORDER BY q_id, rank")),
     ("ann_lsh", (s: SparkSession, d: String) => Ann.lshTopK(s, d), None),
     ("ann_ivf", (s: SparkSession, d: String) => Ann.ivfTopK(s, d), None),
+    // IVF + product quantization: the 8-bytes-per-vector ADC scan
+    // with exact re-rank — KMeans codebooks are engine-specific →
+    // rows-only, recall@10 vs brute gated in AnnSpec
+    ("ann_ivf_pq", (s: SparkSession, d: String) => Ann.ivfPqTopK(s, d), None),
     ("lang_id", (s: SparkSession, d: String) => TextAnalysis.langId(s, d),
       Some(langIdSql)),
     ("quality_score", (s: SparkSession, d: String) => TextAnalysis.qualityScore(s, d),

@@ -181,6 +181,127 @@ object Ann {
       .agg(sum("mu").as("sum_mu"), count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
+  /** IVF-PQ approximate top-k — the memory-scale path IVF alone
+    * doesn't give: at 100 TB the raw vectors (256 B each at dim 64
+    * float32) don't fit hot storage, so the scan runs on PRODUCT-
+    * QUANTIZED codes (`m`=8 sub-vectors × 4-bit codebooks = 8 bytes
+    * per vector, a 32× compression) and only the re-rank touches raw
+    * vectors.
+    *
+    * Pipeline (the standard IVFADC layout):
+    *  1. coarse cells from the shared [[ivfAssign]] quantiser;
+    *  2. per-subspace codebooks: `m` seeded KMeans fits (`ksub`
+    *     centroids over `dim/m` dims) on the SAME bounded hash sample
+    *     discipline as the coarse quantiser — training never scans
+    *     the corpus;
+    *  3. encoding: one map pass, each normalized sub-vector to its
+    *     nearest centroid id (codebooks are plan literals — no join,
+    *     no UDF, stays in codegen);
+    *  4. query time: per query one `m × ksub` LUT of sub-dot-products
+    *     (asymmetric distance computation), broadcast with the probe
+    *     list; every vector in a probed cell is scored by `m` array
+    *     lookups — never a full-width dot product;
+    *  5. the top `rerank` ADC candidates per query get the EXACT
+    *     cosine on raw vectors; top-k of that is the answer.
+    *
+    * *Rows-only* (KMeans codebooks are engine-specific); recall@10 vs
+    * [[bruteTopK]] is gated in AnnSpec.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+                nQueries: Int = 5, k: Int = 10,
+                cells: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 40): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = 64
+    require(dim % m == 0, "m must divide the embedding dimension")
+    val sub = dim / m
+    val (assigned, _) = ivfAssign(spark, dir, cells)
+    // unit-normalize once: cosine == dot on normalized vectors, which
+    // is what the PQ codebooks and LUTs quantize
+    val normed = assigned.withColumn("nrm",
+        expr("sqrt(greatest(aggregate(v, 0D, (a, y) -> a + y * y), 1e-12))"))
+      .withColumn("vn", expr("transform(v, x -> x / nrm)"))
+      .drop("nrm")
+    // per-subspace codebooks on the bounded hash sample (same
+    // discipline as ivfAssign: training is sample-sized, never corpus)
+    val n = normed.count()
+    val train0 =
+      if (n <= MaxTrainVectors) normed
+      else normed.filter(
+        pmod(xxhash64(col("vec_id")), lit(1000000L)) * n
+          < lit(1000000L) * MaxTrainVectors)
+    val train = train0.select(
+      (0 until m).map(s =>
+        array_to_vector(expr(s"slice(vn, ${s * sub + 1}, $sub)")).as(s"s$s")): _*)
+      .cache()
+    // codebooks(s)(c) = centroid c of subspace s — driver-side plan
+    // literals from here on (m × ksub × sub doubles ≈ 1 KB)
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { s =>
+      new KMeans().setK(ksub).setSeed(42L + s).setMaxIter(10)
+        .setFeaturesCol(s"s$s").setPredictionCol("c")
+        .fit(train).clusterCenters.map(_.toArray)
+    }.toArray
+    train.unpersist()
+    // 3. encode: codes[s] = argmin_c ||vn_sub - centroid||² as a pure
+    // expression over literal centroids (ties break to the lower id,
+    // matching the LUT's element_at semantics)
+    def sq(vExpr: String, cent: Array[Double]): String =
+      cent.zipWithIndex.map { case (w, j) =>
+        s"(($vExpr[${j}]) - ($w)) * (($vExpr[${j}]) - ($w))"
+      }.mkString(" + ")
+    val codeCols = (0 until m).map { s =>
+      val subExpr = s"slice(vn, ${s * sub + 1}, $sub)"
+      // bind the sub-vector once through a lambda variable (the
+      // winnowFpsSql lesson: repeated big subtrees hang rule iteration)
+      val dists = (0 until ksub).map(c => sq("sv", codebooks(s)(c))).mkString(", ")
+      expr(s"element_at(transform(array($subExpr), sv -> " +
+        s"array_position(array($dists), array_min(array($dists))) - 1), 1)")
+        .cast("int").as(s"code$s")
+    }
+    val encoded = normed.select(
+      (Seq(col("vec_id"), col("v"), col("cell")) ++ codeCols): _*)
+    // 4. queries: probe list (as ivfTopK) + flat ADC LUT of
+    // sub-dot-products against every centroid, built from the same
+    // literals — lut[s*ksub + c] = <qn_sub, centroid(s)(c)>
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vn").as("qn"))
+    val lutEntries = (0 until m).flatMap { s =>
+      (0 until ksub).map { c =>
+        codebooks(s)(c).zipWithIndex.map { case (w, j) =>
+          s"(qn[${s * sub + j}]) * ($w)"
+        }.mkString(" + ")
+      }
+    }
+    val withLut = queries.withColumn("lut",
+      expr(s"array(${lutEntries.mkString(", ")})"))
+    val centersDf = ivfAssign(spark, dir, cells)._2
+    val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))
+    val probes = withLut.crossJoin(broadcast(centersDf))
+      .withColumn("ccos", cosine_sim(col("qv"), col("center")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "qv", "lut", "cell")
+    // 5. ADC scan over probed cells (m array lookups per vector), top
+    // `rerank` by approx score, exact cosine re-rank, top-k
+    val adc = (0 until m)
+      .map(s => s"element_at(lut, $s * $ksub + code$s + 1)").mkString(" + ")
+    val wAdc = Window.partitionBy("q_id").orderBy(col("approx").desc, col("n_id"))
+    val wExact = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("qv"), col("v"),
+        expr(adc).as("approx"))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= rerank)
+      .select(col("q_id"), col("n_id"),
+        cosine_sim(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
+
   def ivfTopK(spark: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10,
               cells: Int = 16, nprobe: Int = 4): DataFrame = {

@@ -74,6 +74,28 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"ann_ivf recall@10 = $recall")
   }
 
+  test("ann_ivf_pq: ADC + re-rank recalls what plain IVF recalls") {
+    val brute = Ann.bruteTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Ann.ivfPqTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(pq.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"ann_ivf_pq recall@10 = $recall")
+    // quantization + re-rank must not lose ground against plain IVF
+    // on the same probes: the exact re-rank sees `rerank` candidates,
+    // so any gap is ADC ordering error — bound it
+    val ivfRecall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= ivfRecall - 0.2,
+      s"pq recall $recall far below ivf recall $ivfRecall")
+    // output is well-formed: k rows per query, ranks 1..k
+    val rows = Ann.ivfPqTopK(spark, sf01).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+  }
+
   test("cdc partial-dup pairs: shared-chunk counts are sane") {
     val pairs = Dedup.cdcPairs(spark, sf01, minShared = 1).collect()
     assert(pairs.forall(_.getLong(2) >= 1))
