@@ -98,6 +98,12 @@ object Ann {
   private val quantisers =
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), (DataFrame, DataFrame)]
 
+  // PQ codebooks are plain doubles (no session resources) — keyed by
+  // applicationId for the same never-reused-id reason; stale entries
+  // are bytes, not cached blocks, so no eviction hook is needed
+  private val pqCodebooks =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int, Int), Array[Array[Array[Double]]]]
+
   // Entries for stopped contexts are unreachable (applicationId is
   // never reused) and their cached blocks died with the executor —
   // drop them so a long-lived multi-session JVM can't grow unboundedly.
@@ -223,26 +229,32 @@ object Ann {
         expr("sqrt(greatest(aggregate(v, 0D, (a, y) -> a + y * y), 1e-12))"))
       .withColumn("vn", expr("transform(v, x -> x / nrm)"))
       .drop("nrm")
-    // per-subspace codebooks on the bounded hash sample (same
-    // discipline as ivfAssign: training is sample-sized, never corpus)
-    val n = normed.count()
-    val train0 =
-      if (n <= MaxTrainVectors) normed
-      else normed.filter(
-        pmod(xxhash64(col("vec_id")), lit(1000000L)) * n
-          < lit(1000000L) * MaxTrainVectors)
-    val train = train0.select(
-      (0 until m).map(s =>
-        array_to_vector(expr(s"slice(vn, ${s * sub + 1}, $sub)")).as(s"s$s")): _*)
-      .cache()
     // codebooks(s)(c) = centroid c of subspace s — driver-side plan
-    // literals from here on (m × ksub × sub doubles ≈ 1 KB)
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { s =>
-      new KMeans().setK(ksub).setSeed(42L + s).setMaxIter(10)
-        .setFeaturesCol(s"s$s").setPredictionCol("c")
-        .fit(train).clusterCenters.map(_.toArray)
-    }.toArray
-    train.unpersist()
+    // literals (m × ksub × sub doubles ≈ 1 KB), memoized like the
+    // coarse quantiser: the index is TRAINED once and QUERIED many
+    // times (retraining per query would dominate every search)
+    val codebooks: Array[Array[Array[Double]]] = pqCodebooks.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, cells, m, ksub), {
+        // per-subspace codebooks on the bounded hash sample (same
+        // discipline as ivfAssign: training never scans the corpus)
+        val n = normed.count()
+        val train0 =
+          if (n <= MaxTrainVectors) normed
+          else normed.filter(
+            pmod(xxhash64(col("vec_id")), lit(1000000L)) * n
+              < lit(1000000L) * MaxTrainVectors)
+        val train = train0.select(
+          (0 until m).map(s =>
+            array_to_vector(expr(s"slice(vn, ${s * sub + 1}, $sub)")).as(s"s$s")): _*)
+          .cache()
+        val books = (0 until m).map { s =>
+          new KMeans().setK(ksub).setSeed(42L + s).setMaxIter(10)
+            .setFeaturesCol(s"s$s").setPredictionCol("c")
+            .fit(train).clusterCenters.map(_.toArray)
+        }.toArray
+        train.unpersist()
+        books
+      })
     // 3. encode: codes[s] = argmin_c ||vn_sub - centroid||² as a pure
     // expression over literal centroids (ties break to the lower id,
     // matching the LUT's element_at semantics)

@@ -120,22 +120,40 @@ object Compaction {
     val fragmented = plan(spark, dir, targetBytes).filter(_.fragmented)
     if (fragmented.isEmpty) return Nil
     fs.mkdirs(new Path(root, TrashRoot))
-    fragmented.foreach { p =>
-      val live = new Path(root, p.partition)
-      val stage = new Path(root, s"$StageRoot/${p.partition}")
-      val trash = new Path(root, s"$TrashRoot/${p.partition}")
-      // reading the partition DIRECTORY yields exactly its data
-      // columns (the partition value lives in the path, and goes back
-      // into the same path) — and keeps the read set disjoint from
-      // the write set, so no overwrite-while-reading hazard
-      spark.read.parquet(live.toString)
-        .repartition(p.targetFiles)
-        .write.mode("overwrite").parquet(stage.toString)
-      if (!fs.rename(live, trash) || !fs.rename(stage, live))
-        throw new java.io.IOException(s"compaction swap failed for $live")
-      fs.delete(trash, true)
-      fs.delete(new Path(live, "_SUCCESS"), false)
-    }
+    // partitions are independent, so their (small) rewrite jobs run
+    // from a bounded pool — a 3-year backlog is ~1000 partitions, and
+    // serial job submission would make SUBMISSION the bottleneck, not
+    // the work. Hadoop FileSystem instances are thread-safe; each
+    // thread touches only its own partition's paths.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, fragmented.size))
+    try {
+      val futures = fragmented.map { p =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val live = new Path(root, p.partition)
+            val stage = new Path(root, s"$StageRoot/${p.partition}")
+            val trash = new Path(root, s"$TrashRoot/${p.partition}")
+            // reading the partition DIRECTORY yields exactly its data
+            // columns (the partition value lives in the path, and goes
+            // back into the same path) — and keeps the read set
+            // disjoint from the write set, so no
+            // overwrite-while-reading hazard
+            spark.read.parquet(live.toString)
+              .repartition(p.targetFiles)
+              .write.mode("overwrite").parquet(stage.toString)
+            if (!fs.rename(live, trash) || !fs.rename(stage, live))
+              throw new java.io.IOException(s"compaction swap failed for $live")
+            fs.delete(trash, true)
+            fs.delete(new Path(live, "_SUCCESS"), false)
+          }
+        })
+      }
+      futures.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
     fs.delete(new Path(root, StageRoot), true)
     fs.delete(new Path(root, TrashRoot), true)
     fragmented
