@@ -319,6 +319,15 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.sources.StatsPruning.timeWindow(s, d, SinceUs, UntilUs),
       Some(logSql(s"timestamp >= $SinceUs AND timestamp <= $UntilUs"))),
+    // Z-order (Morton) layout: pond's per-site AND per-day file
+    // locality re-established on parquet — file-level pruning on BOTH
+    // the site and time predicates; completeness through the gate,
+    // fewer-files-than-time-only in ZOrderSpec
+    ("zorder_layout",
+      (s: SparkSession, d: String) =>
+        graft.sources.ZOrder.siteWindow(s, d, "site_3", SinceUs, UntilUs),
+      Some(logSql(
+        s"site = 'site_3' AND timestamp >= $SinceUs AND timestamp <= $UntilUs"))),
     ("top_pages",
       (s: SparkSession, d: String) => Shaping.topPages(LogView(s, d)),
       Some(LogView.oracle(
