@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." trailer: the bench/verify protocol
+// ends with a machine-parsed JSON line on stdout, and sbt's success
+// banner after it breaks a parse-the-last-line consumer.
+showSuccess := false
+// Forked run writes stdout directly instead of through sbt's logger:
+// the logger prefixes every line with "[info] ", which corrupts the
+// bench's machine-parsed JSON protocol lines.
+run / connectInput := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -8,32 +8,62 @@ package graft
   * Output protocol (all lines are self-contained JSON):
   *  - one `{"metric":"query_time",...}` line per query per pass, AS IT
   *    COMPLETES — a killed or timed-out run still leaves per-query
-  *    data in whatever tail survives (the r6 driver bench hit its
-  *    timeout and the old single-println design lost every number);
+  *    data in whatever tail survives;
+  *  - a `{"metric":"progress",...}` rolling-aggregate line every 10
+  *    queries, so even a 2000-char tail of a truncated run carries
+  *    aggregate state (sum so far, elapsed, budget);
   *  - one `{"metric":"baseline_ratio",...}` line comparing min-of-
   *    passes per query against BASELINE.md's standing numbers (when
-  *    the file is readable), with the >2× regression list — the
-  *    standing regression criterion, checked mechanically in-repo;
-  *  - LAST, the aggregate `{"metric":"total",...}` line in the same
-  *    shape as always (per-query min seconds, errors, env).
+  *    the file is readable), with the >2× regression list;
+  *  - the aggregate `{"metric":"total",...}` line (per-query min
+  *    seconds, errors, env) — wide (~5 KB at 121 queries);
+  *  - LAST, a compact `{"metric":"summary",...}` line (<400 chars)
+  *    duplicating the aggregate numbers, so the harness tail — which
+  *    keeps only the final ~2000 chars — always ends with parseable
+  *    aggregate state instead of the middle of the wide line.
+  *
+  * Budget protocol: the driver's bench invocation has a hard timeout
+  * (~600 s observed: r5 finished at 582 s, r6/r7 were killed at
+  * rc=124). A killed run loses everything after the kill and floods
+  * the tail with executor-teardown stack traces, so Bench now keeps
+  * its OWN clock from main() entry and adapts:
+  *  - `SPARK_GRAFT_TIME_BUDGET` (seconds, default 400 — leaves ~200 s
+  *    of the driver window for sbt boot/compile) bounds the whole run;
+  *  - after the warmup pass, the remaining budget decides the timed
+  *    pass count (2 → 1 → 0; `SPARK_GRAFT_PASSES` overrides);
+  *  - inside a timed pass, each query checks the clock first and the
+  *    pass aborts (emitting an `aborted` line) rather than blow the
+  *    window — queries without a timed sample fall back to their
+  *    warmup timing, and `env.timed_coverage` reports how many
+  *    queries got a real timed sample so a degraded run can never
+  *    masquerade as the full protocol.
   *
   * Failed queries get `-1` timing plus an entry in `"errors"` — a
   * broken query must never masquerade as a fast one.
   */
 object Bench {
 
-  /** Timed passes over the full set (min per query). Constants, and
-    * the env block derives from them — a filtered or re-configured
-    * run must never be indistinguishable from the standard protocol.
+  /** Timed passes over the full set when the budget allows (min per
+    * query). The env block reports the count actually run — a
+    * filtered, re-configured or budget-degraded run must never be
+    * indistinguishable from the standard protocol.
     */
-  val TimedPasses = 2
+  val MaxTimedPasses = 2
   val WarmupPasses = 1
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    val budget = sys.env.get("SPARK_GRAFT_TIME_BUDGET").map(_.toDouble).getOrElse(400.0)
+    // reserve for baseline parse + total/summary emit + spark.stop()
+    val teardownMargin = 15.0
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: a timed-out run's tail must hold query_time
+    // lines, not scheduler warnings
+    spark.sparkContext.setLogLevel("ERROR")
 
     def esc(s: String): String =
       s.flatMap {
@@ -42,6 +72,11 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       }
+    // locale-pinned 2-decimal format: the f-interpolator uses the JVM
+    // default locale and emits decimal COMMAS on e.g. de_DE, which is
+    // invalid JSON (everything else here rides Double.toString, which
+    // is locale-independent)
+    def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
 
     // warm up: file listing + footer reads + codegen/JIT paths, so the
     // alphabetically-first query doesn't absorb session startup cost
@@ -59,45 +94,78 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     // one pass over the set, emitting a progress line per query; pass
-    // 0 is the untimed JIT/codegen warmup (its seconds are printed for
-    // observability but never aggregated)
-    def pass(p: Int, skip: Set[String]): Map[String, Double] =
-      queries.map { case (name, fn) =>
-        val sec: Double =
-          if (skip(name)) -1.0
-          else try {
-            val t0 = System.nanoTime()
-            run(fn)
-            (System.nanoTime() - t0) / 1e9
-          } catch {
-            case e: Throwable =>
-              if (!errors.exists(_._1 == name))
-                errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-              -1.0
+    // 0 is the JIT/codegen warmup (its timings are aggregated only as
+    // the fallback for queries whose timed pass was budget-aborted).
+    // Returns None for queries not reached before the deadline.
+    def pass(p: Int, skip: Set[String], deadline: Double): Map[String, Option[Double]] = {
+      var aborted = false
+      var sumOk = 0.0
+      var done = 0
+      val out = queries.map { case (name, fn) =>
+        if (!aborted && elapsed > deadline) {
+          aborted = true
+          println(s"""{"metric":"aborted","pass":$p,"after":$done,"of":${queries.length},"elapsed":${f2(elapsed)}}""")
+        }
+        val sec: Option[Double] =
+          if (aborted) None
+          else if (skip(name)) Some(-1.0)
+          else {
+            val v = try {
+              val s0 = System.nanoTime()
+              run(fn)
+              (System.nanoTime() - s0) / 1e9
+            } catch {
+              case e: Throwable =>
+                if (!errors.exists(_._1 == name))
+                  errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+                -1.0
+            }
+            println(s"""{"metric":"query_time","query":"$name","pass":$p,"sec":$v}""")
+            done += 1
+            if (v >= 0) sumOk += v
+            if (done % 10 == 0)
+              println(s"""{"metric":"progress","pass":$p,"done":$done,"of":${queries.length},"sum_sec":${f2(sumOk)},"elapsed":${f2(elapsed)},"budget":${f2(budget)}}""")
+            Some(v)
           }
-        println(s"""{"metric":"query_time","query":"$name","pass":$p,"sec":$sec}""")
         name -> sec
       }.toMap
-
-    val warm = pass(0, Set.empty)
-    val failedWarm = queries.collect { case (n, _) if warm(n) < 0 => n }.toSet
-    // Two timed passes over the WHOLE set, min per query. Interleaving
-    // beats back-to-back min-of-two: a transient host-load spike
-    // inflates one pass, not both timings of whichever query it
-    // happened to land on (round-2 bench pinned a spike on the two
-    // queries that ran first; both bench sub-1 s in isolation).
-    // timed passes catch per-query too: a transient failure (flaky
-    // streaming restart, disk hiccup) must cost that query its timing,
-    // not abort the whole bench and discard every other result
-    val timed = (1 to TimedPasses).map(p => pass(p, failedWarm))
-    val results = queries.map { case (name, _) =>
-      // min of the passes that succeeded; -1 only if all failed
-      val ok = timed.map(_(name)).filter(_ >= 0)
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
+      out
     }
+
+    val warmDeadline = budget - teardownMargin
+    val warmStart = elapsed
+    val warm = pass(0, Set.empty, warmDeadline)
+    val warmWall = elapsed - warmStart
+    val failedWarm = queries.collect { case (n, _) if warm(n).exists(_ < 0) => n }.toSet
+
+    // decide the timed pass count from what's left: a timed pass costs
+    // about a warmup pass (less JIT, same I/O — warmup wall is a safe
+    // over-estimate). SPARK_GRAFT_PASSES pins it explicitly.
+    val timedPasses: Int = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse {
+      val remaining = budget - teardownMargin - elapsed
+      (MaxTimedPasses to 0 by -1).find(p => p * warmWall * 0.9 <= remaining).getOrElse(0)
+    }
+    println(s"""{"metric":"plan","warmup_wall":${f2(warmWall)},"elapsed":${f2(elapsed)},"budget":${f2(budget)},"timed_passes":$timedPasses}""")
+
+    // Interleaved whole-set passes beat back-to-back min-of-two: a
+    // transient host-load spike inflates one pass, not both timings of
+    // whichever query it lands on. A per-query transient failure costs
+    // that query its timing, never the whole bench.
+    val timed = (1 to timedPasses).map(p => pass(p, failedWarm, warmDeadline))
+    val results = queries.map { case (name, _) =>
+      val timedOk = timed.flatMap(_(name)).filter(_ >= 0)
+      val v =
+        if (timedOk.nonEmpty) timedOk.min
+        else if (timed.exists(_(name).exists(_ < 0))) -1.0
+        // budget-aborted before any timed sample: warmup timing is the
+        // honest fallback (flagged via env.timed_coverage below)
+        else warm(name).getOrElse(-1.0)
+      name -> v
+    }
+    val timedCoverage = queries.count { case (n, _) => timed.exists(_(n).exists(_ >= 0)) }
     // contract: errors lists exactly the queries with -1 timing — a
-    // query that recovered in the other pass reports its timing and
-    // is NOT an error
+    // query that recovered in another pass reports its timing and is
+    // NOT an error
     val failed = results.collect { case (n, v) if v < 0 => n }.toSet
     errors = errors.filter { case (n, _) => failed(n) }
 
@@ -116,15 +184,17 @@ object Bench {
           .flatMap(l => row.findAllMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble))
           .toMap
       } catch { case _: Throwable => Map.empty }
+    var over2x = -1
     if (baseline.nonEmpty) {
       val ratios = results.collect {
         case (n, v) if v >= 0 && baseline.contains(n) =>
           (n, v, baseline(n), v / baseline(n))
       }
       val flagged = ratios.filter { case (_, v, b, r) => r > 2.0 && (v max b) >= 1.0 }
-      val rj = ratios.map { case (n, _, _, r) => "\"" + n + "\":" + f"$r%.2f" }
+      over2x = flagged.length
+      val rj = ratios.map { case (n, _, _, r) => "\"" + n + "\":" + f2(r) }
         .mkString("{", ",", "}")
-      val fj = flagged.map { case (n, v, b, _) => "\"" + n + "\":\"" + f"$v%.2f vs $b%.2f" + "\"" }
+      val fj = flagged.map { case (n, v, b, _) => "\"" + n + "\":\"" + f2(v) + " vs " + f2(b) + "\"" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"baseline_ratio","baseline":"${esc(baselinePath)}","compared":${ratios.length},"over_2x":${flagged.length},"flagged":$fj,"ratios":$rj}""")
     }
@@ -137,16 +207,24 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // run conditions, so cross-round drift is attributable: an 18%
     // uniform shift with equal load/cpus is code, with higher load is
-    // environment (r5's drift was indistinguishable without this).
-    // queries_run + filtered make a SPARK_GRAFT_QUERIES run
-    // distinguishable from the full protocol.
+    // environment. queries_run + filtered make a SPARK_GRAFT_QUERIES
+    // run distinguishable from the full protocol; timed_passes +
+    // timed_coverage make a budget-degraded run distinguishable too.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val env = s""""env":{"load_avg":${os.getSystemLoadAverage},""" +
       s""""cpus_avail":${os.getAvailableProcessors},""" +
-      s""""spark_cpus":$cpus,"passes":$TimedPasses,"warmup_passes":$WarmupPasses,""" +
+      s""""spark_cpus":$cpus,"passes":$timedPasses,"warmup_passes":$WarmupPasses,""" +
+      s""""timed_coverage":$timedCoverage,"budget_sec":${f2(budget)},""" +
       s""""queries_run":${queries.length},"filtered":${only.nonEmpty},""" +
       s""""jvm":"${esc(System.getProperty("java.version"))}"}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir",$env}""")
+    // teardown must not bury the JSON: executor shutdown logs ERROR-
+    // level stack traces when jobs raced the stop — mute everything
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    // compact trailer AFTER stop, so it is the process's last stdout
+    // line and survives any tail truncation intact
+    println(s"""{"metric":"summary","value":${f2(total)},"unit":"sec","queries_run":${queries.length},"errors":${errors.length},"failed":${failed.size},"over_2x":$over2x,"timed_passes":$timedPasses,"timed_coverage":$timedCoverage,"elapsed":${f2(elapsed)},"load_avg":${os.getSystemLoadAverage},"sf":"${esc(sfDir)}"}""")
+    System.out.flush()
   }
 }
