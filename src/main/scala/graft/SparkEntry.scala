@@ -932,13 +932,19 @@ object SparkEntry {
         "SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep " +
         "FROM r GROUP BY 1 ORDER BY 1")),
     // the end-to-end keep/drop verdict: connected components over the
-    // UNION of the ngram/winnow/embedding edge sets (cdc edges use an
-    // engine-specific rolling hash, so the gate runs without them;
-    // PipelineSpec proves adding them only merges components). The
-    // oracle rebuilds the identical union from the three shared CTE
-    // bodies and closes it with an exact recursive CTE.
+    // UNION of the ngram/winnow/embedding edge sets. The gate swaps
+    // the two engine-specific edge sources for their SQL-expressible
+    // calibration forms (cdc edges: engine-specific rolling hash →
+    // excluded; embedding edges: IVF cells are engine-specific → the
+    // label-blocked exact operator) so the oracle can rebuild the
+    // identical union from the three shared CTE bodies and close it
+    // with an exact recursive CTE. The PRODUCTION defaults
+    // (includeCdc = true, embIvf = true) add cdc edges and source
+    // embedding edges from the IVF-cell blocking; PipelineSpec covers
+    // the merge-only property and the IVF/exact recall gate.
     ("dedup_keep",
-      (s: SparkSession, d: String) => Dedup.keepDrop(s, d, includeCdc = false),
+      (s: SparkSession, d: String) =>
+        Dedup.keepDrop(s, d, includeCdc = false, embIvf = false),
       Some("WITH RECURSIVE " + ngramPairsCteBody + ", " +
         winnowPairsCteBody + ", " + embeddingPairsCteBody + ", " +
         "u AS (SELECT doc_a, doc_b FROM p " +

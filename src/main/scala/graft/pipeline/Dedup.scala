@@ -324,11 +324,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by `label` (stand-in for
-    * an IVF/LSH coarse quantiser cell at 100 TB). Emits pair ids only:
-    * the float value itself is engine-rounding-sensitive, the pair SET
-    * (threshold with empirical margin) is not. Uses the native
-    * [[graft.functions.CosineSimilarity]] expression.
+  /** Embedding-cosine near-dup pairs, blocked by `label`. Emits pair
+    * ids only: the float value itself is engine-rounding-sensitive,
+    * the pair SET (threshold with empirical margin) is not. Uses the
+    * native [[graft.functions.CosineSimilarity]] expression.
+    *
+    * ROLE: calibration/gate oracle (same discipline as
+    * [[ngramJaccardPairs]]). The candidate join is all-pairs within a
+    * label — O(block²), unbounded by any parameter — so this is NOT
+    * the production edge source: [[embeddingPairsIvf]] blocks by IVF
+    * cells (occupancy-bounded) and is what [[unionEdges]] consumes by
+    * default. This operator stays because label blocking is
+    * SQL-expressible, which is what lets `dedup_embedding` and the
+    * `dedup_keep` gate hash-match a DuckDB oracle.
     */
   def embeddingPairs(spark: SparkSession, dir: String,
                      threshold: Double = 0.8): DataFrame = {
@@ -427,14 +435,28 @@ object Dedup {
     *   hash (no SQL oracle), so the `dedup_keep` gate query runs
     *   without them and PipelineSpec covers the merge-only property
     *   (adding cdc edges can only shrink the keep set).
+    * @param embIvf edge source for the embedding detector. `true`
+    *   (production default): [[embeddingPairsIvf]] — IVF-cell blocked,
+    *   pair work bounded by cell occupancy × nprobe², the only shape
+    *   that survives 100 TB. `false`: the label-blocked
+    *   [[embeddingPairs]] calibration operator, which is O(label²)
+    *   but SQL-expressible — the `dedup_keep` gate runs with `false`
+    *   so the DuckDB oracle can rebuild the identical union (KMeans
+    *   cells are engine-specific, same exclusion discipline as
+    *   `includeCdc`); PipelineSpec gates the recall between the two
+    *   edge sets.
     */
   def unionEdges(spark: SparkSession, dir: String,
-                 includeCdc: Boolean = true): DataFrame = {
+                 includeCdc: Boolean = true,
+                 embIvf: Boolean = true): DataFrame = {
     val ngram = lshJaccardPairs(spark, dir, minBp = 6500)
       .select(col("doc_a"), col("doc_b"), lit(NgramBit).as("m"))
     val winnow = winnowPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), lit(WinnowBit).as("m"))
-    val emb = embeddingPairs(spark, dir, threshold = 0.45)
+    val embPairs =
+      if (embIvf) embeddingPairsIvf(spark, dir, threshold = 0.45)
+      else embeddingPairs(spark, dir, threshold = 0.45)
+    val emb = embPairs
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
         lit(EmbeddingBit).as("m"))
     val base = ngram.union(winnow).union(emb)
@@ -452,14 +474,17 @@ object Dedup {
     * [[unionEdges]], then keep = min doc_id per component — the
     * keep/drop verdict a corpus dedup actually emits (drop everything
     * whose `keep` is 0, a single anti-join at write time). Singletons
-    * keep themselves. Gated as `dedup_keep` (with `includeCdc =
-    * false`): the oracle recomputes the same components as a
-    * recursive-CTE transitive closure over the identically-defined
-    * union — two independent algorithms, one answer.
+    * keep themselves. Gated as `dedup_keep` (with `includeCdc = false,
+    * embIvf = false` — the two engine-specific edge sources swapped
+    * for their SQL-expressible calibration forms): the oracle
+    * recomputes the same components as a recursive-CTE transitive
+    * closure over the identically-defined union — two independent
+    * algorithms, one answer.
     */
   def keepDrop(spark: SparkSession, dir: String,
-               includeCdc: Boolean = true): DataFrame = {
-    val edges = unionEdges(spark, dir, includeCdc)
+               includeCdc: Boolean = true,
+               embIvf: Boolean = true): DataFrame = {
+    val edges = unionEdges(spark, dir, includeCdc, embIvf)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val nodes = Tables.documents(spark, dir)
       .select(col("doc_id").as("node"))
