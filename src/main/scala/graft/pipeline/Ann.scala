@@ -207,8 +207,13 @@ object Ann {
     *     (asymmetric distance computation), broadcast with the probe
     *     list; every vector in a probed cell is scored by `m` array
     *     lookups — never a full-width dot product;
-    *  5. the top `rerank` ADC candidates per query get the EXACT
-    *     cosine on raw vectors; top-k of that is the answer.
+    *  5. the ADC scan carries ONLY (q_id, n_id, codes): the raw
+    *     vector (64 doubles ≈ 512 B vs the 8-byte code row) never
+    *     rides the per-query ranking shuffle — that width reduction
+    *     IS the operator's premise. The top `rerank` winners per
+    *     query (a few hundred rows) then join BACK to the vector
+    *     table by `n_id` for the EXACT cosine; top-k of that is the
+    *     answer.
     *
     * *Rows-only* (KMeans codebooks are engine-specific); recall@10 vs
     * [[bruteTopK]] is gated in AnnSpec.
@@ -271,8 +276,11 @@ object Ann {
         s"array_position(array($dists), array_min(array($dists))) - 1), 1)")
         .cast("int").as(s"code$s")
     }
+    // codes-only scan relation: no vector column may enter the ADC
+    // stage (asserted in PipelineSpec) — at 100 TB this schema is the
+    // difference between scanning 8 B/vector and 512 B/vector
     val encoded = normed.select(
-      (Seq(col("vec_id"), col("v"), col("cell")) ++ codeCols): _*)
+      (Seq(col("vec_id"), col("cell")) ++ codeCols): _*)
     // 4. queries: probe list (as ivfTopK) + flat ADC LUT of
     // sub-dot-products against every centroid, built from the same
     // literals — lut[s*ksub + c] = <qn_sub, centroid(s)(c)>
@@ -293,19 +301,26 @@ object Ann {
       .withColumn("ccos", cosine_sim(col("qv"), col("center")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select("q_id", "qv", "lut", "cell")
-    // 5. ADC scan over probed cells (m array lookups per vector), top
-    // `rerank` by approx score, exact cosine re-rank, top-k
+      .select("q_id", "lut", "cell")
+    // 5. ADC scan over probed cells (m array lookups per vector) on
+    // codes only, top `rerank` by approx score — nothing wider than
+    // (q_id, n_id, approx) crosses the ranking shuffle
     val adc = (0 until m)
       .map(s => s"element_at(lut, $s * $ksub + code$s + 1)").mkString(" + ")
     val wAdc = Window.partitionBy("q_id").orderBy(col("approx").desc, col("n_id"))
     val wExact = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    encoded.join(broadcast(probes), Seq("cell"))
+    val winners = encoded.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), col("qv"), col("v"),
-        expr(adc).as("approx"))
+      .select(col("q_id"), col("vec_id").as("n_id"), expr(adc).as("approx"))
       .withColumn("ar", row_number().over(wAdc))
       .filter(col("ar") <= rerank)
+      .select("q_id", "n_id")
+    // exact re-rank: ONLY the ~nQueries × rerank winners rehydrate
+    // raw vectors — the tiny winner set broadcasts into the (cached)
+    // vector relation, query vectors broadcast alongside
+    assigned.select(col("vec_id").as("n_id"), col("v"))
+      .join(broadcast(winners), Seq("n_id"))
+      .join(broadcast(queries.select(col("q_id"), col("qv"))), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         cosine_sim(col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(wExact))

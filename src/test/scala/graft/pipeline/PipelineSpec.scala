@@ -96,6 +96,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_pq ADC ranking stage carries no vector column") {
+    // the operator's premise is that the scan touches 8-byte code rows
+    // and only the re-rank touches raw vectors: every column entering
+    // the ADC ranking window must be scalar — a vector (array) column
+    // there means 64× the shuffle width at 100 TB
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    import org.apache.spark.sql.types.ArrayType
+    val plan = Ann.ivfPqTopK(spark, sf01).queryExecution.optimizedPlan
+    val adcWindows = plan.collect {
+      case w: Window if w.child.output.exists(_.name == "approx") => w
+    }
+    assert(adcWindows.nonEmpty, "ADC ranking window not found in plan")
+    adcWindows.foreach { w =>
+      val wide = w.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(wide.isEmpty, s"vector columns ride the ADC shuffle: $wide")
+    }
+  }
+
   test("cdc partial-dup pairs: shared-chunk counts are sane") {
     val pairs = Dedup.cdcPairs(spark, sf01, minShared = 1).collect()
     assert(pairs.forall(_.getLong(2) >= 1))
@@ -154,6 +172,27 @@ class PipelineSpec extends SparkSpec {
     (ngram & winnow).foreach(p =>
       assert((edges(p) & (Dedup.NgramBit | Dedup.WinnowBit)) ==
         (Dedup.NgramBit | Dedup.WinnowBit), p))
+  }
+
+  test("unionEdges production path sources embedding edges from IVF cells") {
+    // the gate form (embIvf = false) uses the label-blocked exact
+    // operator so the SQL oracle can rebuild the union; production
+    // (embIvf = true) must ride the occupancy-bounded IVF blocking.
+    // Every IVF pair must surface in the production union with the
+    // embedding provenance bit, and the two unions must agree on all
+    // non-embedding (ngram/winnow) edges by construction.
+    val prod = Dedup.unionEdges(spark, sf01, includeCdc = false, embIvf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivf = Dedup.embeddingPairsIvf(spark, sf01, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    ivf.foreach(p => assert((prod(p) & Dedup.EmbeddingBit) != 0, p))
+    val gate = Dedup.unionEdges(spark, sf01, includeCdc = false, embIvf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nonEmb = (m: Map[(Long, Long), Long]) =>
+      m.collect { case (p, bits) if (bits & ~Dedup.EmbeddingBit) != 0 =>
+        p -> (bits & ~Dedup.EmbeddingBit) }
+    assert(nonEmb(prod) == nonEmb(gate))
   }
 
   test("keepDrop: every doc labelled, keeps are exactly the component reps") {
