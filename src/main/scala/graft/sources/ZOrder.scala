@@ -59,17 +59,48 @@ object ZOrder {
   def siteBucket(site: Column, buckets: Int = 1024): Column =
     pmod(xxhash64(site), lit(buckets.toLong))
 
-  private def hourBucket(ts: Column): Column = ts.cast("long") / 3600000000L
+  /** Driver-side twin of [[siteBucket]] for probe-time planning: the
+    * SAME Column definition, evaluated over a one-row LocalRelation.
+    * `ConvertToLocalRelation` folds the deterministic projection at
+    * optimization time and `LocalTableScanExec` answers `head()`
+    * without submitting a job — a probe must not pay a cluster
+    * round-trip to hash one string (no-job asserted via listener in
+    * ZOrderSpec, value equality with the column expression too).
+    */
+  def probeBucket(spark: SparkSession, site: String,
+                  buckets: Int = 1024): Long = {
+    import spark.implicits._
+    Seq(site).toDF("s")
+      .select(siteBucket(col("s"), buckets).as("sb"))
+      .head().getLong(0)
+  }
+
+  // integer division (`div`, IntegralDivide): Column `/` is DOUBLE
+  // division in Spark, whose rounding near an hour boundary could
+  // shift a bucket by one (harmless for pruning correctness — that
+  // uses true per-file min/max — but an accidental float path where
+  // integers were intended)
+  private def hourBucket(ts: Column): Column =
+    call_function("div", ts.cast("long"), lit(3600000000L))
 
   /** One file's rectangle in (site bucket, time) space. */
   case class FileRect(path: String, minSb: Long, maxSb: Long,
                       minTs: Long, maxTs: Long)
 
+  /** Manifest subdirectory under a z layout — `_`-prefixed so data
+    * readers' hidden-path filters never treat it as data (same
+    * discipline as [[StatsPruning]]'s `_graft_stats`).
+    */
+  private val StatsDir = "_graft_stats2d"
+
   /** Write the log z-ordered into `nFiles` files. `repartitionByRange`
     * on the Morton code gives each file a contiguous curve segment (≈ a
     * rectangle stack in (site, time) space); the within-partition sort
     * additionally tightens parquet's own row-group stats on both
-    * dimensions.
+    * dimensions. The per-file 2D min/max manifest is PERSISTED at
+    * layout time (`_graft_stats2d/`): recomputing it per probe would
+    * re-scan the table — at 100 TB the very cost the manifest exists
+    * to avoid.
     */
   def layoutZ(spark: SparkSession, sfDir: String, outDir: String,
               nFiles: Int = 16): Unit = {
@@ -80,13 +111,39 @@ object ZOrder {
       .sortWithinPartitions("zval")
       .drop("zval")
       .write.mode("overwrite").parquet(outDir)
+    // one aggregation pass over the just-written layout (a writer
+    // integrated with the sink would fold these rows from its own
+    // buffers, or read them back from parquet footers — same rows)
+    import spark.implicits._
+    manifestRecomputed(spark, outDir).toSeq
+      .toDF("path", "min_sb", "max_sb", "min_ts", "max_ts")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$StatsDir")
   }
 
-  /** Per-file 2D min/max manifest — the same one-aggregate pass as
-    * [[StatsPruning.manifestRecomputed]], over both dimensions (on a
-    * deployment these rows come from parquet footers).
+  /** Per-file 2D min/max manifest of a z layout: the persisted
+    * `_graft_stats2d/` rows when present (a KB-sized metadata read —
+    * data files never opened, asserted in ZOrderSpec), recomputed from
+    * data only for layouts written before the manifest existed.
     */
-  def manifest(spark: SparkSession, dir: String): Array[FileRect] =
+  def manifest(spark: SparkSession, dir: String): Array[FileRect] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$StatsDir")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) manifestRecomputed(spark, dir)
+    else spark.read.parquet(p.toString).collect()
+      .map(r => FileRect(r.getAs[String]("path"),
+        r.getAs[Long]("min_sb"), r.getAs[Long]("max_sb"),
+        r.getAs[Long]("min_ts"), r.getAs[Long]("max_ts")))
+      .sortBy(_.path)
+  }
+
+  /** The full-scan recount behind [[manifest]] — layout-time input,
+    * gate-time verification ([[siteWindow]] requires persisted ==
+    * recomputed), and the fallback for pre-manifest layouts. Same
+    * one-aggregate pass as [[StatsPruning.manifestRecomputed]], over
+    * both dimensions.
+    */
+  def manifestRecomputed(spark: SparkSession, dir: String): Array[FileRect] =
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("path"))
       .agg(
@@ -111,13 +168,7 @@ object ZOrder {
     */
   def prunedRead(spark: SparkSession, dir: String, m: Array[FileRect],
                  site: String, loUs: Long, hiUs: Long): DataFrame = {
-    val sb = {
-      // the driver-side twin of siteBucket, for probe-time planning
-      val row = spark.range(1)
-        .select(siteBucket(lit(site)).as("sb")).head()
-      row.getLong(0)
-    }
-    val live = liveFiles(m, sb, loUs, hiUs)
+    val live = liveFiles(m, probeBucket(spark, site), loUs, hiUs)
     if (live.isEmpty) spark.read.parquet(dir).filter(lit(false))
     else spark.read.parquet(live.toIndexedSeq: _*)
       .filter(col("site") === site &&
@@ -133,7 +184,12 @@ object ZOrder {
     val dir = TmpDir.scoped("zorder",
       spark.sparkContext.applicationId, sfDir)
     layoutZ(spark, sfDir, dir)
-    prunedRead(spark, dir, manifest(spark, dir), site, loUs, hiUs)
+    val m = manifest(spark, dir)
+    // gate: the persisted manifest must equal a fresh recount — the
+    // fast metadata path can never silently drift from the data
+    require(m.toSeq == manifestRecomputed(spark, dir).toSeq,
+      "persisted z-order manifest drifted from the layout")
+    prunedRead(spark, dir, m, site, loUs, hiUs)
       .orderBy("timestamp", "event_id")
   }
 }

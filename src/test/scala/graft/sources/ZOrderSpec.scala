@@ -50,9 +50,50 @@ class ZOrderSpec extends SparkSpec {
     assert(zFiles < tFiles,
       s"z-order must beat time-only pruning: z=$zFiles time=$tFiles")
     // and never opens a file whose rectangle misses the probe
-    val sb = ZOrder.siteBucket(lit("site_3"))
-    val probeSb = spark.range(1).select(sb.as("s")).head().getLong(0)
-    val liveSet = ZOrder.liveFiles(m, probeSb, lo, hi).toSet
+    val liveSet = ZOrder.liveFiles(m,
+      ZOrder.probeBucket(spark, "site_3"), lo, hi).toSet
     assert(pruned.inputFiles.toSet == liveSet)
+  }
+
+  test("probeBucket matches the column expression and submits no job") {
+    // value equality with the cluster-side expression, per site
+    val sites = (0 until 8).map(i => s"site_$i")
+    import spark.implicits._
+    val clusterSide = sites.toDF("s").repartition(2)
+      .select(col("s"), ZOrder.siteBucket(col("s")).as("sb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // count jobs across the probe computations: hashing one literal is
+    // driver-side planning work, not a cluster round-trip
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val probed = sites.map(s => s -> ZOrder.probeBucket(spark, s)).toMap
+      // listener delivery is async; give the bus a beat to drain
+      Thread.sleep(500)
+      assert(probed == clusterSide)
+      assert(jobs.get() == 0, s"probeBucket submitted ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("persisted 2D manifest answers probes without opening data files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zman").toString
+    ZOrder.layoutZ(spark, sf01, dir, nFiles = 8)
+    val persisted = ZOrder.manifest(spark, dir)
+    assert(persisted.toSeq == ZOrder.manifestRecomputed(spark, dir).toSeq)
+    // move every data file away: only the _graft_stats2d metadata
+    // remains, so a successful manifest() read PROVES the probe path
+    // never scans the table
+    val root = new java.io.File(dir)
+    val moved = root.listFiles().filter(f =>
+      f.isFile && f.getName.endsWith(".parquet"))
+    assert(moved.nonEmpty)
+    moved.foreach(f => assert(f.renameTo(
+      new java.io.File(f.getParentFile, f.getName + ".bak"))))
+    assert(ZOrder.manifest(spark, dir).toSeq == persisted.toSeq)
   }
 }
