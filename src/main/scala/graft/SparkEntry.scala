@@ -855,12 +855,14 @@ object SparkEntry {
       "WHERE list_cosine_similarity(a.v, b.v) >= 0.45)"
 
   // the blocked ngram-Jaccard pair relation p(doc_a, doc_b, jac_bp ≥
-  // 6500) — shared between dedup_ngram and dedup_clusters so the edge
-  // set the clusters are built on is gate-identical to the pairs
-  // operator's output (body split out so dedup_clusters can prepend
-  // WITH RECURSIVE)
-  private val ngramPairsCteBody =
-    "d AS (SELECT doc_id, lang, source, " + normSql + " AS txt FROM documents), " +
+  // 6500) — shared between dedup_ngram, dedup_lsh_verify,
+  // dedup_clusters and dedup_keep so the edge set the clusters are
+  // built on is gate-identical to the pairs operator's output (body
+  // split out so the cluster oracles can prepend WITH RECURSIVE).
+  // `where` lets dedup_ngram's gate apply its deterministic corpus
+  // slice; every other consumer runs the full relation.
+  private def ngramPairsCteBody(where: String = ""): String =
+    s"d AS (SELECT doc_id, lang, source, $normSql AS txt FROM documents$where), " +
       "g AS (SELECT doc_id, lang, source, " +
       "list_distinct([substr(txt, i, 3) for i in range(1, greatest(length(txt) - 2, 1) + 1)]) AS sh " +
       "FROM d), " +
@@ -905,9 +907,16 @@ object SparkEntry {
     // Spark-hash-based LSH → rows-only (recall vs exact checked in tests)
     ("dedup_minhash", (s: SparkSession, d: String) => Dedup.minhashPairs(s, d), None),
     ("dedup_simhash", (s: SparkSession, d: String) => Dedup.simhashPairs(s, d), None),
+    // GATE SLICE: the calibration oracle's join is quadratic by
+    // design, so the gate (and bench) run it on a deterministic md5
+    // half-slice of the corpus — same predicate on both engines, ~4x
+    // less pair work; the full-corpus form backs the PipelineSpec
+    // equality property against lshJaccardPairs
     ("dedup_ngram",
-      (s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d, minBp = 6500),
-      Some("WITH " + ngramPairsCteBody +
+      (s: SparkSession, d: String) =>
+        Dedup.ngramJaccardPairs(s, d, minBp = 6500, docSlice = Some("8")),
+      Some("WITH " + ngramPairsCteBody(
+          " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'") +
         " SELECT doc_a, doc_b, jac_bp FROM p ORDER BY doc_a, doc_b")),
     // the production-scale detector: MinHash band candidates + exact
     // sorted-merge verify. Gated against the SAME block-exact oracle
@@ -916,14 +925,14 @@ object SparkEntry {
     // ~2e-8 per pair at J = 0.65, deterministic hashes)
     ("dedup_lsh_verify",
       (s: SparkSession, d: String) => Dedup.lshJaccardPairs(s, d, minBp = 6500),
-      Some("WITH " + ngramPairsCteBody +
+      Some("WITH " + ngramPairsCteBody() +
         " SELECT doc_a, doc_b, jac_bp FROM p ORDER BY doc_a, doc_b")),
     // pairs → clusters: min-label propagation + pointer jumping in
     // Spark, exact recursive-CTE transitive closure in the oracle —
     // two independent component algorithms, one answer
     ("dedup_clusters",
       (s: SparkSession, d: String) => Dedup.clusters(s, d),
-      Some("WITH RECURSIVE " + ngramPairsCteBody +
+      Some("WITH RECURSIVE " + ngramPairsCteBody() +
         ", e AS (SELECT doc_a AS a, doc_b AS b FROM p " +
         "UNION SELECT doc_b, doc_a FROM p " +
         "UNION SELECT doc_id, doc_id FROM documents), " +
@@ -945,7 +954,7 @@ object SparkEntry {
     ("dedup_keep",
       (s: SparkSession, d: String) =>
         Dedup.keepDrop(s, d, includeCdc = false, embIvf = false),
-      Some("WITH RECURSIVE " + ngramPairsCteBody + ", " +
+      Some("WITH RECURSIVE " + ngramPairsCteBody() + ", " +
         winnowPairsCteBody + ", " + embeddingPairsCteBody + ", " +
         "u AS (SELECT doc_a, doc_b FROM p " +
         "UNION SELECT doc_a, doc_b FROM wp " +

@@ -141,10 +141,24 @@ object Dedup {
     * fraction of candidates, and keeping the exact test inside the
     * join condition is what lets the cheap length prune short-circuit
     * ahead of it (see below).
+    *
+    * @param docSlice deterministic corpus sample for the GATE query:
+    *   `Some(h)` keeps only documents whose `md5(doc_id)` first hex
+    *   digit is < `h` (md5 renders identically in Spark and DuckDB, so
+    *   the oracle applies the very same slice). A calibration oracle
+    *   doesn't need the whole corpus to exercise every code path, and
+    *   its quadratic join makes it the single most expensive bench
+    *   query — `Some("8")` halves the docs and quarters the pair
+    *   work. `None` (default) = full corpus, which is what the
+    *   PipelineSpec equality property against [[lshJaccardPairs]]
+    *   runs on.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-                        minBp: Long = 3000): DataFrame = {
-    val g = normed(spark, dir)
+                        minBp: Long = 3000,
+                        docSlice: Option[String] = None): DataFrame = {
+    val base = docSlice.foldLeft(normed(spark, dir))((df, h) =>
+      df.filter(substring(md5(col("doc_id").cast("string")), 1, 1) < lit(h)))
+    val g = base
       .withColumn("sh", array_sort(shingles("txt")))
       .select(col("doc_id"), col("lang"), col("source"), col("sh"),
         size(col("sh")).as("nsh"))
