@@ -35,11 +35,14 @@ import graft.Tables
   *    (up to `maxDays` of) the missing/mismatched days with dynamic
   *    partition overwrite, deletes orphan days, then persists the
   *    copied days' manifest entries (AFTER the data commit: a kill
-  *    between the two leaves the day unclaimed and the next diff
-  *    re-copies it — the manifest can under-claim, never over-claim).
-  *    Interrupted mid-job, an uncommitted day simply stays in the
-  *    next diff; re-running resumes where the kill left off (tested
-  *    in BackfillSpec, including a torn-partition repair).
+  *    between the two leaves the day UNCLAIMED, never over-claimed.
+  *    Its data already matches the source, so it does NOT re-enter
+  *    the diff; the next [[destManifest]] recomputes it from its own
+  *    files once and persists the entry — self-healing back onto the
+  *    listing-only fast path). Interrupted mid-copy instead, the
+  *    uncommitted day stays in the next diff; re-running resumes
+  *    where the kill left off (tested in BackfillSpec, including a
+  *    torn-partition repair).
   *
   * Scale: the copy shuffles once (repartition by day so each day
   * directory is written by the tasks owning that day), the manifest
@@ -94,9 +97,16 @@ object Backfill {
     * manifest. Otherwise each `day=` directory resolves through the
     * persisted manifest when its commit signature still matches, and
     * is recomputed from its own files when it doesn't (torn or
-    * foreign partitions — the repair path, expected to be rare).
-    * Materialized driver-side: the manifest is partition metadata,
-    * days-sized, like any commit manifest.
+    * foreign partitions, or a day whose kill landed between data
+    * commit and manifest write — the repair path, expected to be
+    * rare). Recomputed non-empty days are persisted back (with the
+    * signature taken BEFORE the scan, so concurrent writes can only
+    * cause another recompute, never a stale claim): without this, a
+    * day that matches the source but lost its manifest entry would
+    * be rescanned on EVERY future call — the listing-only fast path
+    * the manifest exists for would be permanently defeated for that
+    * day. Materialized driver-side: the manifest is partition
+    * metadata, days-sized, like any commit manifest.
     */
   def destManifest(spark: SparkSession, destDir: String): DataFrame = {
     val (fs, root) = fsOf(spark, destDir)
@@ -117,6 +127,7 @@ object Backfill {
           ((r.getAs[Long]("n_rows"), r.getAs[Long]("sum_id"),
             r.getAs[Long]("n_files"), r.getAs[Long]("bytes")))
       }.toMap
+    import spark.implicits._
     val rows = dayDirs.map { p =>
       val day = p.getName.stripPrefix("day=")
       val (nf, bytes) = signature(fs, p)
@@ -126,10 +137,16 @@ object Backfill {
         case _ =>
           val r = spark.read.parquet(p.toString)
             .agg(count(lit(1)), coalesce(sum("event_id"), lit(0L))).head()
+          // self-heal: persist the recomputed entry (targeted per-day
+          // partition write — no other day's entry is touched) so the
+          // next call takes the listing-only fast path again
+          Seq((r.getLong(0), r.getLong(1), nf, bytes))
+            .toDF("n_rows", "sum_id", "n_files", "bytes")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new Path(mPath, s"day=$day").toString)
           (day, r.getLong(0), r.getLong(1))
       }
     }
-    import spark.implicits._
     rows.toSeq.toDF("day", "n_rows", "sum_id")
   }
 

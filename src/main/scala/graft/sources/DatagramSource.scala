@@ -364,7 +364,15 @@ object DatagramSource {
       // store connectors) implement rename as an overwriting
       // File.renameTo — relying on rename() returning false when the
       // destination exists would let a slower attempt replace a
-      // committed part file
+      // committed part file. The check-then-rename pair is NOT atomic:
+      // two concurrent speculative attempts can both observe !exists
+      // and both rename, the slower overwriting the faster. That
+      // residual TOCTOU window is benign for a DIFFERENT reason — all
+      // attempts of a partition serialize the same rows through the
+      // same deterministic encoder, so whichever rename lands last,
+      // the committed bytes are identical. A nondeterministic emitter
+      // would need a create-exclusive marker per partition to make
+      // first-commit-wins race-free
       if (efs.exists(fin)) efs.delete(tmp, false)
       else if (!efs.rename(tmp, fin)) {
         efs.delete(tmp, false)

@@ -49,19 +49,33 @@ object ScaleUp {
         shift("user_id", 1000000L))
       case "documents" => Seq(
         shift("doc_id", 10000000L),
-        // copy 0 is the original; every later copy rotates by
-        // (copy-1) % 25 + 1 ∈ [1,25] — never the identity, so no copy
-        // count reintroduces verbatim cross-copy clones
+        // copy 0 is the original; every later copy applies a rotation
+        // by k1 = (copy-1) % 25 + 1 ∈ [1,25], COMPOSED (for copies
+        // beyond 25) with a reversed-alphabet rotation indexed by
+        // k2 = (copy-1)/25 % 26. Rotations alone cycle with period
+        // 25, so copy i and i+25 would be verbatim cross-copy clones;
+        // the composite maps are distinct dihedral-group permutations
+        // (rotation vs reflection·rotation), so no two copies below
+        // 25·26 = 650 share a text transform, and none is the
+        // identity. Beyond 650 copies the family cycles — regenerate
+        // with a wider alphabet before benching at that scale.
         _.withColumn("text", {
-          val k = if (copy == 0) 0 else (copy - 1) % 25 + 1
-          translate(col("text"), alpha + alpha.toUpperCase,
-            rot(alpha, k) + rot(alpha, k).toUpperCase)
+          val k1 = if (copy == 0) 0 else (copy - 1) % 25 + 1
+          val k2 = if (copy == 0) 0 else ((copy - 1) / 25) % 26
+          val once = translate(col("text"), alpha + alpha.toUpperCase,
+            rot(alpha, k1) + rot(alpha, k1).toUpperCase)
+          if (k2 == 0) once
+          else translate(once, alpha + alpha.toUpperCase,
+            rot(alpha.reverse, k2) + rot(alpha.reverse, k2).toUpperCase)
         }))
       case "embeddings" => Seq(
         shift("vec_id", 10000000L),
         // circular shift clamped to the runtime dimension: for
         // copy >= 1 the shift is (copy-1) % (dim-1) + 1 ∈ [1, dim-1] —
-        // never 0 (identity) and never > dim (negative slice length)
+        // never 0 (identity) and never > dim (negative slice length).
+        // The family cycles with period dim-1 (63 at dim 64): copies
+        // i and i+63 get identical embedding transforms — fine at
+        // bench scales (≤ 10 copies), regenerate differently beyond
         _.withColumn("embedding",
           if (copy == 0) col("embedding")
           else expr(

@@ -75,6 +75,30 @@ class BackfillSpec extends SparkSpec {
       s"destManifest must answer from the persisted manifest: $got")
   }
 
+  test("a day that lost its manifest entry self-heals back to the fast path") {
+    val dest = freshDest()
+    Backfill.backfill(spark, sf, dest)
+    // simulate a kill between data commit and manifest write: the day
+    // directory is complete but its manifest entry is gone
+    val day = Backfill.sourceManifest(spark, sf)
+      .orderBy("day").head().getString(0)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    val entry = new java.io.File(dest, s"_graft_manifest/day=$day")
+    assert(entry.isDirectory)
+    rmrf(entry)
+    // data matches the source, so the day never re-enters the diff —
+    // destManifest must recompute it once and PERSIST the entry, or
+    // every future call full-scans that day forever
+    assert(Backfill.diff(spark, sf, dest).isEmpty)
+    assert(entry.isDirectory, "recomputed day's manifest entry must be persisted")
+    // and the persisted entry is answered from (doctor it, re-read)
+    val expected = Backfill.destManifest(spark, dest).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(expected(day) > 0)
+  }
+
   test("dest-only orphan days are flagged by the diff and removed") {
     val dest = freshDest()
     Backfill.backfill(spark, sf, dest)
