@@ -382,15 +382,27 @@ object Dedup {
   def embeddingPairsIvf(spark: SparkSession, dir: String,
                         threshold: Double = 0.8, cells: Int = 16,
                         nprobe: Int = 2): DataFrame = {
-    val (assigned, centers) = graft.pipeline.Ann.ivfAssign(spark, dir, cells)
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+    val (assigned, centersDf) = graft.pipeline.Ann.ivfAssign(spark, dir, cells)
+    // multi-probe assignment as ONE codegen'd expression over literal
+    // centers (cells × dim doubles ≈ 8 KB of plan literals): ranking
+    // by dot(v, c)/|c| orders cells exactly like cosine (|v| is a
+    // positive per-row constant), the struct's negated score makes
+    // array_sort yield (score desc, cell asc) — the previous
+    // explode-to-N×cells + vector-carrying window shuffled the whole
+    // corpus `cells` times just to rank 16 numbers per row
+    val centers = centersDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val scored = centers.map { case (cell, w) =>
+      val dot = w.zipWithIndex
+        .map { case (wj, j) => s"(v[$j]) * ($wj)" }.mkString(" + ")
+      val norm = math.max(math.sqrt(w.map(x => x * x).sum), 1e-12)
+      s"named_struct('ns', -(($dot) / ($norm)), 'cell', $cell)"
+    }
+    val probeCells = expr(
+      s"transform(slice(array_sort(array(${scored.mkString(", ")})), " +
+        s"1, $nprobe), x -> x.cell)")
     val probed = assigned.drop("cell")
-      .join(broadcast(centers))
-      .withColumn("ccos", cosine_sim(col("v"), col("center")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("vec_id"), col("v"), col("cell"))
+      .select(col("vec_id"), col("v"), explode(probeCells).as("cell"))
     val a = probed.as("a")
     val b = probed.as("b")
     a.join(b, col("a.cell") === col("b.cell") &&
