@@ -41,8 +41,21 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata ships single files; tools.ScaleUp writes
+        # directory layouts — glob the parts in that case
+        src = Path(sfdir, f"{t}.parquet")
+        pat = f"{src}/*.parquet" if src.is_dir() else str(src)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
+        # Spark (nanosAsLong) round-trips the events timestamp as
+        # int64 nanos, so scaled-up copies surface BIGINT where the
+        # driver testdata has a microsecond TIMESTAMP — normalize so
+        # the oracle SQL binds identically against both layouts
+        cols = {c[0]: c[1] for c in
+                con.execute(f"DESCRIBE {t}").fetchall()}
+        if cols.get("ts") == "BIGINT":
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * "
+                        f"REPLACE (make_timestamp(ts // 1000) AS ts) "
+                        f"FROM '{pat}'")
     oracle = json.loads(Path(outdir, "oracle_sql.json").read_text())
     n_pass = n_fail = n_rowsonly = 0
     for name in sorted(p.name for p in Path(outdir).iterdir() if p.is_dir()):
