@@ -1125,6 +1125,31 @@ object SparkEntry {
         "FROM nd WHERE doc_id % 97 = 0) " +
         "SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared " +
         "FROM g JOIN bg USING (gram) GROUP BY 1 ORDER BY 1")),
+    // bloom-filter decontamination: the corpus side tests k bits of a
+    // plan-literal bitmap — no join at all. The bitmap is
+    // xxhash64-derived → rows-only; PipelineSpec gates "flags ⊇ exact
+    // decontaminate flags" (no false negatives) and the FP tail
+    ("decontaminate_bloom",
+      (s: SparkSession, d: String) => Curation.decontaminateBloom(s, d),
+      None),
+    ("dup_histogram",
+      (s: SparkSession, d: String) => Curation.dupHistogram(s, d),
+      Some(s"SELECT n_copies, CAST(count(*) AS BIGINT) AS n_clusters, " +
+        "CAST(sum(n_copies) AS BIGINT) AS n_docs FROM (" +
+        s"SELECT CAST(count(*) AS BIGINT) AS n_copies FROM documents " +
+        s"GROUP BY md5($normSql)) GROUP BY 1 ORDER BY 1")),
+    ("contamination_report",
+      (s: SparkSession, d: String) => Curation.contaminationReport(s, d),
+      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, unnest(list_distinct(" +
+        "[substr(txt, i, 13) for i in range(1, greatest(length(txt) - 12, 1) + 1)])) AS gram " +
+        "FROM nd WHERE doc_id % 97 <> 0), " +
+        "bg AS (SELECT DISTINCT doc_id AS bench_id, unnest(list_distinct(" +
+        "[substr(txt, i, 13) for i in range(1, greatest(length(txt) - 12, 1) + 1)])) AS gram " +
+        "FROM nd WHERE doc_id % 97 = 0) " +
+        "SELECT bench_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated, " +
+        "CAST(count(DISTINCT gram) AS BIGINT) AS n_leaked_grams " +
+        "FROM g JOIN bg USING (gram) GROUP BY 1 ORDER BY 1")),
     ("pack_sequences",
       (s: SparkSession, d: String) => Curation.packSequences(s, d),
       Some("SELECT doc_id, doc_id % 8 AS shard, " +

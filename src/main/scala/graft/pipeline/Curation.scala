@@ -133,6 +133,115 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** [[decontaminate]] at bloom-filter cost — the shape that survives
+    * when the benchmark n-gram set outgrows a comfortable broadcast
+    * hash join. The benchmark grams fold into a `bits`-bit Bloom
+    * bitmap (k probe positions by double hashing; the two base hashes
+    * are computed by Spark itself, so driver and executors can never
+    * disagree); the corpus side then runs NO JOIN AT ALL — each gram
+    * tests k bits of an 8 KB plan literal inside whole-stage codegen.
+    * At 100 TB this turns decontamination from (corpus grams ⋈
+    * benchmark grams) into a pure map over the corpus scan.
+    *
+    * Bloom semantics: no false negatives — every document the exact
+    * [[decontaminate]] flags is flagged here (PipelineSpec asserts the
+    * superset), plus a bounded false-positive tail (~(1-e^{-kn/m})^k;
+    * defaults give <1% at 10k benchmark grams). *Rows-only* (the
+    * bitmap is xxhash64-derived, engine-specific); the FP bound and
+    * superset property are the gates.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String, n: Int = 13,
+                         bits: Int = 1 << 16, k: Int = 4): DataFrame = {
+    require(Integer.bitCount(bits) == 1, "bits must be a power of two")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("txt"))
+    val isBench = col("doc_id") % 97 === 0
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(Dedup.shingles("txt", n)).as("gram"))
+    // double hashing: position i = h1 + i·h2 (mod bits), with BOTH
+    // hashes pre-reduced mod bits so the position arithmetic can
+    // never overflow int64 under ANSI mode (raw xxhash64 values span
+    // the full range; i·h2 on the raw value would raise). Both base
+    // hashes evaluate in Spark (the '#' suffix decorrelates h2), so
+    // the driver-side bitmap build and the executor-side probes use
+    // the identical hash function by construction.
+    val h1 = pmod(xxhash64(col("gram")), lit(bits.toLong))
+    val h2 = pmod(xxhash64(concat(col("gram"), lit("#"))), lit(bits.toLong))
+    // benchmark side: distinct grams → (h1, h2) pairs, collected and
+    // folded into the bitmap. Benchmarks are MBs — this is the same
+    // data a broadcast join would ship, compressed to bits/8 bytes.
+    val words = new Array[Long](bits / 64)
+    grams(docs.filter(isBench)).select("gram").distinct()
+      .select(h1.as("h1"), h2.as("h2")).collect()
+      .foreach { r =>
+        var i = 0
+        while (i < k) {
+          // h1, h2 ∈ [0, bits): the sum stays far from int64 range
+          val pos = java.lang.Math.floorMod(
+            r.getLong(0) + i.toLong * r.getLong(1), bits.toLong).toInt
+          words(pos >> 6) |= 1L << (pos & 63)
+          i += 1
+        }
+      }
+    val bloom = array(words.map(lit(_)).toIndexedSeq: _*)
+    // corpus side: conjunction of the k bit probes — a pure codegen'd
+    // predicate against the literal bitmap, no join, no shuffle before
+    // the per-doc aggregate
+    val mightContain = (0 until k).map { i =>
+      val pos = pmod(h1 + lit(i.toLong) * h2, lit(bits.toLong))
+      call_function("shiftrightunsigned",
+        element_at(bloom, (pos / 64L).cast("int") + 1),
+        pmod(pos, lit(64L)).cast("int")).bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+    grams(docs.filter(!isBench))
+      .filter(mightContain)
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_hit"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-cluster size histogram — the corpus-telemetry number a
+    * dedup pass reports (how much of the corpus is singletons vs
+    * 2-copies vs boilerplate blobs): group exact-content clusters by
+    * size, count clusters and documents per size. Two linear
+    * aggregations (content hash → cluster size → histogram), both
+    * map-side-combining; the output is |distinct sizes| rows.
+    */
+  def dupHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(TextAnalysis.normText(col("text"))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy("n_copies")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("n_copies").as("n_docs"))
+      .orderBy("n_copies")
+
+  /** Per-benchmark-document contamination report — [[decontaminate]]
+    * from the benchmark's point of view: for each eval document, how
+    * many corpus documents share at least one `n`-gram with it, and
+    * how many distinct grams leak. The operator an eval-integrity
+    * audit runs BEFORE deciding what to drop. Same broadcast-join
+    * shape as [[decontaminate]] (benchmark side is tiny), one extra
+    * group key.
+    */
+  def contaminationReport(spark: SparkSession, dir: String,
+                          n: Int = 13): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("txt"))
+    val isBench = col("doc_id") % 97 === 0
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(Dedup.shingles("txt", n)).as("gram"))
+    val bench = grams(docs.filter(isBench))
+      .select(col("doc_id").as("bench_id"), col("gram")).distinct()
+    grams(docs.filter(!isBench)).distinct()
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("bench_id")
+      .agg(countDistinct("doc_id").as("n_contaminated"),
+        countDistinct("gram").as("n_leaked_grams"))
+      .orderBy("bench_id")
+  }
+
   /** Sequence packing (the pre-tokenizer batch-planning pass): assign
     * each document to a fixed-token-budget bin, greedily in doc order
     * — the "concatenate then chunk" layout a pretraining data loader

@@ -45,6 +45,64 @@ class CurationSpec extends SparkSpec {
     assert(flagged.nonEmpty)
   }
 
+  test("bloom decontamination: superset of exact flags, bounded FP tail") {
+    val exact = Curation.decontaminate(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Curation.decontaminateBloom(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives: every exactly-flagged doc is bloom-flagged
+    assert(exact.subsetOf(bloom),
+      s"bloom missed ${(exact -- bloom).size} exactly-flagged docs")
+    // false positives bounded: extra flags are a small tail, not the
+    // corpus (defaults: 64k bits, k=4 → <1% per gram probe)
+    val corpus = 500 - exact.size
+    val fp = (bloom -- exact).size.toDouble / math.max(corpus, 1)
+    assert(fp <= 0.15, s"bloom FP rate $fp over $corpus clean docs")
+    // and the plan is join-free on the corpus side: a pure filter
+    // against the literal bitmap
+    val plan = Curation.decontaminateBloom(spark, sf01)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"bloom path must not join: $joins")
+  }
+
+  test("dup histogram partitions the corpus exactly") {
+    val rows = Curation.dupHistogram(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every document is in exactly one cluster of exactly one size
+    assert(rows.map(_._3).sum == 500)
+    rows.foreach { case (size, clusters, docs) =>
+      assert(docs == size * clusters, s"size $size: $clusters × $size != $docs")
+    }
+    // the testdata's duplicates are NEAR-dups (perturbed), so exact
+    // clusters are singletons here — build a corpus with real copies
+    // and assert the histogram sees them
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"copy ${i % 10}")).toDF("doc_id", "text")
+    val h = docs.select(md5(TextAnalysis.normText(col("text"))).as("content_hash"))
+      .groupBy("content_hash").agg(count(lit(1)).as("n_copies"))
+      .groupBy("n_copies")
+      .agg(count(lit(1)).as("n_clusters"), sum("n_copies").as("n_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(h.toSeq == Seq((3L, 10L, 30L)), h.toSeq)
+  }
+
+  test("contamination report agrees with decontaminate's corpus view") {
+    val report = Curation.contaminationReport(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(report.nonEmpty)
+    // bench ids really are benchmark docs; counts are positive
+    report.foreach { case (b, n, g) =>
+      assert(b % 97 == 0 && n >= 1 && g >= 1, (b, n, g))
+    }
+    // cross-check totals: a corpus doc counted by the report shares a
+    // gram with SOME benchmark doc ⇔ decontaminate flags it, so the
+    // max per-bench contamination can never exceed the flagged count
+    val flagged = Curation.decontaminate(spark, sf01).count()
+    assert(report.map(_._2).max <= flagged)
+  }
+
   test("sequence packing: bins overflow by at most their last document") {
     val budget = 2048L
     val rows = Curation.packSequences(spark, sf01, budgetTokens = budget)
