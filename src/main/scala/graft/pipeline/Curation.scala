@@ -234,7 +234,11 @@ object Curation {
       explode(Dedup.shingles("txt", n)).as("gram"))
     val bench = grams(docs.filter(isBench))
       .select(col("doc_id").as("bench_id"), col("gram")).distinct()
-    grams(docs.filter(!isBench)).distinct()
+    // corpus side deliberately NOT distinct'd: the DISTINCT aggregates
+    // below dedupe after the (broadcast) join has already shrunk the
+    // stream to benchmark hits — a pre-join distinct would shuffle
+    // every corpus gram to save nothing
+    grams(docs.filter(!isBench))
       .join(broadcast(bench), Seq("gram"))
       .groupBy("bench_id")
       .agg(countDistinct("doc_id").as("n_contaminated"),
