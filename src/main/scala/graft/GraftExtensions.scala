@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CdcChunks, CosineSimilarity, HyperplaneBuckets, MinHashSignature, RollingHash, SimHashAgg, SortedIntersectCount, WinnowFps}
+import graft.functions.{CdcChunks, CosineSimilarity, HyperplaneBuckets, MinHashSignature, MisraGriesAgg, RollingHash, SimHashAgg, SortedIntersectCount, WinnowFps}
 
 /** SparkSessionExtensions hook registering graft's native expressions
   * as SQL functions, so `spark.sql("SELECT rolling_hash(text) ...")`
@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expression]) =>
         SimHashAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (children: Seq[Expression]) => MisraGriesAgg(children(0),
+        children(1).eval().asInstanceOf[Int]).toAggregateExpression()))
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),

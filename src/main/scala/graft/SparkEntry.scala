@@ -1150,6 +1150,51 @@ object SparkEntry {
         "SELECT bench_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated, " +
         "CAST(count(DISTINCT gram) AS BIGINT) AS n_leaked_grams " +
         "FROM g JOIN bg USING (gram) GROUP BY 1 ORDER BY 1")),
+    ("corpus_stats",
+      (s: SparkSession, d: String) => Curation.corpusStats(s, d),
+      Some("SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, " +
+        "CAST(min(n_chars) AS BIGINT) AS min_chars, " +
+        "CAST(max(n_chars) AS BIGINT) AS max_chars, " +
+        "CAST(count(DISTINCT md5(" + normSql + ")) AS BIGINT) AS n_unique_texts " +
+        "FROM documents GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("mix_temperature",
+      (s: SparkSession, d: String) => Curation.mixTemperature(s, d),
+      Some("WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n " +
+        "FROM documents GROUP BY 1), " +
+        "m AS (SELECT min(n) AS n_min FROM c), " +
+        "r AS (SELECT lang, CAST(floor(10000.0 * sqrt(CAST(n_min AS DOUBLE)) " +
+        "/ sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS bp FROM c, m), " +
+        "t AS (SELECT lang, CASE WHEN bp >= 10000 THEN 'g' " +
+        "WHEN bp <= 0 THEN '0' " +
+        "ELSE printf('%04x', bp * 65536 // 10000) END AS thr FROM r) " +
+        "SELECT d.doc_id, d.lang, d.source FROM documents d JOIN t USING (lang) " +
+        "WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4) < t.thr " +
+        "ORDER BY d.doc_id")),
+    ("quality_filter",
+      (s: SparkSession, d: String) => Curation.qualityFilter(s, d),
+      Some("WITH s AS (SELECT doc_id, lang, " +
+        "CAST(floor(10000.0 * len(regexp_extract_all(' ' || " + normSql + " || ' ', " +
+        "' (the|a|of|and|to|is|in) ')) " +
+        "/ len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS q_bp " +
+        "FROM documents), " +
+        "h AS (SELECT lang, q_bp, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY 1, 2), " +
+        "c AS (SELECT lang, q_bp, " +
+        "sum(cnt) OVER (PARTITION BY lang ORDER BY q_bp) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY lang) AS n FROM h), " +
+        "t AS (SELECT lang, min(q_bp) AS thr FROM c " +
+        "WHERE cum >= (n * 1000 + 9999) // 10000 GROUP BY 1) " +
+        "SELECT s.doc_id, s.lang, s.q_bp FROM s JOIN t USING (lang) " +
+        "WHERE s.q_bp > t.thr ORDER BY s.doc_id")),
+    ("heavy_hitters",
+      (s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d),
+      Some("SELECT term, cnt FROM (" +
+        "SELECT term, CAST(count(*) AS BIGINT) AS cnt, " +
+        "row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn " +
+        "FROM (SELECT unnest(regexp_split_to_array(" + normSql + ", ' ')) AS term " +
+        "FROM documents) GROUP BY term) WHERE rn <= 10 " +
+        "ORDER BY cnt DESC, term")),
     ("pack_sequences",
       (s: SparkSession, d: String) => Curation.packSequences(s, d),
       Some("SELECT doc_id, doc_id % 8 AS shard, " +

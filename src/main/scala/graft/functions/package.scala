@@ -46,6 +46,11 @@ package object functions {
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))
 
+  /** [[graft.functions.MisraGriesAgg]] as an aggregate Column function. */
+  def misra_gries(item: Column, capacity: Int): Column =
+    call_function("misra_gries", item,
+      org.apache.spark.sql.functions.lit(capacity))
+
   /** [[graft.functions.MinHashSignature]] as a Column function. */
   def minhash_signature(sh: Column, numPerm: Int): Column =
     call_function("minhash_signature", sh,

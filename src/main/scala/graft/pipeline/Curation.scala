@@ -299,4 +299,104 @@ object Curation {
         regexp_count(col("text"), lit(piiPatterns(1)._1)).cast("long").as("n_ip"))
       .orderBy("doc_id")
   }
+
+  /** Per-(source, lang) corpus profile — the "corpus card" table a
+    * curation run reports before and after every pass: volume (docs,
+    * chars, tokens), size envelope, and exact distinct-content count
+    * (duplicate mass per cell). ONE aggregation with map-side
+    * combine; the count(DISTINCT md5) expands to a two-phase
+    * aggregate keyed by (source, lang, hash) — uniform 32-hex keys,
+    * the canonical linear shape. Cell cardinality is
+    * |sources|×|langs|, metadata-sized at any corpus scale.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        md5(TextAnalysis.normText(col("text"))).as("th"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        countDistinct(col("th")).as("n_unique_texts"))
+      .orderBy("source", "lang")
+
+  /** Temperature-based language rebalancing (the standard α-sampling
+    * used to flatten a skewed language mix before multilingual
+    * training): expected kept volume per language ∝ n_l^α with
+    * α = 1/2, realised as a deterministic per-language keep rate
+    * r_l = √(n_min/n_l) — the smallest language keeps everything,
+    * larger ones are downsampled toward the temperature curve. Rates
+    * are derived FROM the data in one tiny counts aggregation,
+    * converted to basis points with integer `div`
+    * (engine-identical), rendered to the same fixed-width hex
+    * thresholds [[sampleHash]] uses, and broadcast back over the
+    * corpus as a pure-map hash filter: no RNG, no shuffle of the
+    * corpus, reproducible at any scale. √ is IEEE-correctly-rounded
+    * in both engines, so the oracle derives bit-identical rates from
+    * the same counts.
+    */
+  def mixTemperature(spark: SparkSession, dir: String,
+                     salt: String = "temp"): DataFrame =
+    mixTemperatureOf(Tables.documents(spark, dir), salt)
+
+  /** [[mixTemperature]] over any (doc_id, lang, source) DataFrame. */
+  def mixTemperatureOf(docs: DataFrame, salt: String = "temp"): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n")).as("n_min"))))
+      .withColumn("bp", floor(lit(10000.0)
+        * sqrt(col("n_min").cast("double"))
+        / sqrt(col("n").cast("double"))).cast("long"))
+      .withColumn("thr",
+        when(col("bp") >= 10000L, lit("g"))
+          .when(col("bp") <= 0L, lit("0"))
+          .otherwise(lower(lpad(hex(expr("bp * 65536 div 10000")), 4, "0"))))
+      .select("lang", "thr")
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(hashPrefix(col("doc_id"), salt) < col("thr"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Per-language quality floor: drop the bottom `dropBp`/10000 of
+    * each language by stopword-ratio score — the quantile-threshold
+    * filter every quality pipeline applies per-language (absolute
+    * thresholds don't transfer across languages).
+    *
+    * The quantile is EXACT yet never sorts the corpus: scores live in
+    * a bounded integer domain (basis points, ≤ 10001 distinct
+    * values), so a (lang, score) histogram aggregation — map-side
+    * combining, shuffle keyed by at most |langs|×10001 rows — feeds a
+    * cumulative window over that metadata-sized histogram, and the
+    * per-language threshold (smallest score whose cumulative count
+    * reaches ⌈n·dropBp/10000⌉) broadcasts back as a pure-map filter.
+    * The same arithmetic runs in the oracle: integer counts, integer
+    * ceiling-division, no interpolation — hash-exact at any scale.
+    */
+  def qualityFilter(spark: SparkSession, dir: String,
+                    dropBp: Long = 1000): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        floor(lit(10000.0)
+          * regexp_count(concat(lit(" "), TextAnalysis.normText(col("text")), lit(" ")),
+              lit(" (the|a|of|and|to|is|in) ")).cast("long")
+          / size(split(trim(col("text")), "\\s+")).cast("long"))
+          .cast("long").as("q_bp"))
+    val hist = scored.groupBy("lang", "q_bp").agg(count(lit(1)).as("cnt"))
+    val langW = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val cumW = langW.orderBy("q_bp")
+    val thr = hist
+      .withColumn("cum", sum("cnt").over(cumW))
+      .withColumn("n", sum("cnt").over(langW))
+      .filter(col("cum") >= expr(s"(n * $dropBp + 9999) div 10000"))
+      .groupBy("lang").agg(min("q_bp").as("thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("q_bp") > col("thr"))
+      .select("doc_id", "lang", "q_bp")
+      .orderBy("doc_id")
+  }
 }

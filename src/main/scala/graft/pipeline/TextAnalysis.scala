@@ -305,4 +305,38 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf", "df")
       .orderBy("doc_id", "rank")
   }
+
+  /** Exact corpus-wide top-`k` frequent tokens WITHOUT a full-domain
+    * shuffle — the heavy-hitters query every corpus audit starts
+    * with. Two linear scans:
+    *
+    *  1. candidate generation: [[graft.functions.MisraGriesAgg]]
+    *     folds the token stream into one capacity-bounded summary
+    *     (map-side partials, order-independent guarantee). Every item
+    *     with true frequency > N/(cap+1) is guaranteed present, so
+    *     with cap sized to the skew the true top-k is a subset.
+    *  2. exact recount: broadcast the ≤`cap` candidates back over the
+    *     corpus as a semi-join filter and aggregate ONLY the
+    *     survivors. The shuffle carries at most `cap` distinct keys —
+    *     at 100 TB this replaces a billions-of-keys token shuffle
+    *     with two scans and a KB-sized exchange.
+    *
+    * Output is exact and deterministic (estimate-independent: MG only
+    * chooses the candidate set; counts come from the recount), ties
+    * broken by term — hash-gated against DuckDB's exact top-k.
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   cap: Int = 64, k: Int = 10): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(normText(col("text")), " ")).as("term"))
+    val cands = toks
+      .agg(graft.functions.misra_gries(col("term"), cap).as("mg"))
+      .select(explode(col("mg")).as("c"))
+      .select(col("c").getField("item").as("term"))
+    toks.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+  }
 }

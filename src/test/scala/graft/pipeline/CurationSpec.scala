@@ -157,4 +157,94 @@ class CurationSpec extends SparkSpec {
     val again = Curation.sampleStratified(spark, sf, k = k)
     assert(got.collect().toSeq == again.collect().toSeq)
   }
+
+  test("corpus stats conserve totals and bound distinct counts") {
+    val stats = Curation.corpusStats(spark, sf01).collect()
+    val docs = Tables.documents(spark, sf01)
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(stats.map(_.getAs[Long]("total_chars")).sum ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_unique_texts") <= r.getAs[Long]("n_docs"), r)
+      assert(r.getAs[Long]("n_unique_texts") >= 1L, r)
+      assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars"), r)
+    }
+  }
+
+  test("temperature mixing keeps the smallest language whole and " +
+       "tracks the sqrt curve") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf01)
+    val langN = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = langN.values.min
+    val kept = Curation.mixTemperature(spark, sf01)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest language: rate 10000 bp ⇒ every doc kept
+    langN.filter(_._2 == nMin).keys.foreach { l =>
+      assert(kept(l) == nMin, s"smallest lang $l must keep all: $kept")
+    }
+    // other languages: observed keep ratio within hash noise of
+    // sqrt(n_min/n) (binomial sd ≈ 0.5/sqrt(n) at these rates)
+    langN.foreach { case (l, n) =>
+      val want = math.sqrt(nMin.toDouble / n)
+      val got = kept.getOrElse(l, 0L).toDouble / n
+      assert(math.abs(got - want) < 3.0 * 0.5 / math.sqrt(n.toDouble),
+        s"lang $l keep ratio $got, temperature curve wants $want")
+    }
+    // deterministic
+    val again = Curation.mixTemperature(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    assert(Curation.mixTemperature(spark, sf01)
+      .collect().map(_.getLong(0)).toSet == again)
+    // synthetic 10:1 skew: the big source is downsampled toward
+    // sqrt(1/10), the small one untouched — exercises a non-testdata
+    // count mix through the same hex-threshold path
+    val syn = (1L to 1000L).map(i => (i, "big", "s"))
+      .++((1001L to 1100L).map(i => (i, "small", "s")))
+      .toDF("doc_id", "lang", "source")
+    val synKept = Curation.mixTemperatureOf(syn)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(synKept("small") == 100L)
+    val bigRatio = synKept("big") / 1000.0
+    val bigWant = math.sqrt(100.0 / 1000.0)
+    assert(math.abs(bigRatio - bigWant) < 0.05,
+      s"big-source keep $bigRatio, want ≈ $bigWant")
+  }
+
+  test("quality filter drops a strict per-language score prefix") {
+    val docs = Tables.documents(spark, sf01)
+    val kept = Curation.qualityFilter(spark, sf01).collect()
+    val keptIds = kept.map(_.getLong(0)).toSet
+    val langN = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = kept.groupBy(_.getString(1))
+    langN.foreach { case (l, n) =>
+      val keptN = keptByLang.get(l).map(_.size.toLong).getOrElse(0L)
+      val dropped = n - keptN
+      // at least the requested decile is dropped…
+      assert(dropped >= (n * 1000 + 9999) / 10000,
+        s"lang $l dropped only $dropped of $n")
+      // …and something survives (threshold is a prefix, not a wipe)
+      assert(keptN > 0, s"lang $l dropped everything")
+    }
+    // the cut is a clean score threshold: every kept score strictly
+    // exceeds every dropped score within the language. Score every
+    // doc via quality_score (same stop_bp formula).
+    val allScores = TextAnalysis.qualityScore(spark, sf01)
+      .select(col("doc_id"), col("stop_bp"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("stop_bp")))
+    val byLang = allScores.groupBy(_._2)
+    byLang.foreach { case (l, rows) =>
+      val (keptRows, dropRows) = rows.partition(r => keptIds.contains(r._1))
+      if (keptRows.nonEmpty && dropRows.nonEmpty)
+        assert(keptRows.map(_._3).min > dropRows.map(_._3).max,
+          s"lang $l: kept/dropped score ranges overlap")
+    }
+  }
 }
