@@ -873,6 +873,23 @@ object SparkEntry {
       "FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source " +
       "AND a.doc_id < b.doc_id) WHERE jac_bp >= 6500)"
 
+  // block-exact batch×corpus Jaccard relation over the deterministic
+  // doc_id%7 day-batch stand-in — shared by the inline and the
+  // persisted-index forms of incremental dedup (identical output)
+  private val incrementalOracleSql: String =
+    "WITH d AS (SELECT doc_id, lang, source, " + normSql +
+      " AS txt FROM documents), " +
+      "g AS (SELECT doc_id, lang, source, " +
+      "list_distinct([substr(txt, i, 3) for i in range(1, greatest(length(txt) - 2, 1) + 1)]) AS sh " +
+      "FROM d) " +
+      "SELECT new_id, dup_of, jac_bp FROM (" +
+      "SELECT b.doc_id AS new_id, a.doc_id AS dup_of, " +
+      "CAST(floor(10000.0 * len(list_intersect(a.sh, b.sh)) / " +
+      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_bp " +
+      "FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source " +
+      "AND a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0) " +
+      "WHERE jac_bp >= 6500 ORDER BY new_id, dup_of"
+
   private def markerCountSql(words: Seq[String]): String =
     words.map { w =>
       s"(length(' ' || txt || ' ') - length(regexp_replace(' ' || txt || ' ', '\\s$w\\s', '', 'g'))) / ${w.length + 2}"
@@ -927,6 +944,18 @@ object SparkEntry {
       (s: SparkSession, d: String) => Dedup.lshJaccardPairs(s, d, minBp = 6500),
       Some("WITH " + ngramPairsCteBody() +
         " SELECT doc_a, doc_b, jac_bp FROM p ORDER BY doc_a, doc_b")),
+    // incremental (batch-vs-corpus) dedup: asymmetric LSH with the
+    // day-batch broadcast, exact verify; oracle = block-exact
+    // batch×corpus Jaccard relation over the same deterministic split
+    ("dedup_incremental",
+      (s: SparkSession, d: String) => Dedup.incrementalDedup(s, d),
+      Some(incrementalOracleSql)),
+    // same answer off the PERSISTED band index (corpus signed once at
+    // layout time, probe reads index + batch only) — identical output,
+    // so the identical oracle hash-gates the persisted path too
+    ("dedup_incremental_indexed",
+      (s: SparkSession, d: String) => Dedup.incrementalDedupIndexed(s, d),
+      Some(incrementalOracleSql)),
     // pairs → clusters: min-label propagation + pointer jumping in
     // Spark, exact recursive-CTE transitive closure in the oracle —
     // two independent component algorithms, one answer

@@ -37,6 +37,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup equals the symmetric detector's cross-split pairs") {
+    // ground truth: the symmetric exact-verified pair relation,
+    // restricted to pairs with exactly one endpoint in the batch
+    // slice and re-oriented to (new, old)
+    val sym = Dedup.lshJaccardPairs(spark, sf01, minBp = 6500).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect {
+        case (a, b, j) if a % 7 == 0 && b % 7 != 0 => (a, b, j)
+        case (a, b, j) if b % 7 == 0 && a % 7 != 0 => (b, a, j)
+      }.toSet
+    val inc = Dedup.incrementalDedup(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == sym,
+      s"missed=${(sym -- inc).size} extra=${(inc -- sym).size}")
+    assert(inc.nonEmpty, "the word-salad corpus must yield cross-split dups")
+    // the batch side must be the broadcast build side — the corpus
+    // never shuffles for candidate generation
+    val plan = Dedup.incrementalDedup(spark, sf01)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "batch band keys must broadcast")
+  }
+
   test("simhash: near-identical docs collide, hamming bounded") {
     val rows = Dedup.simhashPairs(spark, sf01).collect()
     assert(rows.forall(_.getInt(2) <= 3))
