@@ -956,6 +956,13 @@ object SparkEntry {
     ("dedup_incremental_indexed",
       (s: SparkSession, d: String) => Dedup.incrementalDedupIndexed(s, d),
       Some(incrementalOracleSql)),
+    // the continuous-ingestion form: arriving docs probe the SAME
+    // persisted index via stream-static joins — identical oracle,
+    // so the streaming path gets the full hash gate too
+    ("dedup_incremental_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.dedupIncrementalStream(s, d),
+      Some(incrementalOracleSql)),
     // pairs → clusters: min-label propagation + pointer jumping in
     // Spark, exact recursive-CTE transitive closure in the oracle —
     // two independent component algorithms, one answer

@@ -24,9 +24,14 @@ object Dedup {
         s"i -> substring($textCol, i, $n))"))
 
   private def normed(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        TextAnalysis.normText(col("text")).as("txt"))
+    normedOf(Tables.documents(spark, dir))
+
+  /** The shared normalization projection, usable on a batch table or
+    * an arriving stream alike.
+    */
+  private[graft] def normedOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      TextAnalysis.normText(col("text")).as("txt"))
 
   /** MinHash + LSH candidate pairs (*rows-only*; Spark hash functions
     * are not portable to the oracle).
@@ -352,17 +357,23 @@ object Dedup {
         size(col("sh")).as("nsh"),
         minhash_signature(col("sh"), numPerm).as("sig"))
 
-  /** Exploded (doc_id, band-bucket hash) keys, block key folded in. */
-  private def bandKeyed(signed: DataFrame, numPerm: Int,
-                        bands: Int): DataFrame = {
+  /** One band-bucket hash per band, block key (lang, source) folded
+    * into the bucket so blocks never collide across languages/sources.
+    */
+  private def bandKeyExprs(numPerm: Int, bands: Int): Seq[Column] = {
     val rows = numPerm / bands
-    val bandKeys = (0 until bands).map { bnd =>
+    (0 until bands).map { bnd =>
       val slice = (0 until rows)
         .map(r => s"sig[${bnd * rows + r}]").mkString(", ")
       expr(s"xxhash64(lang, source, $bnd, $slice)")
     }
-    signed.select(col("doc_id"), explode(array(bandKeys: _*)).as("bh"))
   }
+
+  /** Exploded (doc_id, band-bucket hash) keys, block key folded in. */
+  private def bandKeyed(signed: DataFrame, numPerm: Int,
+                        bands: Int): DataFrame =
+    signed.select(col("doc_id"),
+      explode(array(bandKeyExprs(numPerm, bands): _*)).as("bh"))
 
   private def slimOf(signed: DataFrame): DataFrame =
     signed.select(col("doc_id"), col("lang"), col("source"),
@@ -441,20 +452,80 @@ object Dedup {
   private val builtIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Gate form: build (memoized per session — the production artifact
-    * is written once at corpus layout) then probe with the
+  /** The `doc_id % 7` corpus/batch split's band index, built once per
+    * session (the production artifact is written once at corpus
+    * layout) — shared by the batch and streaming gate forms.
+    */
+  private[graft] def bandIndexFor(spark: SparkSession, dir: String,
+                                  numPerm: Int, bands: Int): String = {
+    val idx = graft.sources.TmpDir.scoped("bandindex",
+      spark.sparkContext.applicationId, s"$dir:$numPerm:$bands")
+    if (builtIndexes.add(idx))
+      bandIndexWriteOf(normed(spark, dir).filter(!(col("doc_id") % 7 === 0)),
+        idx, numPerm, bands)
+    idx
+  }
+
+  /** Gate form: build (memoized per session) then probe with the
     * `doc_id % 7` batch slice.
     */
   def incrementalDedupIndexed(spark: SparkSession, dir: String,
                               minBp: Long = 6500, numPerm: Int = 64,
-                              bands: Int = 32): DataFrame = {
-    val idx = graft.sources.TmpDir.scoped("bandindex",
-      spark.sparkContext.applicationId, s"$dir:$numPerm:$bands")
-    val isNew = col("doc_id") % 7 === 0
-    if (builtIndexes.add(idx))
-      bandIndexWriteOf(normed(spark, dir).filter(!isNew), idx, numPerm, bands)
-    incrementalDedupIndexedOf(spark, normed(spark, dir).filter(isNew),
-      idx, minBp, numPerm, bands)
+                              bands: Int = 32): DataFrame =
+    incrementalDedupIndexedOf(spark,
+      normed(spark, dir).filter(col("doc_id") % 7 === 0),
+      bandIndexFor(spark, dir, numPerm, bands), minBp, numPerm, bands)
+
+  /** The STREAMING probe plan over [[bandIndexWriteOf]]'s artifact:
+    * continuous-ingestion dedup, where `arrivals` is an unbounded
+    * stream of normalized documents and both index halves are static.
+    *
+    * A stream cannot re-join itself without stream-stream state, so —
+    * unlike [[incrementalCore]], which regenerates the batch side for
+    * the verify — each arriving row CARRIES its slim columns (shingle
+    * array, size) through the band-key explosion. Plan shape per
+    * micro-batch: arrivals broadcast against the static index keys
+    * (the index never shuffles — at 100 TB that's the whole point;
+    * the broadcast is sound because one trigger's arrivals ≪ corpus),
+    * candidate pairs deduped with `dropDuplicates` (state = the pair
+    * set, the same discipline as `dedup_exact_stream`; a production
+    * deploy bounds it with `withWatermark` +
+    * `dropDuplicatesWithinWatermark` on arrival time), then one
+    * stream-static shuffle-hash join rehydrates the candidate corpus
+    * docs for the exact integer Jaccard verify. Stateless except the
+    * pair dedup; gate-equal to [[incrementalDedupIndexedOf]].
+    */
+  private[graft] def incrementalStreamProbe(spark: SparkSession,
+      arrivals: DataFrame, indexDir: String, minBp: Long = 6500,
+      numPerm: Int = 64, bands: Int = 32): DataFrame = {
+    requireBanding(minBp, numPerm, bands)
+    val probes = signedDocs(arrivals, numPerm)
+      .select(col("doc_id").as("new_id"), col("lang").as("b_lang"),
+        col("source").as("b_source"), col("sh").as("b_sh"),
+        size(col("sh")).as("b_nsh"),
+        explode(array(bandKeyExprs(numPerm, bands): _*)).as("bh"))
+    val cand = spark.read.parquet(s"$indexDir/index")
+      .join(broadcast(probes), Seq("bh"))
+      .select(col("new_id"), col("doc_id").as("dup_of"),
+        col("b_lang"), col("b_source"), col("b_sh"), col("b_nsh"))
+      .dropDuplicates("new_id", "dup_of")
+    val a = spark.read.parquet(s"$indexDir/slim").as("a")
+    val sizes = col("a.nsh") + col("b_nsh")
+    val lengthPrune =
+      least(col("a.nsh"), col("b_nsh")) * (10000L + minBp) >= lit(minBp) * sizes
+    val exactTest =
+      sorted_intersect_count(col("a.sh"), col("b_sh")) * (10000L + minBp) >=
+        lit(minBp) * sizes
+    cand
+      .join(a.hint("shuffle_hash"), col("dup_of") === col("a.doc_id"))
+      .filter(col("a.lang") === col("b_lang") &&
+        col("a.source") === col("b_source") && lengthPrune && exactTest)
+      .select(col("new_id"), col("dup_of"),
+        sorted_intersect_count(col("a.sh"), col("b_sh")).as("inter"),
+        sizes.as("sizes"))
+      .select(col("new_id"), col("dup_of"),
+        floor(lit(10000.0) * col("inter") / (col("sizes") - col("inter")))
+          .cast("long").as("jac_bp"))
   }
 
   def cdcPairs(spark: SparkSession, dir: String,

@@ -137,6 +137,27 @@ object StreamOps {
           .dropDuplicates("content_hash")
     }.orderBy("content_hash")
 
+  /** Continuous-ingestion NEAR-dup dedup: arriving documents probe
+    * the persisted MinHash band index
+    * ([[graft.pipeline.Dedup.bandIndexWriteOf]]) with stream-static
+    * joins — the streaming counterpart of `dedup_incremental_indexed`,
+    * and the terminal shape of the nightly pipeline: the corpus is
+    * signed once at layout time, then never re-read OR re-shuffled no
+    * matter how long the stream runs (each micro-batch broadcasts its
+    * arrivals' band keys against the static index). Only the
+    * candidate-pair dedup holds state. Gated against the same
+    * block-exact batch×corpus oracle as the batch forms.
+    */
+  def dedupIncrementalStream(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.pipeline.Dedup.bandIndexFor(spark, dir, 64, 32)
+    drain(spark, dir, "documents", "graft_inc_dedup_stream", "append") {
+      stream =>
+        graft.pipeline.Dedup.incrementalStreamProbe(spark,
+          graft.pipeline.Dedup.normedOf(stream)
+            .filter(col("doc_id") % 7 === 0), idx)
+    }.orderBy("new_id", "dup_of")
+  }
+
   /** The receiver counters maintained LIVE over an arriving capture
     * stream — pond's STATS command against a running receiver
     * (reference src/Protocol.hxx:236-263: the counters are cumulative

@@ -43,4 +43,15 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(viaIndex == inline,
       s"missed=${(inline -- viaIndex).size} extra=${(viaIndex -- inline).size}")
   }
+
+  test("streaming probe equals the batch indexed answer") {
+    val stream = graft.streaming.StreamOps
+      .dedupIncrementalStream(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.incrementalDedup(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"missed=${(batch -- stream).size} extra=${(stream -- batch).size}")
+  }
 }
