@@ -1016,6 +1016,12 @@ object SparkEntry {
     ("dedup_embedding_ivf",
       (s: SparkSession, d: String) =>
         Dedup.embeddingPairsIvf(s, d, threshold = 0.45), None),
+    // batch-vs-corpus embedding near-dups off the persisted IVF index
+    // — the embedding twin of dedup_incremental (KMeans cells are
+    // engine-specific → rows-only; recall gated in spec)
+    ("dedup_embedding_incremental",
+      (s: SparkSession, d: String) =>
+        Dedup.embeddingIncremental(s, d, threshold = 0.45), None),
     ("ann_brute", (s: SparkSession, d: String) => Ann.bruteTopK(s, d),
       Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5), " +
@@ -1027,6 +1033,11 @@ object SparkEntry {
         "ORDER BY q_id, rank")),
     ("ann_lsh", (s: SparkSession, d: String) => Ann.lshTopK(s, d), None),
     ("ann_ivf", (s: SparkSession, d: String) => Ann.ivfTopK(s, d), None),
+    // the same search against the PERSISTED cell-partitioned index
+    // (built once per session; written once at corpus layout in
+    // production) — output identical to ann_ivf, asserted in AnnSpec
+    ("ann_ivf_indexed",
+      (s: SparkSession, d: String) => Ann.ivfTopKIndexed(s, d), None),
     // IVF + product quantization: the 8-bytes-per-vector ADC scan
     // with exact re-rank — KMeans codebooks are engine-specific →
     // rows-only, recall@10 vs brute gated in AnnSpec

@@ -333,6 +333,16 @@ object Ann {
               nQueries: Int = 5, k: Int = 10,
               cells: Int = 16, nprobe: Int = 4): DataFrame = {
     val (assigned, centersDf) = ivfAssign(spark, dir, cells)
+    ivfProbePlan(assigned, centersDf, nQueries, k, nprobe)
+  }
+
+  /** The IVF search plan over any (assignments, centers) pair — shared
+    * by the in-memory [[ivfTopK]] and the persisted-index
+    * [[ivfTopKIndexed]], so the two are the same plan over different
+    * leaves (and the spec can assert result identity).
+    */
+  private def ivfProbePlan(assigned: DataFrame, centersDf: DataFrame,
+                           nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy("q_id")
@@ -351,5 +361,64 @@ object Ann {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id")
       .orderBy("q_id", "rank")
+  }
+
+  /** Persist the shared IVF quantiser as a parquet index:
+    * `assigned/` = (vec_id, v, cell) partitioned BY CELL — so a probe
+    * of `nprobe` cells is a partition-pruned read touching only those
+    * directories, the file-layout analogue of an inverted list —
+    * and `centers/` = the (cell, center) model. Same
+    * persist-at-layout-time discipline as [[Dedup.bandIndexWriteOf]]:
+    * at 100 TB the corpus is assigned once, and every later search /
+    * incremental-dedup job probes the artifact without re-training or
+    * re-assigning anything.
+    */
+  def ivfIndexWrite(spark: SparkSession, dir: String, outDir: String,
+                    cells: Int = 16): Unit = {
+    val (assigned, centersDf) = ivfAssign(spark, dir, cells)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/assigned")
+    centersDf.write.mode("overwrite").parquet(s"$outDir/centers")
+    // the dedup-grade inverted list: each vector listed under its
+    // IndexNprobe nearest cells (multi-probe INDEXING, the storage-for-
+    // recall trade IVF dedup needs at low thresholds — a probe misses a
+    // vector only if the probe cells and all its index cells disjoint)
+    val probeCells = graft.pipeline.Dedup.multiProbeCellsExpr(
+      centersDf.collect().map(r => (r.getInt(0), r.getSeq[Double](1))),
+      IndexNprobe)
+    assigned.drop("cell")
+      .select(col("vec_id"), col("v"), explode(probeCells).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/probed")
+  }
+
+  /** How many cells each vector is indexed under in the persisted
+    * `probed/` inverted list (multi-probe indexing).
+    */
+  val IndexNprobe = 2
+
+  private val builtIvfIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[ivfTopK]] against the PERSISTED index (built once per session;
+    * the production artifact is written once at corpus layout).
+    * Identical output to the in-memory form — same centers, same
+    * probe order, same exact-cosine ranking — which AnnSpec asserts.
+    */
+  def ivfTopKIndexed(spark: SparkSession, dir: String,
+                     nQueries: Int = 5, k: Int = 10,
+                     cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val idx = ivfIndexFor(spark, dir, cells)
+    ivfProbePlan(
+      spark.read.parquet(s"$idx/assigned"),
+      spark.read.parquet(s"$idx/centers"), nQueries, k, nprobe)
+  }
+
+  private[graft] def ivfIndexFor(spark: SparkSession, dir: String,
+                                 cells: Int): String = {
+    val idx = graft.sources.TmpDir.scoped("ivfindex",
+      spark.sparkContext.applicationId, s"$dir:$cells")
+    if (builtIvfIndexes.add(idx)) ivfIndexWrite(spark, dir, idx, cells)
+    idx
   }
 }

@@ -605,28 +605,34 @@ object Dedup {
     * *Rows-only* (KMeans cell boundaries are engine-specific); recall
     * vs the exact blocked operator is gated in PipelineSpec.
     */
-  def embeddingPairsIvf(spark: SparkSession, dir: String,
-                        threshold: Double = 0.8, cells: Int = 16,
-                        nprobe: Int = 2): DataFrame = {
-    val (assigned, centersDf) = graft.pipeline.Ann.ivfAssign(spark, dir, cells)
-    // multi-probe assignment as ONE codegen'd expression over literal
-    // centers (cells × dim doubles ≈ 8 KB of plan literals): ranking
-    // by dot(v, c)/|c| orders cells exactly like cosine (|v| is a
-    // positive per-row constant), the struct's negated score makes
-    // array_sort yield (score desc, cell asc) — the previous
-    // explode-to-N×cells + vector-carrying window shuffled the whole
-    // corpus `cells` times just to rank 16 numbers per row
-    val centers = centersDf.collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+  /** The `nprobe` nearest cells of column `v` as ONE codegen'd
+    * expression over literal centers (cells × dim doubles ≈ 8 KB of
+    * plan literals): ranking by dot(v, c)/|c| orders cells exactly
+    * like cosine (|v| is a positive per-row constant); the struct's
+    * negated score makes array_sort yield (score desc, cell asc).
+    */
+  private[graft] def multiProbeCellsExpr(centers: Array[(Int, Seq[Double])],
+                                  nprobe: Int): Column = {
     val scored = centers.map { case (cell, w) =>
       val dot = w.zipWithIndex
         .map { case (wj, j) => s"(v[$j]) * ($wj)" }.mkString(" + ")
       val norm = math.max(math.sqrt(w.map(x => x * x).sum), 1e-12)
       s"named_struct('ns', -(($dot) / ($norm)), 'cell', $cell)"
     }
-    val probeCells = expr(
-      s"transform(slice(array_sort(array(${scored.mkString(", ")})), " +
-        s"1, $nprobe), x -> x.cell)")
+    expr(s"transform(slice(array_sort(array(${scored.mkString(", ")})), " +
+      s"1, $nprobe), x -> x.cell)")
+  }
+
+  def embeddingPairsIvf(spark: SparkSession, dir: String,
+                        threshold: Double = 0.8, cells: Int = 16,
+                        nprobe: Int = 2): DataFrame = {
+    val (assigned, centersDf) = graft.pipeline.Ann.ivfAssign(spark, dir, cells)
+    // literal-centers assignment — the previous explode-to-N×cells +
+    // vector-carrying window shuffled the whole corpus `cells` times
+    // just to rank 16 numbers per row
+    val probeCells =
+      multiProbeCellsExpr(centersDf.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))), nprobe)
     val probed = assigned.drop("cell")
       .select(col("vec_id"), col("v"), explode(probeCells).as("cell"))
     val a = probed.as("a")
@@ -639,6 +645,45 @@ object Dedup {
       .select("vec_a", "vec_b")
       .distinct()
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Incremental EMBEDDING dedup: near-dup pairs between a new batch
+    * of vectors (`vec_id % 7 = 0` day stand-in) and the existing
+    * corpus, probing the PERSISTED IVF index
+    * ([[Ann.ivfIndexWrite]]) — the embedding twin of
+    * [[incrementalDedup]], completing the nightly shape: text via the
+    * band index, vectors via the IVF index, neither corpus re-signed.
+    *
+    * Plan: batch vectors rank the literal centers in codegen
+    * (no model object at probe time — the centers come FROM the
+    * index), explode to their `nprobe` cells, broadcast against the
+    * cell-partitioned assignments (partition-pruned to probed cells at
+    * 100 TB; the corpus never shuffles), exact cosine on candidates.
+    * A pair is missed only if the new vector's nprobe cells exclude
+    * the corpus vector's stored cell — standard IVF search recall,
+    * gated in the spec vs the exact cross-split relation.
+    * *Rows-only* (KMeans cells are engine-specific).
+    */
+  def embeddingIncremental(spark: SparkSession, dir: String,
+                           threshold: Double = 0.8, cells: Int = 16,
+                           nprobe: Int = 4): DataFrame = {
+    val idx = graft.pipeline.Ann.ivfIndexFor(spark, dir, cells)
+    val probeCells =
+      multiProbeCellsExpr(spark.read.parquet(s"$idx/centers").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))), nprobe)
+    val isNew = col("vec_id") % 7 === 0
+    val batch = spark.read.parquet(s"$idx/assigned").filter(isNew)
+      .drop("cell")
+      .select(col("vec_id").as("new_id"), col("v").as("bv"),
+        explode(probeCells).as("cell"))
+    spark.read.parquet(s"$idx/probed").filter(!isNew)
+      .join(broadcast(batch), Seq("cell"))
+      .select(col("new_id"), col("vec_id").as("dup_of"),
+        cosine_sim(col("bv"), col("v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("new_id", "dup_of")
+      .distinct()
+      .orderBy("new_id", "dup_of")
   }
 
   /** Near-dup pairs → dedup clusters: connected components over the

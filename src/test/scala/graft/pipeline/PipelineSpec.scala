@@ -97,6 +97,21 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"ann_ivf recall@10 = $recall")
   }
 
+  test("ann_ivf_indexed: persisted index reproduces the in-memory answer, cell-pruned") {
+    val indexed = Ann.ivfTopKIndexed(spark, sf01)
+    // identical output: same centers, same probe order, same ranking
+    val mem = Ann.ivfTopK(spark, sf01).collect().map(_.toSeq).toSeq
+    assert(indexed.collect().map(_.toSeq).toSeq == mem)
+    // the probe reads only the persisted artifact (assigned/ is
+    // partitioned by cell — the directory layout is the inverted list)
+    val files = indexed.inputFiles
+    assert(files.nonEmpty)
+    val idx = Ann.ivfIndexFor(spark, sf01, 16)
+    assert(files.forall(_.contains(idx)),
+      files.filterNot(_.contains(idx)).take(3).mkString(", "))
+    assert(files.exists(_.contains("cell=")), "assigned/ must be cell-partitioned")
+  }
+
   test("ann_ivf_pq: ADC + re-rank recalls what plain IVF recalls") {
     val brute = Ann.bruteTopK(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -174,6 +189,35 @@ class PipelineSpec extends SparkSpec {
     // it finds are still cosine-verified, so only recall can differ
     val recall = exact.count(ivf.contains).toDouble / exact.size
     assert(recall >= 0.5, s"ivf recall $recall over ${exact.size} pairs")
+  }
+
+  test("incremental embedding dedup recalls the exact cross-split pairs off the index alone") {
+    // ground truth: the TRUE all-pairs relation (no label blocking —
+    // the operator isn't label-blocked either), computed exactly on
+    // the driver over the small test corpus, restricted to
+    // (batch, corpus) pairs and oriented to (new, old)
+    val vecs = graft.Tables.embeddings(spark, sf01)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+    }
+    val exact = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia % 7 == 0 && ib % 7 != 0 && cos(va, vb) >= 0.45
+    } yield (ia, ib)).toSet
+    val inc = Dedup.embeddingIncremental(spark, sf01, threshold = 0.45)
+    val got = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "the corpus must have cross-split embedding dups")
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"incremental ivf recall $recall over ${exact.size} pairs")
+    // extras are cosine-verified, so precision is exact by construction;
+    // and the probe reads ONLY the persisted IVF index
+    val idx = graft.pipeline.Ann.ivfIndexFor(spark, sf01, 16)
+    val foreign = inc.inputFiles.filterNot(_.contains(idx))
+    assert(inc.inputFiles.nonEmpty && foreign.isEmpty, foreign.take(3).mkString(", "))
   }
 
   test("unionEdges: provenance mask is the bit-or of the detector bits") {
