@@ -110,6 +110,11 @@ class PipelineSpec extends SparkSpec {
     assert(files.forall(_.contains(idx)),
       files.filterNot(_.contains(idx)).take(3).mkString(", "))
     assert(files.exists(_.contains("cell=")), "assigned/ must be cell-partitioned")
+    // probing must partition-prune the cell layout: only the probed
+    // cells' directories are read (dynamic pruning from the broadcast
+    // probe side)
+    assert(indexed.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"), "probe must dynamic-partition-prune cells")
   }
 
   test("ann_ivf_pq: ADC + re-rank recalls what plain IVF recalls") {
@@ -218,6 +223,9 @@ class PipelineSpec extends SparkSpec {
     val idx = graft.pipeline.Ann.ivfIndexFor(spark, sf01, 16)
     val foreign = inc.inputFiles.filterNot(_.contains(idx))
     assert(inc.inputFiles.nonEmpty && foreign.isEmpty, foreign.take(3).mkString(", "))
+    // the inverted-list read is partition-pruned to the batch's cells
+    assert(inc.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"), "probe must dynamic-partition-prune cells")
   }
 
   test("unionEdges: provenance mask is the bit-or of the detector bits") {
