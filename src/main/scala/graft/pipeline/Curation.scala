@@ -300,6 +300,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Training-export shard assignment — the terminal "shuffle the
+    * corpus once, write N shards" step of a data pipeline: every
+    * document gets a hash-balanced `shard` and a deterministic
+    * pseudo-random `pos` within it (the global shuffle a training run
+    * needs, precomputed so readers stream shards sequentially).
+    *
+    * Both coordinates are engine-portable md5 derivations (the same
+    * discipline as [[hashPrefix]]): `shard` = the first two hex
+    * digits' value mod `shards`, `pos` = rank of a second salted md5
+    * within the shard. At 100 TB this is the pipeline's ONE
+    * deliberate global sort — a single shuffle on `shard` (bounded
+    * fan-in: rows/shards per reducer, each sorted by 32-hex keys);
+    * writers then emit shard files in `pos` order.
+    */
+  def shardAssign(spark: SparkSession, dir: String,
+                  shards: Int = 8, salt: String = "shard"): DataFrame = {
+    require(shards >= 1 && shards <= 256, "two hex digits address 256 shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("ho", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))).as("h"),
+        md5(concat(lit(s"$salt-ord:"), col("doc_id").cast("string"))).as("ho"))
+      .withColumn("shard",
+        (((expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1) * 16 +
+          (expr("instr('0123456789abcdef', substring(h, 2, 1))") - 1))
+          % shards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
   /** Per-(source, lang) corpus profile — the "corpus card" table a
     * curation run reports before and after every pass: volume (docs,
     * chars, tokens), size envelope, and exact distinct-content count
