@@ -1250,6 +1250,17 @@ object SparkEntry {
         "OVER (PARTITION BY doc_id % 8 ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin " +
         "FROM documents ORDER BY doc_id")),
+    ("shard_assign",
+      (s: SparkSession, d: String) => Curation.shardAssign(s, d),
+      Some("WITH s AS (SELECT doc_id, " +
+        "md5('shard:' || CAST(doc_id AS VARCHAR)) AS h, " +
+        "md5('shard-ord:' || CAST(doc_id AS VARCHAR)) AS ho FROM documents), " +
+        "b AS (SELECT doc_id, ho, " +
+        "((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8 AS shard FROM s) " +
+        "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY shard ORDER BY ho, doc_id) AS BIGINT) AS pos " +
+        "FROM b ORDER BY doc_id")),
     ("pii_scrub",
       (s: SparkSession, d: String) => Curation.piiScrub(s, d),
       Some("SELECT doc_id, md5(" +

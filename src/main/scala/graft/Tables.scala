@@ -23,9 +23,29 @@ object Tables {
     Set("events", "lineitem", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
     if (factTables(name)) spread(spark, df) else df
   }
+
+  /** Engine-internal column contract for `events.ts`: BIGINT
+    * epoch-nanoseconds. The testdata has shipped it two ways —
+    * TIMESTAMP(NANOS) (surfaced as BIGINT nanos via `nanosAsLong`,
+    * see [[GraftSession]]) and TIMESTAMP(MICROS) (surfaced as
+    * TIMESTAMP_NTZ). Normalise the latter here so every consumer
+    * keeps the one representation; with the session timezone pinned
+    * to UTC the NTZ→LTZ cast is value-preserving, so both layouts
+    * yield identical nanos. (The DuckDB oracle side needs no shim:
+    * `epoch_us(ts)` truncates TIMESTAMP_NS and reads TIMESTAMP_US
+    * exactly, same values either way.)
+    */
+  private[graft] def normalize(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType != org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+      case _ => df
+    }
 
   /** The same table as a file-stream source (schema from the batch
     * loader — stream sources must never infer). Handles both testdata
@@ -35,14 +55,18 @@ object Tables {
     * path itself is the source root).
     */
   def stream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val schema = load(spark, sfDir, name).schema
+    // schema must be the RAW file schema (the ts shim is a projection,
+    // not a storage layout) — normalize() is applied to the stream
+    // DataFrame afterwards, same as the batch path.
+    val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
     val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val reader = spark.readStream.schema(schema)
-    if (fs.getFileStatus(path).isDirectory)
-      reader.parquet(path.toString)
-    else
-      reader.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
+    normalize(
+      if (fs.getFileStatus(path).isDirectory)
+        reader.parquet(path.toString)
+      else
+        reader.option("pathGlobFilter", s"$name.parquet").parquet(sfDir))
   }
 
   /** The testdata ships one single-row-group file per table, which

@@ -36,7 +36,8 @@ object Follow {
                      checkpointDir: String, outDir: String,
                      sinceUs: Long = Long.MinValue): Unit = {
     val schema = spark.read.parquet(srcDir).schema
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val stream = Tables.normalize(
+      spark.readStream.schema(schema).parquet(srcDir))
     val q = LogView.fromEvents(stream)
       .filter(col("timestamp") >= sinceUs)
       .writeStream

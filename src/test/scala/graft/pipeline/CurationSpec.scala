@@ -214,6 +214,38 @@ class CurationSpec extends SparkSpec {
       s"big-source keep $bigRatio, want ≈ $bigWant")
   }
 
+  test("shard assignment is a balanced permutation with dense positions") {
+    val total = Tables.documents(spark, sf01).count()
+    val rows = Curation.shardAssign(spark, sf01, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == total, "every document gets a shard slot")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8))
+    // positions within a shard are dense 1..n — a reader streaming a
+    // shard in pos order sees every slot exactly once
+    byShard.foreach { case (s, docs) =>
+      val pos = docs.map(_._3).sorted
+      assert(pos.toSeq == (1L to docs.length).toSeq,
+        s"shard $s positions not dense: ${pos.take(5).toSeq}…")
+    }
+    // hash balance: 500 docs over 8 shards, binomial sd ≈ 7.4
+    val sizes = byShard.values.map(_.length)
+    assert(sizes.min > 30 && sizes.max < 100,
+      s"shard skew outside hash-balance envelope: ${sizes.toSeq.sorted}")
+    // the pos order is a pseudo-random permutation, not doc_id order:
+    // consecutive positions in a shard must not be monotone in doc_id
+    val monotone = byShard.values.forall { docs =>
+      val ids = docs.sortBy(_._3).map(_._1)
+      ids.sameElements(ids.sorted)
+    }
+    assert(!monotone, "per-shard order must shuffle away doc_id order")
+    // deterministic
+    val again = Curation.shardAssign(spark, sf01, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("quality filter drops a strict per-language score prefix") {
     val docs = Tables.documents(spark, sf01)
     val kept = Curation.qualityFilter(spark, sf01).collect()
