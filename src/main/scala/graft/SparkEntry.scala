@@ -944,6 +944,24 @@ object SparkEntry {
       (s: SparkSession, d: String) => Dedup.lshJaccardPairs(s, d, minBp = 6500),
       Some("WITH " + ngramPairsCteBody() +
         " SELECT doc_a, doc_b, jac_bp FROM p ORDER BY doc_a, doc_b")),
+    // exact duplicated-substring spans via the strided k-gram grid
+    // (suffix-array-free ExactSubstr) — pure substring/window algebra,
+    // fully engine-portable, so the span arithmetic is hash-gated
+    ("dedup_substring",
+      (s: SparkSession, d: String) => Dedup.substringSpans(s, d),
+      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+        "p AS (SELECT doc_id, unnest(range(1, length(txt) - 40 + 1, 10)) AS pos, txt " +
+        "FROM nd WHERE length(txt) >= 41), " +
+        "g AS (SELECT doc_id, pos, substr(txt, CAST(pos AS INTEGER), 41) AS gram FROM p), " +
+        "c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g), " +
+        "d AS (SELECT doc_id, pos FROM c WHERE n >= 2), " +
+        "m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL " +
+        "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 41 THEN 1 ELSE 0 END AS brk FROM d), " +
+        "i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m), " +
+        "sp AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 40 AS e FROM i GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(sum(e - s + 1) AS BIGINT) AS dup_chars " +
+        "FROM sp GROUP BY 1 ORDER BY doc_id")),
     // incremental (batch-vs-corpus) dedup: asymmetric LSH with the
     // day-batch broadcast, exact verify; oracle = block-exact
     // batch×corpus Jaccard relation over the same deterministic split

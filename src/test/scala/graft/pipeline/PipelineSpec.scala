@@ -304,6 +304,46 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(r => r.getString(2) != null))
   }
 
+  test("substring spans recover a planted long duplicate, nothing else") {
+    import spark.implicits._
+    val k = 41; val s = 10
+    // unique filler (index-stamped words never repeat across docs),
+    // one 120-char passage shared verbatim by docs 1 and 2
+    def filler(tag: String, n: Int): String =
+      (0 until n).map(i => f"$tag$i%04d").mkString(" ")
+    val dup = ("x" * 7 + " ") * 15 // 120 chars
+    val off1 = filler("aa", 30) + " "   // planted at a known offset
+    val docs = Seq(
+      (1L, off1 + dup + " " + filler("bb", 30)),
+      (2L, filler("cc", 40) + " " + dup + " " + filler("dd", 20)),
+      (3L, filler("ee", 60))).toDF("doc_id", "txt")
+      .select(col("doc_id"),
+        graft.pipeline.TextAnalysis.normText(col("txt")).as("txt"))
+    val got = Dedup.substringSpansOf(docs, k, s).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // only the two docs holding the planted passage are flagged
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), got.toSeq.toString)
+    got.foreach { case (_, nSpans, dupChars) =>
+      assert(nSpans == 1L)
+      // grid slack: a span may start up to (s-1) after and end up to
+      // (k-1) short of the true passage, and extend ≤ k-1 past it
+      assert(dupChars >= dup.length - (s - 1) - (k - 1), s"short: $dupChars")
+      assert(dupChars <= dup.length + 2 * (k - 1), s"long: $dupChars")
+    }
+    // testdata sanity: near-dup clones share ≥50-char runs → non-empty,
+    // spans stay inside their documents
+    val real = Dedup.substringSpans(spark, sf01).collect()
+    assert(real.nonEmpty)
+    val lens = graft.Tables.documents(spark, sf01)
+      .select(col("doc_id"), length(
+        graft.pipeline.TextAnalysis.normText(col("text"))).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    real.foreach { r =>
+      assert(r.getLong(2) <= lens(r.getLong(0)),
+        s"span chars exceed doc length: $r")
+    }
+  }
+
   test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
     // k=5, w=4 → any common substring of length >= 8 must share one
     val fps = TextAnalysis.fingerprintWinnow(spark, sf01).collect()
