@@ -263,18 +263,30 @@ object Ann {
     // 3. encode: codes[s] = argmin_c ||vn_sub - centroid||² as a pure
     // expression over literal centroids (ties break to the lower id,
     // matching the LUT's element_at semantics)
-    def sq(vExpr: String, cent: Array[Double]): String =
-      cent.zipWithIndex.map { case (w, j) =>
-        s"(($vExpr[${j}]) - ($w)) * (($vExpr[${j}]) - ($w))"
-      }.mkString(" + ")
+    // The codebooks enter the plan as ONE nested array literal and
+    // all distances/dot-products are higher-order-function loops over
+    // it. The earlier form unrolled every centroid polynomial into
+    // the projection (ksub × sub literal terms per subspace, ~2k ops)
+    // — Janino then died with "Code grows beyond 64 KB" and, worse,
+    // the failed compile was retried on EVERY execution before the
+    // interpreted fallback ran, costing ~5 s per pass on a 2k-row
+    // corpus. Loop-shaped expressions keep the generated method a few
+    // hundred bytes regardless of m/ksub/sub, so the same code scales
+    // to production codebook sizes (m=64, ksub=256) where unrolling
+    // could never compile.
+    val booksLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    def subSlice(vec: Column, s: Int): Column =
+      slice(vec, s * sub + 1, sub)
+    // dists(s) = per-centroid squared L2 of subspace s
+    def subDists(vec: Column, s: Int): Column =
+      transform(element_at(booksLit, lit(s + 1)), c =>
+        aggregate(zip_with(subSlice(vec, s), c, (x, w) => (x - w) * (x - w)),
+          lit(0.0), (a, y) => a + y))
     val codeCols = (0 until m).map { s =>
-      val subExpr = s"slice(vn, ${s * sub + 1}, $sub)"
-      // bind the sub-vector once through a lambda variable (the
-      // winnowFpsSql lesson: repeated big subtrees hang rule iteration)
-      val dists = (0 until ksub).map(c => sq("sv", codebooks(s)(c))).mkString(", ")
-      expr(s"element_at(transform(array($subExpr), sv -> " +
-        s"array_position(array($dists), array_min(array($dists))) - 1), 1)")
-        .cast("int").as(s"code$s")
+      val d = subDists(col("vn"), s)
+      // argmin with ties to the lower id (array_position = first hit),
+      // matching the LUT's element_at semantics
+      (array_position(d, array_min(d)) - 1).cast("int").as(s"code$s")
     }
     // codes-only scan relation: no vector column may enter the ADC
     // stage (asserted in PipelineSpec) — at 100 TB this schema is the
@@ -283,18 +295,16 @@ object Ann {
       (Seq(col("vec_id"), col("cell")) ++ codeCols): _*)
     // 4. queries: probe list (as ivfTopK) + flat ADC LUT of
     // sub-dot-products against every centroid, built from the same
-    // literals — lut[s*ksub + c] = <qn_sub, centroid(s)(c)>
+    // literal — lut[s*ksub + c] = <qn_sub, centroid(s)(c)>
     val queries = normed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vn").as("qn"))
-    val lutEntries = (0 until m).flatMap { s =>
-      (0 until ksub).map { c =>
-        codebooks(s)(c).zipWithIndex.map { case (w, j) =>
-          s"(qn[${s * sub + j}]) * ($w)"
-        }.mkString(" + ")
-      }
-    }
     val withLut = queries.withColumn("lut",
-      expr(s"array(${lutEntries.mkString(", ")})"))
+      flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(element_at(booksLit, s + 1), c =>
+          aggregate(
+            zip_with(slice(col("qn"), s * lit(sub) + 1, lit(sub)), c,
+              (x, w) => x * w),
+            lit(0.0), (a, y) => a + y)))))
     val centersDf = ivfAssign(spark, dir, cells)._2
     val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))
     val probes = withLut.crossJoin(broadcast(centersDf))
