@@ -605,22 +605,32 @@ object Dedup {
     * *Rows-only* (KMeans cell boundaries are engine-specific); recall
     * vs the exact blocked operator is gated in PipelineSpec.
     */
-  /** The `nprobe` nearest cells of column `v` as ONE codegen'd
-    * expression over literal centers (cells × dim doubles ≈ 8 KB of
-    * plan literals): ranking by dot(v, c)/|c| orders cells exactly
-    * like cosine (|v| is a positive per-row constant); the struct's
+  /** The `nprobe` nearest cells of column `v` as ONE expression over
+    * the literal centers (cells × dim doubles ≈ 8 KB of plan
+    * literals): ranking by dot(v, c)/|c| orders cells exactly like
+    * cosine (|v| is a positive per-row constant); the struct's
     * negated score makes array_sort yield (score desc, cell asc).
+    *
+    * The dot products are higher-order-function LOOPS over one nested
+    * center literal, not unrolled polynomial terms — the same
+    * generated-code-size discipline as the PQ encode ([[Ann]]):
+    * cells × dim inline terms blow the 64 KB Janino method limit long
+    * before production index sizes (4096 cells), and a failed compile
+    * is retried on every execution before the interpreted fallback.
     */
   private[graft] def multiProbeCellsExpr(centers: Array[(Int, Seq[Double])],
                                   nprobe: Int): Column = {
-    val scored = centers.map { case (cell, w) =>
-      val dot = w.zipWithIndex
-        .map { case (wj, j) => s"(v[$j]) * ($wj)" }.mkString(" + ")
-      val norm = math.max(math.sqrt(w.map(x => x * x).sum), 1e-12)
-      s"named_struct('ns', -(($dot) / ($norm)), 'cell', $cell)"
-    }
-    expr(s"transform(slice(array_sort(array(${scored.mkString(", ")})), " +
-      s"1, $nprobe), x -> x.cell)")
+    // (cell, weights, |c|) as one array<struct> literal
+    val cents = typedLit(centers.map { case (cell, w) =>
+      (cell, w, math.max(math.sqrt(w.map(x => x * x).sum), 1e-12))
+    }.toSeq)
+    val scored = transform(cents, c =>
+      struct(
+        (-aggregate(zip_with(col("v"), c.getField("_2"), (x, w) => x * w),
+          lit(0.0), (a, y) => a + y) / c.getField("_3")).as("ns"),
+        c.getField("_1").as("cell")))
+    transform(slice(array_sort(scored), lit(1), lit(nprobe)),
+      x => x.getField("cell"))
   }
 
   def embeddingPairsIvf(spark: SparkSession, dir: String,
