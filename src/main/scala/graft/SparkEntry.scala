@@ -1112,6 +1112,25 @@ object SparkEntry {
       (s: SparkSession, d: String) => Curation.sampleHash(s, d, rateBp = 2000),
       Some("SELECT doc_id, lang, source FROM documents WHERE " +
         Curation.hashBelowSql("doc_id", "s0", 2000) + " ORDER BY doc_id")),
+    ("embedding_outliers",
+      (s: SparkSession, d: String) => Ann.embeddingOutliers(s, d),
+      Some("WITH e0 AS (SELECT vec_id, label, " +
+        "unnest(generate_series(0, len(embedding) - 1)) AS dim, " +
+        "unnest(embedding) AS x FROM embeddings), " +
+        "e AS (SELECT vec_id, label, dim, " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS v FROM e0), " +
+        "s AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS sv, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2), " +
+        "c AS (SELECT label, dim, sv // cnt AS cm FROM s), " +
+        "d AS (SELECT e.vec_id, e.label, " +
+        "CAST(sum((e.v - c.cm) * (e.v - c.cm)) AS BIGINT) AS d2 " +
+        "FROM e JOIN c ON e.label = c.label AND e.dim = c.dim GROUP BY 1, 2), " +
+        "r AS (SELECT label, CAST(sum(d2) AS BIGINT) AS sd2, " +
+        "CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1) " +
+        "SELECT d.vec_id, d.label, d.d2, " +
+        "CASE WHEN d.d2 * r.n > 4 * r.sd2 THEN CAST(1 AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END AS is_outlier " +
+        "FROM d JOIN r USING (label) ORDER BY d.vec_id")),
     ("embedding_centroid",
       (s: SparkSession, d: String) => Ann.embeddingCentroids(s, d),
       Some("WITH e AS (SELECT label, " +

@@ -187,6 +187,60 @@ object Ann {
       .agg(sum("mu").as("sum_mu"), count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
+  /** Embedding outlier flags — the index-hygiene pass a vector-store
+    * build runs before IVF training: vectors far from their label
+    * centroid (corrupt encodes, mislabeled rows) are flagged so the
+    * quantiser never trains on them. A vector is an outlier when its
+    * squared centroid distance exceeds 4× the label's mean squared
+    * distance (≈ 2× the RMS radius).
+    *
+    * Exactness discipline: components quantise to milli-units
+    * (floor(x·1000) — bit-identical across engines), the centroid
+    * uses TRUNCATING integer division (Spark `div` == DuckDB `//`,
+    * both toward zero — verified on negatives), and the threshold is
+    * the division-free integer comparison `d2·n > 4·Σd2`, so the
+    * operator is oracle-exact despite the float inputs. Magnitudes:
+    * |xm| ≤ ~1e3 ⇒ d2 ≤ 64·(2e3)² ≈ 2.6e8 ⇒ d2·n safe in int64 to
+    * ~1e10 vectors (ANSI would raise, not wrap, beyond).
+    *
+    * Plan shape: per-(label, dim) sums ride the [[embeddingCentroids]]
+    * posexplode + map-side partial agg (|labels × dims| rows cross the
+    * shuffle); the centroid ARRAYS broadcast back and the per-vector
+    * distance is a zip_with loop — the corpus is scanned twice, never
+    * exploded through a shuffle.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String,
+                        scale: Long = 1000L): DataFrame =
+    embeddingOutliersOf(Tables.embeddings(spark, dir), scale)
+
+  /** [[embeddingOutliers]] over any (vec_id, embedding, label) frame. */
+  private[graft] def embeddingOutliersOf(emb: DataFrame,
+                                         scale: Long = 1000L): DataFrame = {
+    val xm = emb
+      .select(col("vec_id"), col("label"),
+        expr(s"transform(embedding, e -> " +
+          s"CAST(floor(CAST(e AS DOUBLE) * $scale) AS BIGINT))").as("xm"))
+    val cents = xm
+      .select(col("label"), posexplode(col("xm")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("cm", expr("sv div cnt"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cm))), " +
+        "s -> s.cm)").as("cm_arr"))
+    val d2 = xm.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        expr("aggregate(zip_with(xm, cm_arr, (x, c) -> (x - c) * (x - c)), " +
+          "CAST(0 AS BIGINT), (a, y) -> a + y)").as("d2"))
+    val radius = d2.groupBy("label")
+      .agg(sum("d2").as("sd2"), count(lit(1)).as("n"))
+    d2.join(broadcast(radius), Seq("label"))
+      .select(col("vec_id"), col("label"), col("d2"),
+        when(col("d2") * col("n") > lit(4L) * col("sd2"), 1L)
+          .otherwise(0L).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** IVF-PQ approximate top-k — the memory-scale path IVF alone
     * doesn't give: at 100 TB the raw vectors (256 B each at dim 64
     * float32) don't fit hot storage, so the scan runs on PRODUCT-
