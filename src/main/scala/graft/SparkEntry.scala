@@ -1256,6 +1256,18 @@ object SparkEntry {
         "SELECT d.doc_id, d.lang, d.source FROM documents d JOIN t USING (lang) " +
         "WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4) < t.thr " +
         "ORDER BY d.doc_id")),
+    ("mix_epochs",
+      (s: SparkSession, d: String) => Curation.mixEpochs(s, d),
+      Some("WITH n AS (SELECT doc_id, source, " +
+        "(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3 ELSE 1 END + " +
+        "CASE WHEN substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 4) < " +
+        s"(CASE source WHEN 'src0' THEN '${Curation.thresholdHex(5000)}' " +
+        "WHEN 'src1' THEN '0' ELSE '0' END) " +
+        "THEN 1 ELSE 0 END) AS n_copies FROM documents), " +
+        "u AS (SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy " +
+        "FROM n WHERE n_copies >= 1) " +
+        "SELECT doc_id, source, CAST(copy AS BIGINT) AS copy " +
+        "FROM u ORDER BY doc_id, copy")),
     ("quality_filter",
       (s: SparkSession, d: String) => Curation.qualityFilter(s, d),
       Some("WITH s AS (SELECT doc_id, lang, " +

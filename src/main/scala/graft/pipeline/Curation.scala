@@ -300,6 +300,45 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Epoch-weighted upsampling — the "repeat the good sources"
+    * counterpart of [[mixSources]]' downsampling: each source gets a
+    * target epoch count in basis points (10000 = exactly one pass,
+    * 25000 = 2.5 passes), and every document emits
+    * `floor(epochs) + Bernoulli(frac)` copies, the Bernoulli drawn
+    * from the same salted-md5-prefix discipline as [[sampleHash]] —
+    * deterministic, RNG-free, rerun-stable. Output is the upsampled
+    * corpus manifest (doc_id, source, copy); a writer joins it back
+    * to content by doc_id.
+    *
+    * Pure map + bounded explode (≤ ⌈epochs⌉ rows per doc) — no
+    * shuffle at all before the gate's ORDER BY; at 100 TB the
+    * manifest streams straight into the shard writer.
+    */
+  def mixEpochs(spark: SparkSession, dir: String,
+                epochsBp: Map[String, Long] =
+                  Map("src0" -> 25000L, "src1" -> 30000L),
+                defaultBp: Long = 10000L,
+                salt: String = "epoch"): DataFrame = {
+    require(epochsBp.values.forall(_ >= 0) && defaultBp >= 0,
+      "epoch targets are non-negative basis points")
+    val whole = epochsBp.foldLeft(lit(defaultBp / 10000L)) {
+      case (acc, (s, v)) =>
+        when(col("source") === s, lit(v / 10000L)).otherwise(acc)
+    }
+    val thr = epochsBp.foldLeft(lit(thresholdHex(defaultBp % 10000L))) {
+      case (acc, (s, v)) =>
+        when(col("source") === s, lit(thresholdHex(v % 10000L))).otherwise(acc)
+    }
+    val n = whole +
+      when(hashPrefix(col("doc_id"), salt) < thr, 1L).otherwise(0L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), n.as("n_copies"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(CAST(1 AS BIGINT), n_copies)")).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   /** Training-export shard assignment — the terminal "shuffle the
     * corpus once, write N shards" step of a data pipeline: every
     * document gets a hash-balanced `shard` and a deterministic

@@ -214,6 +214,35 @@ class CurationSpec extends SparkSpec {
       s"big-source keep $bigRatio, want ≈ $bigWant")
   }
 
+  test("epoch mixing repeats sources by their fractional epoch target") {
+    val docs = Tables.documents(spark, sf01)
+    val perSource = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Curation.mixEpochs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // copies are dense 1..n per doc
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.map(_._3).sorted.toSeq == (1L to cs.length).toSeq, s"doc $id")
+    }
+    val bySource = rows.groupBy(_._2)
+    // whole-epoch sources are exact: src1 = 3.0 epochs, default = 1.0
+    assert(bySource("src1").length == 3 * perSource("src1"))
+    val defaultSources = perSource.keySet - "src0" - "src1"
+    defaultSources.foreach { s =>
+      assert(bySource(s).length == perSource(s), s"source $s must be 1 epoch")
+    }
+    // fractional source: 2.5 epochs ⇒ every doc 2 or 3 copies, total
+    // within hash noise of 2.5×
+    val src0 = bySource("src0").groupBy(_._1).map(_._2.length)
+    assert(src0.forall(n => n == 2 || n == 3))
+    val ratio = bySource("src0").length.toDouble / perSource("src0")
+    assert(math.abs(ratio - 2.5) < 0.35, s"src0 epoch ratio $ratio")
+    // deterministic
+    assert(Curation.mixEpochs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      == rows.toSeq)
+  }
+
   test("shard assignment is a balanced permutation with dense positions") {
     val total = Tables.documents(spark, sf01).count()
     val rows = Curation.shardAssign(spark, sf01, shards = 8).collect()
