@@ -1268,6 +1268,48 @@ object SparkEntry {
         "FROM n WHERE n_copies >= 1) " +
         "SELECT doc_id, source, CAST(copy AS BIGINT) AS copy " +
         "FROM u ORDER BY doc_id, copy")),
+    // the composed end-to-end verdict: each flag reuses its
+    // component's oracle algebra verbatim, the composition gate pins
+    // the bitmask/keep arithmetic
+    ("curation_pipeline",
+      (s: SparkSession, d: String) => Curation.curationPipeline(s, d),
+      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+        "rep AS (SELECT doc_id, CASE WHEN doc_id = " +
+        "min(doc_id) OVER (PARTITION BY md5(txt)) THEN 1 ELSE 0 END AS is_rep FROM nd), " +
+        "s AS (SELECT doc_id, lang, " +
+        "CAST(floor(10000.0 * len(regexp_extract_all(' ' || " + normSql + " || ' ', " +
+        "' (the|a|of|and|to|is|in) ')) " +
+        "/ len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS q_bp " +
+        "FROM documents), " +
+        "h AS (SELECT lang, q_bp, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY 1, 2), " +
+        "c AS (SELECT lang, q_bp, " +
+        "sum(cnt) OVER (PARTITION BY lang ORDER BY q_bp) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY lang) AS n FROM h), " +
+        "t AS (SELECT lang, min(q_bp) AS thr FROM c " +
+        "WHERE cum >= (n * 1000 + 9999) // 10000 GROUP BY 1), " +
+        "qk AS (SELECT s.doc_id FROM s JOIN t USING (lang) WHERE s.q_bp > t.thr), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(" +
+        "[substr(txt, i, 13) for i in range(1, greatest(length(txt) - 12, 1) + 1)])) AS gram " +
+        "FROM nd WHERE doc_id % 97 <> 0), " +
+        "bg AS (SELECT DISTINCT unnest(list_distinct(" +
+        "[substr(txt, i, 13) for i in range(1, greatest(length(txt) - 12, 1) + 1)])) AS gram " +
+        "FROM nd WHERE doc_id % 97 = 0), " +
+        "ct AS (SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)), " +
+        "pii AS (SELECT doc_id FROM documents WHERE " +
+        "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + " +
+        "len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) > 0) " +
+        "SELECT doc_id, lang, source, CAST(reasons AS BIGINT) AS reasons, " +
+        "CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM (" +
+        "SELECT d.doc_id, d.lang, d.source, " +
+        "(CASE WHEN r.is_rep = 1 THEN 0 ELSE 1 END + " +
+        "CASE WHEN qk.doc_id IS NULL THEN 2 ELSE 0 END + " +
+        "CASE WHEN ct.doc_id IS NOT NULL THEN 4 ELSE 0 END + " +
+        "CASE WHEN d.doc_id % 97 = 0 THEN 8 ELSE 0 END + " +
+        "CASE WHEN pii.doc_id IS NOT NULL THEN 16 ELSE 0 END) AS reasons " +
+        "FROM documents d JOIN rep r USING (doc_id) " +
+        "LEFT JOIN qk ON d.doc_id = qk.doc_id " +
+        "LEFT JOIN ct ON d.doc_id = ct.doc_id " +
+        "LEFT JOIN pii ON d.doc_id = pii.doc_id) ORDER BY doc_id")),
     ("quality_filter",
       (s: SparkSession, d: String) => Curation.qualityFilter(s, d),
       Some("WITH s AS (SELECT doc_id, lang, " +

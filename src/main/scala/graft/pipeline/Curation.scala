@@ -300,6 +300,51 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end curation verdict — every document against every
+    * gate in one manifest, the table a pipeline run actually ships:
+    * `reasons` is a bitmask of independent reject causes
+    * (1 = exact-dup non-representative, 2 = bottom-decile quality,
+    * 4 = benchmark-contaminated, 8 = benchmark member itself,
+    * 16 = carries PII) and `keep` = (reasons == 0). Composing the
+    * individually-gated operators ([[graft.pipeline.TextAnalysis
+    * .dedupExact]], [[qualityFilter]], [[decontaminate]],
+    * [[piiScrub]]) keeps each flag's semantics pinned by its own
+    * oracle while THIS oracle pins the composition.
+    *
+    * Plan shape: each component reduces to a doc_id flag relation
+    * joined back on the fact key — at 100 TB these are co-partitioned
+    * hash joins on doc_id (the dup/quality/contamination work inside
+    * each component keeps its own bucketed shape; nothing here adds a
+    * new quadratic or wide-row surface).
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source")
+    val reps = TextAnalysis.dedupExact(spark, dir)
+      .select(col("keep_doc_id").as("doc_id"), lit(1L).as("is_rep"))
+    val qualKept = qualityFilter(spark, dir)
+      .select(col("doc_id"), lit(1L).as("q_ok"))
+    val contam = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(1L).as("is_cont"))
+    val pii = piiScrub(spark, dir)
+      .filter(col("n_email") + col("n_ip") > 0)
+      .select(col("doc_id"), lit(1L).as("has_pii"))
+    docs
+      .join(reps, Seq("doc_id"), "left")
+      .join(qualKept, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(pii, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        (when(col("is_rep").isNull, 1L).otherwise(0L) +
+          when(col("q_ok").isNull, 2L).otherwise(0L) +
+          when(col("is_cont").isNotNull, 4L).otherwise(0L) +
+          when(col("doc_id") % 97 === 0, 8L).otherwise(0L) +
+          when(col("has_pii").isNotNull, 16L).otherwise(0L)).as("reasons"))
+      .withColumn("keep",
+        when(col("reasons") === 0L, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** Epoch-weighted upsampling — the "repeat the good sources"
     * counterpart of [[mixSources]]' downsampling: each source gets a
     * target epoch count in basis points (10000 = exactly one pass,

@@ -214,6 +214,33 @@ class CurationSpec extends SparkSpec {
       s"big-source keep $bigRatio, want ≈ $bigWant")
   }
 
+  test("curation pipeline verdict equals the component operators bit-for-bit") {
+    val reps = TextAnalysis.dedupExact(spark, sf01).collect()
+      .map(_.getAs[Long]("keep_doc_id")).toSet
+    val qualOk = Curation.qualityFilter(spark, sf01).collect()
+      .map(_.getLong(0)).toSet
+    val contam = Curation.decontaminate(spark, sf01).collect()
+      .map(_.getLong(0)).toSet
+    val pii = Curation.piiScrub(spark, sf01).collect()
+      .filter(r => r.getAs[Long]("n_email") + r.getAs[Long]("n_ip") > 0)
+      .map(_.getLong(0)).toSet
+    val rows = Curation.curationPipeline(spark, sf01).collect()
+    assert(rows.length == Tables.documents(spark, sf01).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val want =
+        (if (reps.contains(id)) 0L else 1L) +
+          (if (qualOk.contains(id)) 0L else 2L) +
+          (if (contam.contains(id)) 4L else 0L) +
+          (if (id % 97 == 0) 8L else 0L) +
+          (if (pii.contains(id)) 16L else 0L)
+      assert(r.getAs[Long]("reasons") == want, s"doc $id")
+      assert(r.getAs[Long]("keep") == (if (want == 0L) 1L else 0L))
+    }
+    // the pipeline must actually keep something on the testdata
+    assert(rows.count(_.getAs[Long]("keep") == 1L) > 0)
+  }
+
   test("epoch mixing repeats sources by their fractional epoch target") {
     val docs = Tables.documents(spark, sf01)
     val perSource = docs.groupBy("source").count()
