@@ -300,6 +300,20 @@ object SparkEntry {
           "CAST(count(*) AS BIGINT) AS n, " +
           "CAST(sum(event_id) AS BIGINT) AS sum_id " +
           "FROM log GROUP BY 1 ORDER BY 1"))),
+    // right-to-be-forgotten erasure: copy-on-write rewrite of ONLY
+    // the partitions holding the subject's rows (PartitionSwap
+    // commit; untouched days byte-identical — ComplianceDeleteSpec);
+    // the oracle is the anti-join over the same deterministic
+    // subject set
+    ("compliance_delete",
+      (s: SparkSession, d: String) =>
+        graft.sources.ComplianceDelete.deleteRollup(s, d),
+      Some("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM events WHERE NOT (user_id % 97 = 3) " +
+        "GROUP BY 1 ORDER BY 1")),
     // server-to-server backfill (the `clone` verb, reference
     // doc/index.rst:385-400, src/Clone.cxx): day-partitioned copy
     // driven to an empty manifest diff; the oracle's per-day counts
@@ -1060,6 +1074,11 @@ object SparkEntry {
     // with exact re-rank — KMeans codebooks are engine-specific →
     // rows-only, recall@10 vs brute gated in AnnSpec
     ("ann_ivf_pq", (s: SparkSession, d: String) => Ann.ivfPqTopK(s, d), None),
+    // the same IVFADC search against the PERSISTED index (codes/
+    // cell-partitioned + codebooks/ + centers/) — output identical to
+    // ann_ivf_pq, asserted in PipelineSpec
+    ("ann_ivf_pq_indexed",
+      (s: SparkSession, d: String) => Ann.ivfPqTopKIndexed(s, d), None),
     ("lang_id", (s: SparkSession, d: String) => TextAnalysis.langId(s, d),
       Some(langIdSql)),
     ("quality_score", (s: SparkSession, d: String) => TextAnalysis.qualityScore(s, d),
@@ -1072,6 +1091,32 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(' ' || " + normSql + " || ' ', " +
         "' (the|a|of|and|to|is|in) ')) AS BIGINT) AS n_stop " +
         "FROM documents) ORDER BY doc_id")),
+    ("quality_gopher",
+      (s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d),
+      Some {
+        val stopKindsSql = TextAnalysis.gopherStopwords
+          .map(w => s"(CASE WHEN contains(' ' || norm || ' ', ' $w ') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        "WITH b AS (SELECT doc_id, trim(text) AS t, " + normSql + " AS norm FROM documents), " +
+          "m AS (SELECT doc_id, " +
+          "len(regexp_split_to_array(t, '\\s+')) AS n_words, " +
+          "length(regexp_replace(t, '\\s+', '', 'g')) AS n_chars, " +
+          "len(list_filter(regexp_split_to_array(t, '\\s+'), " +
+          "w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha, " +
+          "len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_sym, " +
+          stopKindsSql + " AS n_stop_kinds FROM b) " +
+          "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+          "CAST(floor(100.0 * n_chars / n_words) AS BIGINT) AS mwl_c100, " +
+          "CAST(floor(10000.0 * n_alpha / n_words) AS BIGINT) AS alpha_bp, " +
+          "CAST(floor(10000.0 * n_sym / n_words) AS BIGINT) AS sym_bp, " +
+          "CAST(n_stop_kinds AS BIGINT) AS n_stop_kinds, " +
+          "CAST(CASE WHEN n_words BETWEEN 10 AND 100000 " +
+          "AND floor(100.0 * n_chars / n_words) BETWEEN 300 AND 1000 " +
+          "AND floor(10000.0 * n_alpha / n_words) >= 8000 " +
+          "AND floor(10000.0 * n_sym / n_words) <= 1000 " +
+          "AND n_stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok " +
+          "FROM m ORDER BY doc_id"
+      }),
     ("repetition_score",
       (s: SparkSession, d: String) => TextAnalysis.repetitionScore(s, d),
       Some("WITH w AS (SELECT doc_id, " +

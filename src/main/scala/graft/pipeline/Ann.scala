@@ -276,26 +276,40 @@ object Ann {
                 nQueries: Int = 5, k: Int = 10,
                 cells: Int = 16, nprobe: Int = 4,
                 m: Int = 8, ksub: Int = 16, rerank: Int = 40): DataFrame = {
+    val (assigned, centersDf) = ivfAssign(spark, dir, cells)
+    val codebooks = pqCodebooksFor(spark, dir, cells, m, ksub)
+    val encoded = ivfPqEncodeOf(normalized(assigned), codebooks, m)
+    ivfPqProbePlan(encoded, centersDf,
+      assigned.select(col("vec_id"), col("v")), codebooks,
+      nQueries, k, nprobe, m, ksub, rerank)
+  }
+
+  /** Unit-normalize once: cosine == dot on normalized vectors, which
+    * is what the PQ codebooks and LUTs quantize.
+    */
+  private def normalized(vecs: DataFrame): DataFrame =
+    vecs.withColumn("nrm",
+        expr("sqrt(greatest(aggregate(v, 0D, (a, y) -> a + y * y), 1e-12))"))
+      .withColumn("vn", expr("transform(v, x -> x / nrm)"))
+      .drop("nrm")
+
+  /** codebooks(s)(c) = centroid c of subspace s — driver-side plan
+    * literals (m × ksub × sub doubles ≈ 1 KB), memoized like the
+    * coarse quantiser: the index is TRAINED once and QUERIED many
+    * times (retraining per query would dominate every search).
+    * Training runs on the bounded hash sample (same discipline as
+    * [[ivfAssign]]: training never scans the corpus).
+    */
+  private def pqCodebooksFor(spark: SparkSession, dir: String, cells: Int,
+                             m: Int, ksub: Int): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val dim = 64
     require(dim % m == 0, "m must divide the embedding dimension")
     val sub = dim / m
-    val (assigned, _) = ivfAssign(spark, dir, cells)
-    // unit-normalize once: cosine == dot on normalized vectors, which
-    // is what the PQ codebooks and LUTs quantize
-    val normed = assigned.withColumn("nrm",
-        expr("sqrt(greatest(aggregate(v, 0D, (a, y) -> a + y * y), 1e-12))"))
-      .withColumn("vn", expr("transform(v, x -> x / nrm)"))
-      .drop("nrm")
-    // codebooks(s)(c) = centroid c of subspace s — driver-side plan
-    // literals (m × ksub × sub doubles ≈ 1 KB), memoized like the
-    // coarse quantiser: the index is TRAINED once and QUERIED many
-    // times (retraining per query would dominate every search)
-    val codebooks: Array[Array[Array[Double]]] = pqCodebooks.getOrElseUpdate(
+    pqCodebooks.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, cells, m, ksub), {
-        // per-subspace codebooks on the bounded hash sample (same
-        // discipline as ivfAssign: training never scans the corpus)
+        val normed = normalized(ivfAssign(spark, dir, cells)._1)
         val n = normed.count()
         val train0 =
           if (n <= MaxTrainVectors) normed
@@ -314,20 +328,33 @@ object Ann {
         train.unpersist()
         books
       })
-    // 3. encode: codes[s] = argmin_c ||vn_sub - centroid||² as a pure
-    // expression over literal centroids (ties break to the lower id,
-    // matching the LUT's element_at semantics)
-    // The codebooks enter the plan as ONE nested array literal and
-    // all distances/dot-products are higher-order-function loops over
-    // it. The earlier form unrolled every centroid polynomial into
-    // the projection (ksub × sub literal terms per subspace, ~2k ops)
-    // — Janino then died with "Code grows beyond 64 KB" and, worse,
-    // the failed compile was retried on EVERY execution before the
-    // interpreted fallback ran, costing ~5 s per pass on a 2k-row
-    // corpus. Loop-shaped expressions keep the generated method a few
-    // hundred bytes regardless of m/ksub/sub, so the same code scales
-    // to production codebook sizes (m=64, ksub=256) where unrolling
-    // could never compile.
+  }
+
+  /** Encode: codes[s] = argmin_c ||vn_sub - centroid||² as a pure
+    * expression over literal centroids (ties break to the lower id,
+    * matching the LUT's element_at semantics).
+    *
+    * The codebooks enter the plan as ONE nested array literal and
+    * all distances/dot-products are higher-order-function loops over
+    * it. The earlier form unrolled every centroid polynomial into
+    * the projection (ksub × sub literal terms per subspace, ~2k ops)
+    * — Janino then died with "Code grows beyond 64 KB" and, worse,
+    * the failed compile was retried on EVERY execution before the
+    * interpreted fallback ran, costing ~5 s per pass on a 2k-row
+    * corpus. Loop-shaped expressions keep the generated method a few
+    * hundred bytes regardless of m/ksub/sub, so the same code scales
+    * to production codebook sizes (m=64, ksub=256) where unrolling
+    * could never compile.
+    *
+    * Returns the codes-only scan relation (vec_id, cell, code0..):
+    * no vector column may enter the ADC stage (asserted in
+    * PipelineSpec) — at 100 TB this schema is the difference between
+    * scanning 8 B/vector and 512 B/vector.
+    */
+  private def ivfPqEncodeOf(normed: DataFrame,
+                            codebooks: Array[Array[Array[Double]]],
+                            m: Int): DataFrame = {
+    val sub = 64 / m
     val booksLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     def subSlice(vec: Column, s: Int): Column =
       slice(vec, s * sub + 1, sub)
@@ -342,15 +369,36 @@ object Ann {
       // matching the LUT's element_at semantics
       (array_position(d, array_min(d)) - 1).cast("int").as(s"code$s")
     }
-    // codes-only scan relation: no vector column may enter the ADC
-    // stage (asserted in PipelineSpec) — at 100 TB this schema is the
-    // difference between scanning 8 B/vector and 512 B/vector
-    val encoded = normed.select(
-      (Seq(col("vec_id"), col("cell")) ++ codeCols): _*)
-    // 4. queries: probe list (as ivfTopK) + flat ADC LUT of
-    // sub-dot-products against every centroid, built from the same
-    // literal — lut[s*ksub + c] = <qn_sub, centroid(s)(c)>
-    val queries = normed.filter(col("vec_id") < nQueries)
+    normed.select((Seq(col("vec_id"), col("cell")) ++ codeCols): _*)
+  }
+
+  /** The IVFADC search plan over any (codes, centers, vectors,
+    * codebooks) — shared by the in-memory [[ivfPqTopK]] and the
+    * persisted-index [[ivfPqTopKIndexed]], so the two are the same
+    * plan over different leaves (result identity asserted in
+    * PipelineSpec):
+    *  - per query one `m × ksub` LUT of sub-dot-products (asymmetric
+    *    distance computation), broadcast with the probe list; every
+    *    vector in a probed cell is scored by `m` array lookups —
+    *    never a full-width dot product;
+    *  - the ADC scan carries ONLY (q_id, n_id, codes): the raw
+    *    vector (64 doubles ≈ 512 B vs the 8-byte code row) never
+    *    rides the per-query ranking shuffle — that width reduction
+    *    IS the operator's premise. The top `rerank` winners per
+    *    query (a few hundred rows) then join BACK to the vector
+    *    table by `n_id` for the EXACT cosine; top-k of that is the
+    *    answer.
+    */
+  private def ivfPqProbePlan(encoded: DataFrame, centersDf: DataFrame,
+                             vecs: DataFrame,
+                             codebooks: Array[Array[Array[Double]]],
+                             nQueries: Int, k: Int, nprobe: Int,
+                             m: Int, ksub: Int, rerank: Int): DataFrame = {
+    val sub = 64 / m
+    val booksLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // queries: normalized view of the tiny query slice + flat ADC LUT
+    // against every centroid — lut[s*ksub + c] = <qn_sub, centroid(s)(c)>
+    val queries = normalized(vecs.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vn").as("qn"))
     val withLut = queries.withColumn("lut",
       flatten(transform(sequence(lit(0), lit(m - 1)), s =>
@@ -359,14 +407,13 @@ object Ann {
             zip_with(slice(col("qn"), s * lit(sub) + 1, lit(sub)), c,
               (x, w) => x * w),
             lit(0.0), (a, y) => a + y)))))
-    val centersDf = ivfAssign(spark, dir, cells)._2
     val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))
     val probes = withLut.crossJoin(broadcast(centersDf))
       .withColumn("ccos", cosine_sim(col("qv"), col("center")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select("q_id", "lut", "cell")
-    // 5. ADC scan over probed cells (m array lookups per vector) on
+    // ADC scan over probed cells (m array lookups per vector) on
     // codes only, top `rerank` by approx score — nothing wider than
     // (q_id, n_id, approx) crosses the ranking shuffle
     val adc = (0 until m)
@@ -380,9 +427,9 @@ object Ann {
       .filter(col("ar") <= rerank)
       .select("q_id", "n_id")
     // exact re-rank: ONLY the ~nQueries × rerank winners rehydrate
-    // raw vectors — the tiny winner set broadcasts into the (cached)
-    // vector relation, query vectors broadcast alongside
-    assigned.select(col("vec_id").as("n_id"), col("v"))
+    // raw vectors — the tiny winner set broadcasts into the vector
+    // relation, query vectors broadcast alongside
+    vecs.select(col("vec_id").as("n_id"), col("v"))
       .join(broadcast(winners), Seq("n_id"))
       .join(broadcast(queries.select(col("q_id"), col("qv"))), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
@@ -483,6 +530,71 @@ object Ann {
     val idx = graft.sources.TmpDir.scoped("ivfindex",
       spark.sparkContext.applicationId, s"$dir:$cells")
     if (builtIvfIndexes.add(idx)) ivfIndexWrite(spark, dir, idx, cells)
+    idx
+  }
+
+  /** Persist the full IVF-PQ index — the artifact a 100 TB vector
+    * store actually serves searches from, where [[ivfPqTopK]]'s
+    * session-memoized codebooks are only the local stand-in:
+    * `codes/` = (vec_id, code0..code{m-1}) partitioned BY CELL (the
+    * 8-byte-per-vector scan relation; the directory layout is the
+    * inverted list, so an nprobe probe is a partition-pruned read
+    * that never touches 512-byte raw rows), `codebooks/` = (s, c, w)
+    * centroid rows (m × ksub × dim/m doubles ≈ 8 KB — read and
+    * folded back into plan literals at query time), and `centers/` =
+    * the coarse quantiser. Raw vectors stay in the corpus table —
+    * only the re-rank's ~rerank winners per query ever read them.
+    */
+  def ivfPqIndexWrite(spark: SparkSession, dir: String, outDir: String,
+                      cells: Int = 16, m: Int = 8, ksub: Int = 16): Unit = {
+    val (assigned, centersDf) = ivfAssign(spark, dir, cells)
+    val codebooks = pqCodebooksFor(spark, dir, cells, m, ksub)
+    ivfPqEncodeOf(normalized(assigned), codebooks, m)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/codes")
+    val rows = for {
+      s <- codebooks.indices
+      c <- codebooks(s).indices
+    } yield (s, c, codebooks(s)(c).toSeq)
+    spark.createDataFrame(rows).toDF("s", "c", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/codebooks")
+    centersDf.write.mode("overwrite").parquet(s"$outDir/centers")
+  }
+
+  private val builtPqIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[ivfPqTopK]] against the PERSISTED index (built once per
+    * session; the production artifact is written once at corpus
+    * layout): codebooks rehydrate from parquet into the same plan
+    * literals, the ADC scan reads the cell-partitioned `codes/`
+    * relation, and only the re-rank touches the corpus vectors.
+    * Identical output to the in-memory form — same centers, same
+    * codebooks (doubles round-trip parquet exactly), same integer
+    * codes — which PipelineSpec asserts.
+    */
+  def ivfPqTopKIndexed(spark: SparkSession, dir: String,
+                       nQueries: Int = 5, k: Int = 10,
+                       cells: Int = 16, nprobe: Int = 4,
+                       m: Int = 8, ksub: Int = 16, rerank: Int = 40): DataFrame = {
+    val idx = ivfPqIndexFor(spark, dir, cells, m, ksub)
+    val codebooks: Array[Array[Array[Double]]] =
+      spark.read.parquet(s"$idx/codebooks").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3))
+    ivfPqProbePlan(
+      spark.read.parquet(s"$idx/codes"),
+      spark.read.parquet(s"$idx/centers"),
+      vectors(spark, dir), codebooks,
+      nQueries, k, nprobe, m, ksub, rerank)
+  }
+
+  private[graft] def ivfPqIndexFor(spark: SparkSession, dir: String,
+                                   cells: Int, m: Int, ksub: Int): String = {
+    val idx = graft.sources.TmpDir.scoped("ivfpqindex",
+      spark.sparkContext.applicationId, s"$dir:$cells:$m:$ksub")
+    if (builtPqIndexes.add(idx)) ivfPqIndexWrite(spark, dir, idx, cells, m, ksub)
     idx
   }
 }

@@ -99,6 +99,57 @@ object TextAnalysis {
         floor(lit(10000.0) * col("n_stop") / col("n_tokens")).cast("long"))
       .orderBy("doc_id")
 
+  /** The distinct-stopword presence list for [[gopherRules]] — the
+    * Gopher "must contain at least two of" rule's word set.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule filter (Rae et al. 2021 §A1.1, adapted to the
+    * corpus): the document-shape heuristics a pretraining pipeline
+    * applies BEFORE any model-based scoring — word count bounds, mean
+    * word length window, alphabetic-word fraction, symbol-to-word
+    * ratio, and distinct-stopword presence. Each rule emits its
+    * metric plus the composed `ok` verdict, so downstream can both
+    * filter and audit which rule fired.
+    *
+    * Exactness: counts are integers; ratios are
+    * `floor(k · a / b)` basis-point/centi-unit doubles (IEEE-
+    * identical both engines per this file's convention). Pure map —
+    * no shuffle, embarrassingly parallel at any scale.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(spark, dir))
+
+  /** [[gopherRules]] over any (doc_id, text) DataFrame. */
+  def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val t = trim(col("text"))
+    val words = split(t, "\\s+")
+    val nWords = size(words).cast("long")
+    // total word chars = text minus whitespace (portable, no explode)
+    val nChars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nSym = regexp_count(t, lit("#|\\.\\.\\.")).cast("long")
+    val padded = concat(lit(" "), normText(col("text")), lit(" "))
+    val stopKinds = gopherStopwords
+      .map(w => when(instr(padded, s" $w ") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        floor(lit(100.0) * nChars / nWords).cast("long").as("mwl_c100"),
+        floor(lit(10000.0) * nAlpha / nWords).cast("long").as("alpha_bp"),
+        floor(lit(10000.0) * nSym / nWords).cast("long").as("sym_bp"),
+        stopKinds.cast("long").as("n_stop_kinds"))
+      .withColumn("ok",
+        when(col("n_words").between(10L, 100000L) &&
+          col("mwl_c100").between(300L, 1000L) &&
+          col("alpha_bp") >= 8000L &&
+          col("sym_bp") <= 1000L &&
+          col("n_stop_kinds") >= 2L, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish alnum-run count
     * (`[A-Za-z0-9]+` matches — the pre-tokenizer split most BPE vocabs
     * use). Both regexes are dialect-portable (Java / RE2).

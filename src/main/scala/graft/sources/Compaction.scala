@@ -66,41 +66,12 @@ object Compaction {
   private val TrashRoot = "_graft_compact_old"
 
   /** Crash recovery for [[compact]]'s swap protocol, run before every
-    * planning pass. The swap per partition is: (1) stage the
-    * compacted files (job commit ends with `_SUCCESS`), (2) rename
-    * the live partition dir into the trash, (3) rename the staged dir
-    * into place, (4) drop the trash. Every window is recoverable:
-    *
-    *  - stage without `_SUCCESS`: staging died — live dir untouched,
-    *    drop the stage;
-    *  - stage with `_SUCCESS` and the live dir present: died between
-    *    (1) and (2) — drop the stage, a re-plan re-stages;
-    *  - stage with `_SUCCESS` and the live dir missing: died between
-    *    (2) and (3) — complete the swap (the staged copy is whole);
-    *  - trash leftovers: died at (4) — drop them.
-    *
-    * Directory RENAME is the commit primitive (atomic on HDFS and
-    * posix filesystems), never file-by-file moves into a live dir —
-    * a mid-crash can therefore never mix old and new files. On an
-    * object store without atomic dir rename this is exactly where a
-    * table format's transaction log takes over; the reader-visible
-    * gap between (2) and (3) is the gap Delta/Iceberg close.
+    * planning pass — the [[PartitionSwap]] protocol (stage → trash →
+    * promote → drop, directory rename as the commit primitive) with
+    * compaction's stage/trash names.
     */
-  private def recover(fs: FileSystem, root: Path): Unit = {
-    val stageRoot = new Path(root, StageRoot)
-    if (fs.exists(stageRoot)) {
-      fs.listStatus(stageRoot).filter(_.isDirectory).foreach { st =>
-        val live = new Path(root, st.getPath.getName)
-        val staged = fs.exists(new Path(st.getPath, "_SUCCESS"))
-        if (staged && !fs.exists(live)) {
-          if (!fs.rename(st.getPath, live))
-            throw new java.io.IOException(s"compaction recovery failed for $live")
-        } else fs.delete(st.getPath, true)
-      }
-      fs.delete(stageRoot, true)
-    }
-    fs.delete(new Path(root, TrashRoot), true)
-  }
+  private def recover(fs: FileSystem, root: Path): Unit =
+    PartitionSwap.recover(fs, root, StageRoot, TrashRoot)
 
   /** Rewrite every fragmented partition to its target file count.
     * Returns the plans of the partitions rewritten.
@@ -133,7 +104,6 @@ object Compaction {
           override def call(): Unit = {
             val live = new Path(root, p.partition)
             val stage = new Path(root, s"$StageRoot/${p.partition}")
-            val trash = new Path(root, s"$TrashRoot/${p.partition}")
             // reading the partition DIRECTORY yields exactly its data
             // columns (the partition value lives in the path, and goes
             // back into the same path) — and keeps the read set
@@ -142,10 +112,7 @@ object Compaction {
             spark.read.parquet(live.toString)
               .repartition(p.targetFiles)
               .write.mode("overwrite").parquet(stage.toString)
-            if (!fs.rename(live, trash) || !fs.rename(stage, live))
-              throw new java.io.IOException(s"compaction swap failed for $live")
-            fs.delete(trash, true)
-            fs.delete(new Path(live, "_SUCCESS"), false)
+            PartitionSwap.commit(fs, root, p.partition, StageRoot, TrashRoot)
           }
         })
       }

@@ -157,6 +157,58 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_pq_indexed: persisted PQ index reproduces the in-memory answer off codes/") {
+    val indexed = Ann.ivfPqTopKIndexed(spark, sf01)
+    // identical output: same centers, same codebooks (doubles
+    // round-trip parquet exactly), same integer codes, same ranking
+    val mem = Ann.ivfPqTopK(spark, sf01).collect().map(_.toSeq).toSeq
+    assert(indexed.collect().map(_.toSeq).toSeq == mem)
+    // the ADC scan must read the persisted cell-partitioned codes
+    // relation; raw vectors may come ONLY from the corpus table (the
+    // re-rank), never from the index
+    val idx = Ann.ivfPqIndexFor(spark, sf01, 16, 8, 16)
+    val files = indexed.inputFiles
+    assert(files.exists(f => f.contains(idx) && f.contains("/codes/") &&
+      f.contains("cell=")), "codes/ must be read cell-partitioned")
+    assert(!files.exists(_.contains("/assigned")),
+      "the PQ search must not touch the raw-vector index relation")
+  }
+
+  test("gopher rules: each rule gates exactly its shape") {
+    import spark.implicits._
+    val docs = Seq(
+      // clean prose: every rule passes
+      (1L, "the dog and the cat have fun with all of them here today"),
+      // too few words
+      (2L, "short of the"),
+      // mean word length below 3.00
+      (3L, "a b c d e f g h i j k l and the"),
+      // mean word length above 10.00
+      (4L, ("the and " + "x" * 30 + " ") * 6),
+      // alphabetic-word fraction below 80%
+      (5L, "1 2 3 4 5 6 7 8 9 10 11 12 the and"),
+      // symbol-to-word ratio above 10%
+      (6L, "the and cat dog fun here with good time more less fast " +
+        "slow blue red green gold # # #"),
+      // fewer than two distinct stopwords
+      (7L, "cats dogs birds fish mice foxes wolves bears deer hawks owls")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRulesOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(6) == 1, s"clean doc must pass: ${r(1L)}")
+    (2L to 7L).foreach(i =>
+      assert(r(i).getLong(6) == 0, s"doc $i must fail: ${r(i)}"))
+    // doc 1 metrics exactly: 13 words, 44 word-chars, all alpha,
+    // no symbols, 5 distinct stopwords
+    assert(r(1L).getLong(1) == 13 && r(1L).getLong(2) == 338 &&
+      r(1L).getLong(3) == 10000 && r(1L).getLong(4) == 0 &&
+      r(1L).getLong(5) == 5, r(1L).toString)
+    // doc 6 fails ONLY the symbol rule (everything else in range)
+    assert(r(6L).getLong(1) == 20 && r(6L).getLong(4) == 1500, r(6L).toString)
+    assert(r(6L).getLong(2) >= 300 && r(6L).getLong(2) <= 1000 &&
+      r(6L).getLong(3) >= 8000 && r(6L).getLong(5) >= 2, r(6L).toString)
+  }
+
   test("cdc partial-dup pairs: shared-chunk counts are sane") {
     val pairs = Dedup.cdcPairs(spark, sf01, minShared = 1).collect()
     assert(pairs.forall(_.getLong(2) >= 1))
