@@ -1091,6 +1091,21 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(' ' || " + normSql + " || ' ', " +
         "' (the|a|of|and|to|is|in) ')) AS BIGINT) AS n_stop " +
         "FROM documents) ORDER BY doc_id")),
+    ("corpus_diff",
+      (s: SparkSession, d: String) => Curation.corpusDiff(s, d),
+      Some("WITH o AS (SELECT doc_id, md5(" + normSql + ") AS h_old FROM documents), " +
+        "nsrc AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text || ' v2' " +
+        "ELSE text END AS text FROM documents WHERE doc_id % 31 <> 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0), " +
+        "n AS (SELECT doc_id, md5(" + normSql + ") AS h_new FROM nsrc) " +
+        "SELECT doc_id, status FROM (" +
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.h_old IS NULL THEN 'added' " +
+        "WHEN n.h_new IS NULL THEN 'removed' " +
+        "WHEN o.h_old <> n.h_new THEN 'changed' " +
+        "ELSE 'unchanged' END AS status " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
+        "WHERE status <> 'unchanged' ORDER BY doc_id")),
     ("quality_gopher",
       (s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d),
       Some {

@@ -416,6 +416,49 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff — the change report a versioned pipeline
+    * publishes between two corpus builds: per document `added`,
+    * `removed`, or `changed` (content hash differs; unchanged rows
+    * are omitted — at 100 TB the diff is small, the corpus is not).
+    * ONE co-partitioned full-outer hash join on `doc_id` comparing
+    * md5(normalized text) — uniform key, linear, no skew; the hashes
+    * are computed under the join's own projection so neither full
+    * text column ever crosses the shuffle.
+    */
+  def corpusDiffOf(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def hashed(d: DataFrame, h: String) = d.select(col("doc_id"),
+      md5(TextAnalysis.normText(col("text"))).as(h))
+    hashed(oldDocs, "h_old")
+      .join(hashed(newDocs, "h_new"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+  }
+
+  /** The gate query: diff the corpus against a deterministic next
+    * version (every `doc_id % 31 == 0` removed, every
+    * `doc_id % 17 == 0` survivor edited, a shifted id-range appended)
+    * — the mutation is pure SQL so the DuckDB oracle builds the same
+    * "new" snapshot and the diff is oracle-exact.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val newer = docs
+      .filter(col("doc_id") % 31 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(
+        docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    corpusDiffOf(docs, newer)
+  }
+
   /** Per-(source, lang) corpus profile — the "corpus card" table a
     * curation run reports before and after every pass: volume (docs,
     * chars, tokens), size envelope, and exact distinct-content count

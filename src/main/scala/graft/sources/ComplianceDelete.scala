@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -40,6 +40,98 @@ object ComplianceDelete {
   private val StageRoot = "_graft_delete_stage"
   private val TrashRoot = "_graft_delete_old"
 
+  /** Bits per per-file Bloom filter in the key manifest (16 int64
+    * words): at 1024 bits / k=2, a file of 10k distinct subjects
+    * sits at ~1-in-quadrillion... realistically a file holds more
+    * rows than that — the filter saturates gracefully into "always
+    * a candidate", which only costs planning IO, never correctness.
+    */
+  val BloomBits = 1024
+  private val BloomWords = BloomBits / 64
+  private def bloomDir(keyCol: String) = s"_graft_keybloom_$keyCol"
+
+  /** The two probe positions of a key — k=2 double-hashing with
+    * Spark's own xxhash64 (seeded two ways), so the WRITE side (an
+    * aggregation over the data) and the PROBE side (folded over a
+    * LocalRelation, no job — same discipline as ZOrder.probeBucket)
+    * can never disagree.
+    */
+  private def bloomPositions(key: Column): (Column, Column) =
+    (pmod(xxhash64(key), lit(BloomBits)),
+      pmod(xxhash64(key, lit(1)), lit(BloomBits)))
+
+  /** Persist the per-file key Bloom manifest (`_graft_keybloom_<col>/`,
+    * one row per data file: path + 16 bitmap words) — written at
+    * layout time, consulted by [[delete]] so planning an erasure
+    * batch reads KBs of metadata instead of scanning the key column
+    * of the whole table. ONE aggregation; each row contributes two
+    * one-hot words that `bit_or` merges map-side.
+    */
+  /** The per-file bitmap aggregation behind the manifest. Integer
+    * `div` for the word index (Column `/` is DOUBLE division — the
+    * accidental float path ZOrder's hour bucket once had).
+    */
+  private def bloomAgg(df: DataFrame, keyCol: String): DataFrame = {
+    val (p1, p2) = bloomPositions(col(keyCol))
+    def wordIdx(pos: Column): Column =
+      call_function("div", pos.cast("long"), lit(64L))
+    def oneHot(pos: Column, w: Int): Column =
+      when(wordIdx(pos) === w,
+        call_function("shiftleft", lit(1L),
+          pmod(pos, lit(64)).cast("int"))).otherwise(0L)
+    val wordCols = (0 until BloomWords).map { w =>
+      bit_or(oneHot(p1, w).bitwiseOR(oneHot(p2, w))).as(s"w$w")
+    }
+    df.groupBy(input_file_name().as("path"))
+      .agg(wordCols.head, wordCols.tail: _*)
+  }
+
+  def bloomManifestWrite(spark: SparkSession, dir: String,
+                         keyCol: String): Unit =
+    bloomAgg(spark.read.parquet(dir), keyCol)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/${bloomDir(keyCol)}")
+
+  /** Planning via the Bloom manifest: the files that MAY hold any of
+    * `keys` (both probe bits set for some key), plus every data file
+    * the manifest doesn't know (under-claim-never-over-claim: an
+    * unlisted file — e.g. written by a rewrite that crashed before
+    * the manifest refresh — is always a candidate, so staleness can
+    * cost planning IO but never miss a subject). Returns None when no
+    * manifest exists — callers fall back to the full planning scan.
+    */
+  def bloomCandidateFiles(spark: SparkSession, dir: String, keyCol: String,
+                          keys: Seq[Long]): Option[Seq[String]] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val mPath = new Path(root, bloomDir(keyCol))
+    if (!fs.exists(mPath)) return None
+    val manifest = spark.read.parquet(mPath.toString).collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath ->
+        (0 until BloomWords).map(w => r.getLong(w + 1)).toArray).toMap
+    // probe positions fold driver-side over a LocalRelation — no job
+    import spark.implicits._
+    val (p1, p2) = bloomPositions(col("k"))
+    val positions = keys.toDF("k").select(p1.as("p1"), p2.as("p2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def mayContain(words: Array[Long]): Boolean =
+      positions.exists { case (a, b) =>
+        ((words(a.toInt / 64) >>> (a % 64)) & 1L) == 1L &&
+          ((words(b.toInt / 64) >>> (b % 64)) & 1L) == 1L
+      }
+    // actual data files on disk (partition dirs only, `_` dirs hidden)
+    val live = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap(d => fs.listStatus(d.getPath).toSeq)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    Some(live.collect {
+      case p if manifest.get(p.toUri.getPath).forall(mayContain) =>
+        p.toString
+    })
+  }
+
   /** What a delete run did: partitions rewritten (by partition-dir
     * name) and the number of rows dropped.
     */
@@ -56,16 +148,28 @@ object ComplianceDelete {
     PartitionSwap.recover(fs, root, StageRoot, TrashRoot)
     if (keys.isEmpty) return DeleteStats(Nil, 0L)
     val pred = col(keyCol).isin(keys: _*)
-    // plan: which files hold matching rows. The scan reads ONLY the
-    // key column (column pruning) and the IN-list reaches the parquet
-    // reader (PushedFilters), so row-group min/max skip clean data;
-    // the collected result is file paths — metadata-sized however big
-    // the table.
-    val affectedFiles = spark.read.parquet(dir)
+    // plan: which files hold matching rows. With a key Bloom manifest
+    // the confirming scan opens only the candidate files (KB metadata
+    // probe → candidate set); without one it scans the table — but
+    // reads ONLY the key column (column pruning) with the IN-list
+    // reaching the parquet reader (PushedFilters), so row-group
+    // min/max skip clean data. Either way the collected result is
+    // file paths — metadata-sized however big the table.
+    val planInput = bloomCandidateFiles(spark, dir, keyCol, keys) match {
+      case Some(Nil) => return DeleteStats(Nil, 0L)
+      case Some(candidates) => spark.read.parquet(candidates: _*)
+      case None => spark.read.parquet(dir)
+    }
+    // one planning aggregate yields BOTH the affected file set and
+    // the exact deleted-row count (every matching row is deleted) —
+    // no per-partition recount actions later
+    val planned = planInput
       .filter(pred)
-      .select(input_file_name().as("f"))
-      .distinct()
-      .collect().map(_.getString(0))
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val affectedFiles = planned.map(_._1)
+    val deleted = planned.map(_._2).sum
     // affected partitions = the partition directories those files sit
     // in (paths are .../<col>=<value>/part-*.parquet). Compare URI
     // PATH components: input_file_name() renders file:///p while
@@ -78,22 +182,58 @@ object ComplianceDelete {
       rel.substring(0, rel.lastIndexOf('/'))
     }.distinct.sorted.toSeq
     if (affected.isEmpty) return DeleteStats(Nil, 0L)
-    var deleted = 0L
-    affected.foreach { part =>
-      val live = new Path(root, part)
-      val stage = new Path(root, s"$StageRoot/$part")
-      // rewrite THIS partition's rows minus matches; reading the
-      // partition directory keeps the read set disjoint from the
-      // write set (no overwrite-while-reading hazard)
-      val before = spark.read.parquet(live.toString)
-      val n = before.count()
-      val kept = before.filter(!pred)
-      kept.write.mode("overwrite").parquet(stage.toString)
-      deleted += n - spark.read.parquet(stage.toString).count()
-      PartitionSwap.commit(fs, root, part, StageRoot, TrashRoot)
-    }
+    // partitions are independent — rewrite from a bounded pool (the
+    // [[Compaction]] discipline: serial job SUBMISSION would be the
+    // bottleneck, not the per-partition work; FileSystem is
+    // thread-safe and each thread touches only its own paths)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, affected.size))
+    try {
+      val futures = affected.map { part =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val live = new Path(root, part)
+            val stage = new Path(root, s"$StageRoot/$part")
+            // rewrite THIS partition's rows minus matches; reading
+            // the partition directory keeps the read set disjoint
+            // from the write set (no overwrite-while-reading hazard)
+            spark.read.parquet(live.toString)
+              .filter(!pred)
+              .write.mode("overwrite").parquet(stage.toString)
+            PartitionSwap.commit(fs, root, part, StageRoot, TrashRoot)
+          }
+        })
+      }
+      futures.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
     fs.delete(new Path(root, StageRoot), true)
     fs.delete(new Path(root, TrashRoot), true)
+    // refresh the Bloom manifest rows of the rewritten partitions
+    // (KB-sized driver merge; the fresh rows come from a scan of ONLY
+    // those partitions). A crash before this write leaves the new
+    // files unlisted — [[bloomCandidateFiles]] treats unknown files
+    // as always-candidates, so staleness costs planning IO, never a
+    // missed subject.
+    val mPath = new Path(root, bloomDir(keyCol))
+    if (fs.exists(mPath)) {
+      val mDir = mPath.toString
+      val prefixes = affected.map(p => s"$rootPath/$p/")
+      val schema = spark.read.parquet(mDir).schema
+      val kept = spark.read.parquet(mDir).collect().toSeq
+        .filterNot { r =>
+          val p = new Path(r.getString(0)).toUri.getPath
+          prefixes.exists(p.startsWith)
+        }
+      val keptDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(kept, 1), schema)
+      val fresh = bloomAgg(
+        spark.read.parquet(affected.map(p => s"$dir/$p"): _*), keyCol)
+      fresh.unionByName(keptDf).coalesce(1)
+        .write.mode("overwrite").parquet(mDir)
+    }
     DeleteStats(affected, deleted)
   }
 
@@ -114,6 +254,10 @@ object ComplianceDelete {
       .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
       .repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(tmp)
+    // the production layout step: persist the key Bloom manifest so
+    // the delete plans off metadata (the full-scan fallback stays
+    // exercised in ComplianceDeleteSpec)
+    bloomManifestWrite(spark, tmp, "user_id")
     // the delete-request batch: concrete subject ids, as a real
     // erasure request arrives (collected driver-side — a request
     // batch is human-scale, thousands at most)

@@ -19,6 +19,24 @@ class CurationSpec extends SparkSpec {
     assert(c != a, "different salt must draw a different sample")
   }
 
+  test("corpus diff labels added/removed/changed exactly, omits unchanged") {
+    val r = Curation.corpusDiff(spark, sf01).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val ids = Tables.documents(spark, sf01)
+      .select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val expected =
+        if (id % 31 == 0) Some("removed")
+        else if (id % 17 == 0) Some("changed")
+        else None
+      assert(r.get(id) == expected, s"doc $id: got ${r.get(id)}, want $expected")
+    }
+    ids.filter(_ % 13 == 0).foreach(id =>
+      assert(r.get(id + 1000000L).contains("added"), s"doc ${id + 1000000L}"))
+    val want = ids.count(i => i % 31 == 0 || i % 17 == 0) + ids.count(_ % 13 == 0)
+    assert(r.size == want, s"${r.size} rows, want $want")
+  }
+
   test("source mixing applies per-source keep rates") {
     val mixed = Curation.mixSources(spark, sf01,
       rates = Map("src0" -> 10000L, "src1" -> 5000L), defaultBp = 2500)

@@ -114,6 +114,49 @@ class ComplianceDeleteSpec extends SparkSpec {
     assert(spark.read.parquet(day2.toString).count() == rows2)
   }
 
+  test("bloom manifest: no false negatives, real pruning, same delete result") {
+    val dir = freshLayout()
+    ComplianceDelete.bloomManifestWrite(spark, dir, "user_id")
+    val key = spark.read.parquet(dir).select(min("user_id"))
+      .collect()(0).getLong(0)
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    // every file that truly holds the key must be a candidate
+    val truly = spark.read.parquet(dir).filter(col("user_id") === key)
+      .select(input_file_name()).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    val cand = ComplianceDelete.bloomCandidateFiles(spark, dir, "user_id", Seq(key))
+      .get.map(norm).toSet
+    assert(truly.subsetOf(cand), s"missed: ${truly -- cand}")
+    // and the probe must actually prune something for a single key
+    val all = spark.read.parquet(dir).select(input_file_name()).distinct().count()
+    assert(cand.size < all, s"no pruning: ${cand.size} of $all")
+    // delete through the bloom plan == delete through the full scan
+    val dir2 = freshLayout() // no manifest → full planning scan
+    val s1 = ComplianceDelete.delete(spark, dir, "user_id", Seq(key))
+    val s2 = ComplianceDelete.delete(spark, dir2, "user_id", Seq(key))
+    assert(s1.rowsDeleted == s2.rowsDeleted && s1.rowsDeleted > 0)
+    val rows = (d: String) => spark.read.parquet(d)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(rows(dir) == rows(dir2))
+  }
+
+  test("bloom manifest self-heals across successive deletes") {
+    val dir = freshLayout()
+    ComplianceDelete.bloomManifestWrite(spark, dir, "user_id")
+    val keys = spark.read.parquet(dir).select("user_id").distinct()
+      .orderBy("user_id").limit(2).collect().map(_.getLong(0))
+    val expectB = spark.read.parquet(dir)
+      .filter(col("user_id") === keys(1)).count()
+    ComplianceDelete.delete(spark, dir, "user_id", Seq(keys(0)))
+    // the second delete plans against the REFRESHED manifest — the
+    // rewritten partitions' new files must be probed (or fall back as
+    // unknown), never silently skipped
+    val s = ComplianceDelete.delete(spark, dir, "user_id", Seq(keys(1)))
+    assert(s.rowsDeleted == expectB, s"${s.rowsDeleted} vs $expectB")
+    assert(spark.read.parquet(dir)
+      .filter(col("user_id").isin(keys.toIndexedSeq: _*)).count() == 0)
+  }
+
   test("planning pushes the key filter to the parquet scan") {
     val dir = freshLayout()
     val plan = spark.read.parquet(dir)
