@@ -1231,6 +1231,18 @@ object SparkEntry {
         "CAST(sum(df) AS BIGINT) AS sum_df, " +
         "CAST(sum(df) * 1000000 // count(*) AS BIGINT) AS df_score_micro " +
         "FROM dt JOIN dfr USING (term) GROUP BY doc_id ORDER BY doc_id")),
+    ("keyword_search",
+      (s: SparkSession, d: String) => TextAnalysis.keywordSearch(s, d),
+      Some("WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(" +
+        normSql + ", ' ')) AS term FROM documents), " +
+        "f AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t " +
+        "WHERE term IN ('spark', 'table', 'window') GROUP BY 1, 2), " +
+        "d AS (SELECT term, count(*) AS df FROM f GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM documents) " +
+        "SELECT doc_id, CAST(sum(tf * (n // df)) AS BIGINT) AS score, " +
+        "CAST(count(*) AS BIGINT) AS n_terms_hit " +
+        "FROM f JOIN d USING (term) CROSS JOIN nn GROUP BY doc_id " +
+        "ORDER BY score DESC, doc_id LIMIT 25")),
     ("tfidf_top_terms",
       (s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d),
       Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +

@@ -357,6 +357,46 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Keyword retrieval: top-`k` documents for a query term set,
+    * ranked by an exact-integer tf·idf score — the query-driven
+    * selection pass a curation pipeline runs to pull topical subsets
+    * out of the corpus. Score = Σ_t tf(t,d) · (N div df(t)): the
+    * integer N/df idf surrogate is division-free and engine-identical
+    * (log-idf is float and engine-divergent) while staying monotone
+    * in 1/df, which is all the ranking needs.
+    *
+    * Plan shape: the exploded (doc, term) stream is filtered to the
+    * literal query terms AT THE SCAN STAGE (an `isin` over a handful
+    * of strings — non-matching tokens never leave the stage), df is
+    * a |terms|-row broadcast agg over those survivors, and the final
+    * ranking is a global top-k (`TakeOrderedAndProject` — no full
+    * sort). Corpus size N enters as a literal: one count — the same
+    * table-stats lookup a real catalog serves.
+    */
+  def keywordSearch(spark: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("spark", "table", "window"),
+                    k: Int = 25): DataFrame =
+    keywordSearchOf(Tables.documents(spark, dir), terms, k)
+
+  /** [[keywordSearch]] over any (doc_id, text) DataFrame. */
+  def keywordSearchOf(docs: DataFrame, terms: Seq[String],
+                      k: Int): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfr), "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * expr(s"${n}L div df")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Exact corpus-wide top-`k` frequent tokens WITHOUT a full-domain
     * shuffle — the heavy-hitters query every corpus audit starts
     * with. Two linear scans:

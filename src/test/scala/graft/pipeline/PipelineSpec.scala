@@ -174,6 +174,20 @@ class PipelineSpec extends SparkSpec {
       "the PQ search must not touch the raw-vector index relation")
   }
 
+  test("keyword search ranks by exact integer tf-idf") {
+    import spark.implicits._
+    // N=4; df(cat)=3 → w=1, df(rare)=1 → w=4
+    val docs = Seq(
+      (1L, "cat cat cat"),          // score 3·1 = 3
+      (2L, "cat rare"),             // score 1·1 + 1·4 = 5
+      (3L, "cat dog"),              // score 1
+      (4L, "dog dog")               // no hit — absent
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.keywordSearchOf(docs, Seq("cat", "rare"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((2L, 5L, 2L), (1L, 3L, 1L), (3L, 1L, 1L)), r.toSeq.toString)
+  }
+
   test("gopher rules: each rule gates exactly its shape") {
     import spark.implicits._
     val docs = Seq(
