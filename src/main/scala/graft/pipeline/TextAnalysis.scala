@@ -388,8 +388,13 @@ object TextAnalysis {
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfr), "term")
+    // df via a whole-partition window on the SURVIVOR relation (only
+    // docs containing query terms) — a tf.groupBy("term") self-join
+    // would recompute the corpus scan+explode subtree twice, and at
+    // 100 TB the scan is the cost; the window shuffles the tiny
+    // filtered relation instead
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
       .groupBy("doc_id")
       .agg(sum(col("tf") * expr(s"${n}L div df")).as("score"),
         count(lit(1)).as("n_terms_hit"))
