@@ -1070,6 +1070,12 @@ object SparkEntry {
     // production) — output identical to ann_ivf, asserted in AnnSpec
     ("ann_ivf_indexed",
       (s: SparkSession, d: String) => Ann.ivfTopKIndexed(s, d), None),
+    // nightly index maintenance: the same search after an append-only
+    // batch lands in the persisted index (no retrain, no file
+    // rewrites) — assignment identity + untouched-files + dup-found
+    // gated in PipelineSpec; rows-only (KMeans cells engine-specific)
+    ("ann_index_append",
+      (s: SparkSession, d: String) => Ann.ivfTopKAppended(s, d), None),
     // IVF + product quantization: the 8-bytes-per-vector ADC scan
     // with exact re-rank — KMeans codebooks are engine-specific →
     // rows-only, recall@10 vs brute gated in AnnSpec

@@ -533,6 +533,91 @@ object Ann {
     idx
   }
 
+  /** Euclidean-argmin cell of `v` over the persisted literal centers —
+    * the SAME rule the coarse quantiser's predict applies (ties to the
+    * lower cell id), as one loop-shaped expression (no model object,
+    * no MLlib at maintenance time). array_sort on (d2, cell) structs
+    * gives d2-asc-then-cell-asc ordering.
+    */
+  private def euclidArgminExpr(centers: Array[(Int, Seq[Double])]): Column = {
+    val cents = typedLit(centers.sortBy(_._1).toSeq)
+    val scored = transform(cents, c =>
+      struct(
+        aggregate(zip_with(col("v"), c.getField("_2"),
+          (x, w) => (x - w) * (x - w)), lit(0.0), (a, y) => a + y).as("d2"),
+        c.getField("_1").as("cell")))
+    element_at(transform(array_sort(scored), x => x.getField("cell")), 1)
+  }
+
+  /** Nightly IVF index maintenance: append a vector batch to the
+    * persisted index WITHOUT retraining and WITHOUT touching any
+    * existing file — new part files land under the batch's cell
+    * directories, everything already committed stays byte-identical
+    * (spec-asserted). Assignment is euclidean argmin over the
+    * persisted centers ([[euclidArgminExpr]] — the quantiser's own
+    * rule, so an appended vector lands exactly where an index rebuild
+    * would put it); `probed/` membership uses the same multi-probe
+    * cosine ranking the index was built with. Centers drift as the
+    * corpus grows is the operator's known debt — production re-trains
+    * on a cadence and rebuilds, exactly like any IVF deployment.
+    */
+  def ivfIndexAppend(spark: SparkSession, idx: String,
+                     batch: DataFrame): Unit = {
+    val centers = spark.read.parquet(s"$idx/centers").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    batch.select(col("vec_id"), col("v"),
+        euclidArgminExpr(centers).as("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$idx/assigned")
+    val probeCells = graft.pipeline.Dedup.multiProbeCellsExpr(centers, IndexNprobe)
+    batch.select(col("vec_id"), col("v"), explode(probeCells).as("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$idx/probed")
+  }
+
+  private val builtAppendIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The append gate's fixture + search: clone the corpus index (a
+    * production append mutates in place; the clone keeps the memoized
+    * base index pristine for its other consumers), append a
+    * re-ingested-duplicates batch (`vec_id % 11 == 0`, shifted ids,
+    * identical vectors — the nightly arrival every dedup-less ingest
+    * produces), and search it. The duplicates surface as cos≈1
+    * neighbours of their originals — PipelineSpec asserts the rank-1
+    * hit, assignment identity with the originals' cells, and that
+    * append left every pre-existing file untouched.
+    */
+  def ivfTopKAppended(spark: SparkSession, dir: String,
+                      nQueries: Int = 5, k: Int = 10,
+                      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val idx = appendedIndexFor(spark, dir, cells)
+    ivfProbePlan(
+      spark.read.parquet(s"$idx/assigned"),
+      spark.read.parquet(s"$idx/centers"), nQueries, k, nprobe)
+  }
+
+  private[graft] def appendedIndexFor(spark: SparkSession, dir: String,
+                                      cells: Int): String = {
+    val src = ivfIndexFor(spark, dir, cells)
+    val idx = graft.sources.TmpDir.scoped("ivfappend",
+      spark.sparkContext.applicationId, s"$dir:$cells")
+    if (builtAppendIndexes.add(idx)) {
+      Seq("assigned", "probed").foreach { sub =>
+        spark.read.parquet(s"$src/$sub")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$idx/$sub")
+      }
+      spark.read.parquet(s"$src/centers")
+        .write.mode("overwrite").parquet(s"$idx/centers")
+      val batch = spark.read.parquet(s"$src/assigned")
+        .filter(pmod(col("vec_id"), lit(11)) === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("v"))
+      ivfIndexAppend(spark, idx, batch)
+    }
+    idx
+  }
+
   /** Persist the full IVF-PQ index — the artifact a 100 TB vector
     * store actually serves searches from, where [[ivfPqTopK]]'s
     * session-memoized codebooks are only the local stand-in:

@@ -117,6 +117,62 @@ class PipelineSpec extends SparkSpec {
       .contains("dynamicpruning"), "probe must dynamic-partition-prune cells")
   }
 
+  test("ivf index append: same-cell assignment, untouched files, duplicates found") {
+    import org.apache.spark.sql.functions._
+    // building the appended fixture snapshots nothing — walk it
+    // ourselves: clone state BEFORE the search by forcing the build
+    val idx = Ann.appendedIndexFor(spark, sf01, 16)
+    val src = Ann.ivfIndexFor(spark, sf01, 16)
+    // (a) every appended duplicate landed in its original's cell —
+    // euclid-argmin over literal centers == the quantiser's predict
+    val orig = spark.read.parquet(s"$src/assigned")
+      .filter(pmod(col("vec_id"), lit(11)) === 0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    val appended = spark.read.parquet(s"$idx/assigned")
+      .filter(col("vec_id") >= 1000000L)
+      .collect().map(r => (r.getLong(0) - 1000000L) -> r.getAs[Int]("cell")).toMap
+    assert(appended.nonEmpty && appended == orig,
+      s"${appended.size} appended vs ${orig.size} original assignments")
+    // (b) the search finds each query's re-ingested duplicate at
+    // rank 1 (cos = 1 against itself-with-a-new-id; query 0 is in the
+    // batch since 0 % 11 == 0)
+    val hits = Ann.ivfTopKAppended(spark, sf01).collect()
+      .filter(_.getLong(0) % 11 == 0)
+    val rank1 = hits.filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rank1.foreach { case (q, n) =>
+      assert(n == q + 1000000L, s"query $q rank-1 neighbour $n is not its duplicate")
+    }
+    assert(rank1.nonEmpty)
+  }
+
+  test("ivf index append touches no pre-existing file") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // a fresh clone of the base index, appended in place
+    val src = Ann.ivfIndexFor(spark, sf01, 16)
+    val dir = Files.createTempDirectory("graft_append_test").toString
+    Seq("assigned", "probed").foreach { sub =>
+      spark.read.parquet(s"$src/$sub")
+        .write.partitionBy("cell").parquet(s"$dir/$sub")
+    }
+    spark.read.parquet(s"$src/centers").write.parquet(s"$dir/centers")
+    def snapshot(): Map[String, Long] = Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))  // _SUCCESS markers + crcs
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val before = snapshot()
+    val batch = spark.read.parquet(s"$src/assigned")
+      .filter(pmod(col("vec_id"), lit(11)) === 3)
+      .select((col("vec_id") + lit(2000000L)).as("vec_id"), col("v"))
+    Ann.ivfIndexAppend(spark, dir, batch)
+    val after = snapshot()
+    before.foreach { case (p, t) =>
+      assert(after.get(p).contains(t), s"pre-existing file rewritten: $p")
+    }
+    assert(after.size > before.size, "append must add part files")
+  }
+
   test("ann_ivf_pq: ADC + re-rank recalls what plain IVF recalls") {
     val brute = Ann.bruteTopK(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

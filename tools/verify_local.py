@@ -3,8 +3,12 @@
 driver's DuckDB compare: for each query, load the Spark parquet result and
 the DuckDB oracle result, sort columns by name, sort rows, compare values.
 
-Usage: python3 tools/verify_local.py <sfdir> <verify_out_dir>
+Usage: python3 tools/verify_local.py <sfdir> <verify_out_dir> [artifact.json]
 (run `sbt "runMain graft.Verify <sfdir> <outdir>"` first)
+
+With a third argument, also writes a driver-CORRECTNESS-style JSON
+artifact (per-query rows/schema/hash match) to that path; merge any
+`_meta` block in by hand afterwards.
 """
 import json
 import math
@@ -58,6 +62,7 @@ def main():
                         f"FROM '{pat}'")
     oracle = json.loads(Path(outdir, "oracle_sql.json").read_text())
     n_pass = n_fail = n_rowsonly = 0
+    artifact = {}
     for name in sorted(p.name for p in Path(outdir).iterdir() if p.is_dir()):
         spark_rel = con.execute(
             f"SELECT * FROM '{outdir}/{name}/*.parquet'")
@@ -66,6 +71,10 @@ def main():
         if name not in oracle:
             n_rowsonly += 1
             print(f"ROWSONLY {name}: rows={len(spark_rows)}")
+            artifact[name] = {"rows_match": None, "schema_match": None,
+                              "hash_match": None,
+                              "spark_rows": len(spark_rows),
+                              "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             ora_rel = con.execute(oracle[name])
@@ -74,9 +83,18 @@ def main():
         except Exception as e:
             n_fail += 1
             print(f"FAIL {name}: oracle SQL error: {e}")
+            artifact[name] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False,
+                              "spark_rows": len(spark_rows),
+                              "oracle_rows": None,
+                              "err": f"oracle SQL error: {e}"[:200]}
             continue
         sc, sr = canon(spark_rows, spark_cols)
         oc, orows = canon(ora_rows, ora_cols)
+        rec = {"rows_match": len(sr) == len(orows), "schema_match": sc == oc,
+               "hash_match": sc == oc and sr == orows,
+               "spark_rows": len(sr), "oracle_rows": len(orows), "err": None}
+        artifact[name] = rec
         if sc != oc:
             n_fail += 1
             print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
@@ -100,6 +118,9 @@ def main():
             continue
         n_pass += 1
         print(f"PASS {name}: {len(sr)} rows")
+    if len(sys.argv) > 3:
+        Path(sys.argv[3]).write_text(
+            json.dumps(artifact, indent=1, sort_keys=True) + "\n")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     sys.exit(1 if n_fail else 0)
 
