@@ -42,6 +42,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
   }
 
+  test("keyword_search scans the corpus exactly once") {
+    // df comes from a window over the filtered survivor relation — a
+    // tf self-join would recompute the scan+explode subtree twice,
+    // and at 100 TB the corpus scan is the dominating cost
+    val p = plan(graft.pipeline.TextAnalysis.keywordSearch(spark, sf01))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 corpus scan, saw $scans:\n$p")
+  }
+
   test("q5 broadcasts the small dims (region/nation)") {
     val p = plan(Analytics.q5Join(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
