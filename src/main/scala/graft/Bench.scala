@@ -27,10 +27,12 @@ package graft
   * rc=124). A killed run loses everything after the kill and floods
   * the tail with executor-teardown stack traces, so Bench now keeps
   * its OWN clock from main() entry and adapts:
-  *  - `SPARK_GRAFT_TIME_BUDGET` (seconds, default 400 — leaves ~200 s
+  *  - `SPARK_GRAFT_TIME_BUDGET` (seconds, default 450 — leaves ~150 s
   *    of the driver window for sbt boot/compile) bounds the whole run;
   *  - after the warmup pass, the remaining budget decides the timed
-  *    pass count (2 → 1 → 0; `SPARK_GRAFT_PASSES` overrides);
+  *    pass count (2 → 1, possibly budget-truncated, → 0;
+  *    `SPARK_GRAFT_PASSES` overrides); timed passes run slowest-first
+  *    so a truncated pass keeps warm samples on the dominant queries;
   *  - inside a timed pass, each query checks the clock first and the
   *    pass aborts (emitting an `aborted` line) rather than blow the
   *    window — queries without a timed sample fall back to their
@@ -54,12 +56,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
-    val budget = sys.env.get("SPARK_GRAFT_TIME_BUDGET").map(_.toDouble).getOrElse(400.0)
+    // 450: the driver window is ~600 s (r5's full run completed at
+    // 582 s wall including sbt boot; boot on a pre-compiled tree is
+    // ~35 s), so 450 + boot + teardown leaves ~100 s of slack while
+    // buying a much larger slice of one timed pass than 400 did.
+    val budget = sys.env.get("SPARK_GRAFT_TIME_BUDGET").map(_.toDouble).getOrElse(450.0)
     // reserve for baseline parse + total/summary emit + spark.stop()
     val teardownMargin = 15.0
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Default to the full local[32] the harness provides (BASELINE.md
+    // numbers are recorded at 32): the driver invokes Bench with a bare
+    // env, and a lower default silently ran the whole suite on a
+    // fraction of the machine (the r6/r7 rc=124 timeouts were this).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     // ERROR, not WARN: a timed-out run's tail must hold query_time
     // lines, not scheduler warnings
@@ -97,11 +107,17 @@ object Bench {
     // 0 is the JIT/codegen warmup (its timings are aggregated only as
     // the fallback for queries whose timed pass was budget-aborted).
     // Returns None for queries not reached before the deadline.
-    def pass(p: Int, skip: Set[String], deadline: Double): Map[String, Option[Double]] = {
+    // `ordered` overrides the iteration order: timed passes run
+    // slowest-warmup-first, so when the budget truncates a pass the
+    // queries that dominate the total (and the baseline ratios) are
+    // the ones holding warm samples — a budget-aborted tail of
+    // sub-second queries loses almost nothing.
+    def pass(p: Int, skip: Set[String], deadline: Double,
+             ordered: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = queries): Map[String, Option[Double]] = {
       var aborted = false
       var sumOk = 0.0
       var done = 0
-      val out = queries.map { case (name, fn) =>
+      val out = ordered.map { case (name, fn) =>
         if (!aborted && elapsed > deadline) {
           aborted = true
           println(s"""{"metric":"aborted","pass":$p,"after":$done,"of":${queries.length},"elapsed":${f2(elapsed)}}""")
@@ -138,12 +154,17 @@ object Bench {
     val warmWall = elapsed - warmStart
     val failedWarm = queries.collect { case (n, _) if warm(n).exists(_ < 0) => n }.toSet
 
-    // decide the timed pass count from what's left: a timed pass costs
-    // about a warmup pass (less JIT, same I/O — warmup wall is a safe
-    // over-estimate). SPARK_GRAFT_PASSES pins it explicitly.
+    // decide the timed pass count from what's left: a warm pass costs
+    // ~0.8× the warmup pass (measured: 196 s warm vs 236 s cold at 144
+    // queries — less JIT, same I/O). When not even one full pass fits,
+    // still run ONE — the mid-pass deadline abort protects the window,
+    // and with slowest-first ordering a truncated pass places its warm
+    // samples where they matter (timed_coverage reports the honest
+    // count). SPARK_GRAFT_PASSES pins the count explicitly.
     val timedPasses: Int = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse {
       val remaining = budget - teardownMargin - elapsed
-      (MaxTimedPasses to 0 by -1).find(p => p * warmWall * 0.9 <= remaining).getOrElse(0)
+      (MaxTimedPasses to 1 by -1).find(p => p * warmWall * 0.8 <= remaining)
+        .getOrElse(if (remaining >= 30.0) 1 else 0)
     }
     println(s"""{"metric":"plan","warmup_wall":${f2(warmWall)},"elapsed":${f2(elapsed)},"budget":${f2(budget)},"timed_passes":$timedPasses}""")
 
@@ -151,7 +172,11 @@ object Bench {
     // transient host-load spike inflates one pass, not both timings of
     // whichever query it lands on. A per-query transient failure costs
     // that query its timing, never the whole bench.
-    val timed = (1 to timedPasses).map(p => pass(p, failedWarm, warmDeadline))
+    val slowestFirst = queries.sortBy { case (n, _) =>
+      -warm(n).filter(_ >= 0).getOrElse(Double.MaxValue)
+    }
+    val timed = (1 to timedPasses).map(p =>
+      pass(p, failedWarm, warmDeadline, slowestFirst))
     val results = queries.map { case (name, _) =>
       val timedOk = timed.flatMap(_(name)).filter(_ >= 0)
       val v =

@@ -743,6 +743,12 @@ object SparkEntry {
         "FROM orders WHERE EXISTS (SELECT 1 FROM customer " +
         "WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING') " +
         "GROUP BY 1 ORDER BY 1")),
+    ("q_anti", (s: SparkSession, d: String) => Analytics.qAnti(s, d),
+      Some("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, " +
+        "CAST(min(c_custkey) AS BIGINT) AS min_custkey " +
+        "FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+        "GROUP BY 1 ORDER BY 1")),
     // grouping-set NULLs are disambiguated by gid; the data columns are
     // never null in the base table, so the oracle can recover gid from
     // which column the set aggregated away
@@ -1411,6 +1417,55 @@ object SparkEntry {
         "FROM (SELECT unnest(regexp_split_to_array(" + normSql + ", ' ')) AS term " +
         "FROM documents) GROUP BY term) WHERE rn <= 10 " +
         "ORDER BY cnt DESC, term")),
+    ("vocab_build",
+      (s: SparkSession, d: String) => TextAnalysis.vocabBuild(s, d),
+      Some("WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(" +
+        normSql + ", ' ')) AS token FROM documents), " +
+        "tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1), " +
+        "v AS (SELECT token, tf, df, " +
+        "row_number() OVER (ORDER BY tf DESC, token ASC) AS vocab_id FROM tf) " +
+        "SELECT token, CAST(vocab_id AS BIGINT) AS vocab_id, tf, df " +
+        "FROM v WHERE vocab_id <= 24 ORDER BY vocab_id")),
+    ("tokenize_ids",
+      (s: SparkSession, d: String) => TextAnalysis.tokenizeIds(s, d),
+      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+        "w AS (SELECT doc_id, regexp_split_to_array(txt, ' ') AS ws FROM nd), " +
+        "p AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, " +
+        "unnest(ws) AS token FROM w), " +
+        "tf AS (SELECT token, count(*) AS tf FROM (" +
+        "SELECT unnest(regexp_split_to_array(txt, ' ')) AS token FROM nd) " +
+        "GROUP BY 1), " +
+        "v AS (SELECT token, vocab_id FROM (SELECT token, " +
+        "row_number() OVER (ORDER BY tf DESC, token ASC) AS vocab_id FROM tf) " +
+        "WHERE vocab_id <= 24) " +
+        "SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos, p.token, " +
+        "CAST(coalesce(v.vocab_id, 0) AS BIGINT) AS token_id " +
+        "FROM p LEFT JOIN v USING (token) ORDER BY doc_id, pos")),
+    ("embedding_quantize",
+      (s: SparkSession, d: String) => Ann.embeddingQuantize(s, d),
+      Some("WITH e0 AS (SELECT vec_id, " +
+        "unnest(generate_series(0, len(embedding) - 1)) AS dim, " +
+        "unnest(embedding) AS x FROM embeddings), " +
+        "e AS (SELECT vec_id, dim, " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v FROM e0), " +
+        "r AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1) " +
+        "SELECT e.vec_id, CAST(e.dim AS INTEGER) AS dim, " +
+        "CASE WHEN r.mx > r.mn THEN (e.v - r.mn) * 255 // (r.mx - r.mn) " +
+        "ELSE CAST(0 AS BIGINT) END AS code, r.mn, r.mx " +
+        "FROM e JOIN r USING (dim) ORDER BY vec_id, dim")),
+    ("sample_diversity",
+      (s: SparkSession, d: String) => Curation.sampleDiversity(s, d),
+      Some("WITH b AS (SELECT vec_id, label, " +
+        (0 until 4).map(dd => "(CASE WHEN embedding[" + (dd + 1) +
+          "] > 0 THEN CAST(" + (1L << dd) + " AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)").mkString(" + ") +
+        " AS bucket FROM embeddings), " +
+        "r AS (SELECT vec_id, bucket, label, row_number() OVER (" +
+        "PARTITION BY bucket " +
+        "ORDER BY md5('div:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM b) " +
+        "SELECT vec_id, bucket, label, CAST(rn AS BIGINT) AS rn " +
+        "FROM r WHERE rn <= 8 ORDER BY vec_id")),
     ("pack_sequences",
       (s: SparkSession, d: String) => Curation.packSequences(s, d),
       Some("SELECT doc_id, doc_id % 8 AS shard, " +

@@ -336,6 +336,30 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Anti join — the NOT EXISTS complement of [[qSemi]]: customers
+    * that have never placed an URGENT order, counted per market
+    * segment (the bare no-orders-at-all form is empty on this data —
+    * every customer orders — so the priority filter keeps the gate
+    * non-vacuous at every SF). The fact side streams through a LEFT
+    * ANTI against the broadcast distinct key set of urgent orders'
+    * customers; like the semi join, nothing fact-sized is shuffled
+    * when the key side broadcasts, and on a real cluster a
+    * non-broadcastable key side degrades to a co-partitioned shuffled
+    * anti join, never a cross product.
+    */
+  def qAnti(spark: SparkSession, dir: String): DataFrame = {
+    val orderCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    Tables.customer(spark, dir)
+      .join(broadcast(orderCust), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        min("c_custkey").as("min_custkey"))
+      .orderBy("c_mktsegment")
+  }
+
   /** GROUPING SETS with explicitly chosen sets — per flag and per
     * status, but NOT the cross grain or the grand total (what ROLLUP /
     * CUBE can't express). Pre-aggregated from [[flagStatusBase]] like

@@ -241,6 +241,53 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** Scalar (int8) quantization export of the embedding corpus — the
+    * compression pass a vector store runs before shipping an index:
+    * each dimension is affinely mapped onto 0..255 against the
+    * corpus-wide per-dimension [min, max] range (per-dim ranges, not
+    * a global one: dimensions with narrow dynamic range would
+    * otherwise collapse to a handful of codes). Emitted exploded as
+    * (vec_id, dim, code) plus the per-dim range in micro-units, so a
+    * consumer can reconstruct `x ≈ mn + code·(mx−mn)/255`.
+    *
+    * Exactness discipline: values quantise to micro-units
+    * (floor(x·1e6), bit-identical across engines), and the code is
+    * the division-free integer expression
+    * `((v − mn)·255) div (mx − mn)` — truncating int64 division on
+    * both engines, no float rounding anywhere past the first floor.
+    *
+    * Plan shape: the per-dim range is a posexplode + map-side partial
+    * min/max (shuffle carries |dims| keys), broadcast back as one
+    * dims-length array; the encode itself is a pure per-split
+    * transform loop — two linear scans, nothing corpus-sized is
+    * shuffled at any scale.
+    */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val xm = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, e -> " +
+          "CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("xm"))
+    val ranges = xm
+      .select(posexplode(col("xm")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min("v").as("mn"), max("v").as("mx"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mn, mx))), " +
+        "s -> struct(s.mn, s.mx))").as("rng"))
+    xm.join(broadcast(ranges))
+      .select(col("vec_id"), posexplode(col("xm")).as(Seq("dim", "v")),
+        col("rng"))
+      .select(col("vec_id"), col("dim").cast("integer").as("dim"),
+        col("v"),
+        element_at(col("rng"), col("dim") + 1).getField("mn").as("mn"),
+        element_at(col("rng"), col("dim") + 1).getField("mx").as("mx"))
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") > col("mn"),
+          expr("(v - mn) * 255 div (mx - mn)")).otherwise(0L).as("code"),
+        col("mn"), col("mx"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** IVF-PQ approximate top-k — the memory-scale path IVF alone
     * doesn't give: at 100 TB the raw vectors (256 B each at dim 64
     * float32) don't fit hot storage, so the scan runs on PRODUCT-

@@ -84,6 +84,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Diversity sampling over the embedding corpus: partition the
+    * vector space into sign-bit buckets (bit `d` of `bucket` = sign
+    * of dimension `d`, `bits` dimensions → 2^bits cells — the
+    * zero-training deterministic cousin of an IVF cell) and keep at
+    * most `k` salted-hash-selected vectors per cell. Where
+    * [[sampleHash]] preserves the corpus DISTRIBUTION, this bounds
+    * per-region representation — dense regions can't crowd out rare
+    * ones, the property embedding-coverage subsets are sampled for.
+    *
+    * Plan shape: the bucket is a pure per-row expression over the
+    * first `bits` components (no model state, no join); the per-cell
+    * top-k is a rank window [[graft.plans.TopKPerGroup]] executes as
+    * bounded heaps — one shuffle on the cell key, k rows of state per
+    * cell. At 100 TB `bits` grows to keep cells executor-sized
+    * (occupancy halves per bit on centered data); the gate default of
+    * 4 keeps cells ~40-deep at sf0.01 so the per-cell cap actually
+    * binds there.
+    */
+  def sampleDiversity(spark: SparkSession, dir: String,
+                      bits: Int = 4, k: Int = 8,
+                      salt: String = "div"): DataFrame = {
+    val bucket = (0 until bits).map { d =>
+      when(element_at(col("embedding"), d + 1) > lit(0f), lit(1L << d))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket")
+      .orderBy(md5(concat(lit(salt), lit(":"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucket)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("vec_id", "bucket", "label", "rn")
+      .orderBy("vec_id")
+  }
+
   /** Source mixing (training-mixture weights): per-source keep rates,
     * e.g. upweight curated sources and downsample crawl. The rate
     * lookup is a broadcast dim joined on `source` (the 100 TB shape —

@@ -435,4 +435,60 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
   }
+
+  /** Frequency-ranked vocabulary of the top-`k` corpus tokens — the
+    * table a word-level tokenizer ships: `vocab_id` 1..k assigned in
+    * (tf DESC, token ASC) order (id 0 is reserved for OOV by
+    * [[tokenizeIds]]), with both total occurrences (`tf`) and
+    * document frequency (`df`) so downstream filters can
+    * distinguish burstiness from spread.
+    *
+    * Plan shape: one groupBy on the token domain (map-side partial
+    * counts collapse the per-split stream to its distinct tokens, so
+    * the shuffle carries |vocab| keys, not corpus positions), then a
+    * global rank over the surviving ≤|vocab| rows — at 100 TB the
+    * ranked relation is vocab-sized (≤ millions), which
+    * TakeOrderedAndProject handles without a full sort of anything
+    * corpus-sized.
+    */
+  def vocabBuild(spark: SparkSession, dir: String, k: Int = 24): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"),
+        count_distinct(col("doc_id")).as("df"))
+    tf.orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+      .withColumn("vocab_id",
+        row_number().over(Window.orderBy(col("tf").desc, col("token").asc))
+          .cast("long"))
+      .select("token", "vocab_id", "tf", "df")
+      .orderBy("vocab_id")
+  }
+
+  /** Token-id encoding of the corpus against [[vocabBuild]]'s top-`k`
+    * vocabulary: one row per (document, position) with the 1-based
+    * position, the surface token and its vocab id (0 = OOV) — the
+    * exploded form a sequence-packing export consumes (see
+    * [[graft.pipeline.Curation.packSequences]]).
+    *
+    * Plan shape: the vocabulary is vocab-sized, so the id lookup is a
+    * broadcast LEFT join against the exploded token stream — encoding
+    * is a pure per-split map at any corpus size, no shuffle of
+    * anything corpus-sized (the sole shuffle in this gate query is
+    * the presentation ORDER BY).
+    */
+  def tokenizeIds(spark: SparkSession, dir: String, k: Int = 24): DataFrame = {
+    val vocab = vocabBuild(spark, dir, k).select("token", "vocab_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(normText(col("text")), " ")))
+      .withColumn("pos", (col("pos") + 1).cast("long"))
+      .withColumnRenamed("col", "token")
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"), col("token"),
+        coalesce(col("vocab_id"), lit(0L)).as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
 }

@@ -160,6 +160,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("q_anti plans a broadcast LeftAnti (keys only cross the join)") {
+    val p = plan(Analytics.qAnti(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
   test("q_grouping_sets expands the pre-aggregate, not the fact table") {
     // Expand must sit ABOVE the base-grain HashAggregate: the ×|sets|
     // row multiplication applies to |distinct groups| rows, not the

@@ -37,6 +37,39 @@ class CurationSpec extends SparkSpec {
     assert(r.size == want, s"${r.size} rows, want $want")
   }
 
+  test("diversity sampling: ≤k per sign-bit cell, bucket bits match the data") {
+    val bits = 4
+    val k = 8
+    val r = Curation.sampleDiversity(spark, sf01, bits = bits, k = k).collect()
+    assert(r.nonEmpty)
+    val perBucket = r.groupBy(_.getAs[Long]("bucket"))
+    perBucket.foreach { case (b, rs) =>
+      assert(rs.length <= k, s"bucket $b overfull: ${rs.length}")
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to rs.length),
+        s"bucket $b ranks")
+    }
+    // bucket bits recompute from the raw vectors
+    val vecs = Tables.embeddings(spark, sf01).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        x.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    r.foreach { row =>
+      val v = vecs(row.getAs[Long]("vec_id"))
+      val want = (0 until bits).map(d => if (v(d) > 0f) 1L << d else 0L).sum
+      assert(row.getAs[Long]("bucket") == want, s"vec ${row.getAs[Long]("vec_id")}")
+    }
+    // deterministic
+    val again = Curation.sampleDiversity(spark, sf01, bits = bits, k = k)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(again == r.map(_.getAs[Long]("vec_id")).toSet)
+    // the cap must BIND at gate scale, or the operator is a no-op:
+    // some cell holds more corpus vectors than it may emit
+    val occ = vecs.values
+      .groupBy(v => (0 until bits).map(d => if (v(d) > 0f) 1L << d else 0L).sum)
+      .map(_._2.size)
+    assert(occ.max > k, "testdata too uniform to exercise the bound")
+    assert(r.length < vecs.size, "sample must be a strict subset")
+  }
+
   test("source mixing applies per-source keep rates") {
     val mixed = Curation.mixSources(spark, sf01,
       rates = Map("src0" -> 10000L, "src1" -> 5000L), defaultBp = 2500)

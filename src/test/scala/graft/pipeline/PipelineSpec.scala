@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkSpec {
@@ -562,6 +562,86 @@ class PipelineSpec extends SparkSpec {
       val keys = sorted.map(r => (-r.getAs[Long]("tf"),
         r.getAs[Long]("df"), r.getAs[String]("term")))
       assert(keys.sorted.sameElements(keys), rows.mkString("; "))
+    }
+  }
+
+  test("vocab_build: contiguous frequency-ranked ids, tf/df consistent") {
+    val v = TextAnalysis.vocabBuild(spark, sf01, k = 24).collect()
+    assert(v.length == 24)
+    assert(v.map(_.getAs[Long]("vocab_id")).toSeq == (1L to 24L))
+    // ranked by (tf desc, token asc); df never exceeds tf or the corpus
+    val keys = v.map(r => (-r.getAs[Long]("tf"), r.getAs[String]("token")))
+    assert(keys.sorted.sameElements(keys))
+    v.foreach { r =>
+      assert(r.getAs[Long]("df") <= r.getAs[Long]("tf"), r)
+      assert(r.getAs[Long]("df") <= 500L, r)
+    }
+    // independent check of the top token
+    val counts = Tables.documents(spark, sf01)
+      .select(explode(split(TextAnalysis.normText(col("text")), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val best = counts.minBy { case (t, c) => (-c, t) }
+    assert(v.head.getAs[String]("token") == best._1)
+    assert(v.head.getAs[Long]("tf") == best._2)
+  }
+
+  test("tokenize_ids: positions reconstruct the document, OOV is exactly id 0") {
+    val k = 24
+    val vocab = TextAnalysis.vocabBuild(spark, sf01, k).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("vocab_id")).toMap
+    val enc = TextAnalysis.tokenizeIds(spark, sf01, k).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = Tables.documents(spark, sf01)
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("txt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc.keySet == docs.keySet)
+    docs.foreach { case (id, txt) =>
+      val words = txt.split(" ", -1)
+      val rows = enc(id).sortBy(_.getAs[Long]("pos"))
+      assert(rows.map(_.getAs[Long]("pos")).toSeq == (1L to words.length),
+        s"doc $id positions")
+      rows.zip(words).foreach { case (r, w) =>
+        assert(r.getAs[String]("token") == w, s"doc $id pos ${r.getAs[Long]("pos")}")
+        assert(r.getAs[Long]("token_id") == vocab.getOrElse(w, 0L),
+          s"doc $id token $w")
+      }
+    }
+    // the k-bounded vocab must actually leave some OOV at sf0.01
+    assert(enc.values.flatten.exists(_.getAs[Long]("token_id") == 0L),
+      "no OOV tokens — k covers the whole corpus, gate is vacuous")
+  }
+
+  test("embedding_quantize: codes span 0..255, reconstruction bounded by step size") {
+    val rows = Ann.embeddingQuantize(spark, sf01).collect()
+    val byDim = rows.groupBy(_.getAs[Int]("dim"))
+    assert(byDim.size == 64)
+    byDim.foreach { case (dim, rs) =>
+      val mn = rs.head.getAs[Long]("mn")
+      val mx = rs.head.getAs[Long]("mx")
+      assert(rs.forall(r => r.getAs[Long]("mn") == mn && r.getAs[Long]("mx") == mx))
+      val codes = rs.map(_.getAs[Long]("code"))
+      assert(codes.forall(c => c >= 0 && c <= 255), s"dim $dim out of range")
+      // the extremes of the range hit the extreme codes
+      assert(codes.min == 0, s"dim $dim min code ${codes.min}")
+      if (mx > mn) assert(codes.max == 255, s"dim $dim max code ${codes.max}")
+    }
+    // reconstruction: the original micro-unit value lies within one
+    // quantization step of mn + code*(mx-mn)/255
+    val micro = Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val mn = r.getAs[Long]("mn")
+      val mx = r.getAs[Long]("mx")
+      val step = if (mx > mn) (mx - mn) / 255.0 else 0.0
+      val rec = mn + r.getAs[Long]("code") * step
+      val v = micro((r.getAs[Long]("vec_id"), r.getAs[Int]("dim")))
+      assert(math.abs(v - rec) <= step + 1.0,
+        s"vec ${r.getAs[Long]("vec_id")} dim ${r.getAs[Int]("dim")}")
     }
   }
 
