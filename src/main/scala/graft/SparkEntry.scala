@@ -1070,6 +1070,7 @@ object SparkEntry {
         "SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM r WHERE rn <= 10 " +
         "ORDER BY q_id, rank")),
     ("ann_lsh", (s: SparkSession, d: String) => Ann.lshTopK(s, d), None),
+    ("knn_join", (s: SparkSession, d: String) => Ann.knnJoin(s, d), None),
     ("ann_ivf", (s: SparkSession, d: String) => Ann.ivfTopK(s, d), None),
     // the same search against the PERSISTED cell-partitioned index
     // (built once per session; written once at corpus layout in

@@ -521,6 +521,46 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** Full-corpus kNN JOIN: the top-`k` cosine neighbours of EVERY
+    * vector (not just a query set) — the kNN-graph builder behind
+    * SemDeDup-style semantic curation, cluster-quality audits and
+    * graph-based label propagation. Exact all-pairs is N² by
+    * definition, so candidates come from symmetric multi-probe IVF
+    * blocking: each vector enters its `nprobe` nearest cells (ranked
+    * in codegen over the literal centers — no model state, no
+    * vector-carrying rank shuffle), and only same-cell pairs are
+    * scored. A true neighbour is missed only if the two vectors share
+    * none of their probe cells (recall gated in PipelineSpec).
+    *
+    * Plan shape: one shuffle on the cell key (work bounded by cell
+    * occupancy × nprobe², never N²), pair dedup by max-cos groupBy on
+    * (q, n), per-query top-k as bounded heaps
+    * ([[graft.plans.TopKPerGroup]]) — at 100 TB cells grow with the
+    * corpus exactly like the ANN index this blocking is borrowed
+    * from. *Rows-only* (KMeans cells are engine-specific).
+    */
+  def knnJoin(spark: SparkSession, dir: String,
+              k: Int = 5, cells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val (assigned, centersDf) = ivfAssign(spark, dir, cells)
+    val probeCells = graft.pipeline.Dedup.multiProbeCellsExpr(
+      centersDf.collect().map(r => (r.getInt(0), r.getSeq[Double](1))), nprobe)
+    val probed = assigned.drop("cell")
+      .select(col("vec_id"), col("v"), explode(probeCells).as("cell"))
+    val cand = probed.as("a")
+      .join(probed.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        cosine_sim(col("a.v"), col("b.v")).as("cos"))
+      // a pair sharing several probe cells appears once per cell;
+      // cos is pair-deterministic, so max() is just the dedup
+      .groupBy("q_id", "n_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
+
   /** Persist the shared IVF quantiser as a parquet index:
     * `assigned/` = (vec_id, v, cell) partitioned BY CELL — so a probe
     * of `nprobe` cells is a partition-pruned read touching only those

@@ -97,6 +97,27 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"ann_ivf recall@10 = $recall")
   }
 
+  test("knn_join: every vector gets ≤k ranked neighbours, recall vs brute") {
+    val k = 5
+    val rows = Ann.knnJoin(spark, sf01, k = k).collect()
+    val n = Tables.embeddings(spark, sf01).count()
+    val byQ = rows.groupBy(_.getLong(0))
+    // every vector appears as a query (multi-probe cells are never empty)
+    assert(byQ.size == n, s"${byQ.size} queries of $n vectors")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= k, s"q $q has ${rs.length} neighbours")
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"q $q ranks")
+      assert(rs.forall(_.getLong(2) != q), s"q $q lists itself")
+    }
+    // recall@k against exact brute on a query slice
+    val brute = Ann.bruteTopK(spark, sf01, nQueries = 50, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.filter(_.getLong(0) < 50)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"knn_join recall@$k = $recall")
+  }
+
   test("ann_ivf_indexed: persisted index reproduces the in-memory answer, cell-pruned") {
     val indexed = Ann.ivfTopKIndexed(spark, sf01)
     // identical output: same centers, same probe order, same ranking
