@@ -749,6 +749,31 @@ object SparkEntry {
         "FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders " +
         "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
         "GROUP BY 1 ORDER BY 1")),
+    ("link_rank",
+      (s: SparkSession, d: String) => Analytics.linkRank(s, d),
+      Some {
+        // 3 unrolled power-iteration rounds, same truncating-int64
+        // algebra as the Spark loop
+        val rounds = (1 to 3).map { i =>
+          s", c$i AS (SELECT dst, " +
+            "CAST(sum(rank_mu * w // outw) AS BIGINT) AS contrib " +
+            s"FROM eo JOIN r${i - 1} ON src = node GROUP BY 1), " +
+            s"r$i AS (SELECT node, CAST(150000 + " +
+            "(850 * coalesce(contrib, 0)) // 1000 AS BIGINT) AS rank_mu " +
+            s"FROM n LEFT JOIN c$i ON node = dst)"
+        }.mkString
+        LogView.oracle(
+          ", e AS (SELECT regexp_extract(referer, '://([^/]+)', 1) AS src, " +
+            "host AS dst, CAST(count(*) AS BIGINT) AS w FROM log " +
+            "WHERE referer IS NOT NULL GROUP BY 1, 2), " +
+            "eo AS (SELECT src, dst, w, " +
+            "CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS outw FROM e), " +
+            "n AS (SELECT DISTINCT node FROM " +
+            "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+            "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_mu FROM n)" +
+            rounds +
+            " SELECT node, rank_mu FROM r3 ORDER BY rank_mu DESC, node")
+      }),
     // grouping-set NULLs are disambiguated by gid; the data columns are
     // never null in the base table, so the oracle can recover gid from
     // which column the set aggregated away

@@ -165,6 +165,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
 
+  test("link_rank reuses one edge exchange across power-iteration rounds") {
+    // the corpus-sized edge aggregate must be planned ONCE and
+    // ReusedExchange'd into the later rounds — 3 rounds must not mean
+    // 3 scans of the fact table. AQE materializes exchange reuse at
+    // runtime, so execute first and read the FINAL adaptive plan.
+    val df = Analytics.linkRank(spark, sf)
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p = plan(df)
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      p)
+    // semantic sanity: sources (no incoming edges) sit at the 0.15
+    // floor, sinks accumulate more
+    val refs = rows.filter(_._1.endsWith(".example.org"))
+    val hosts = rows.filter(_._1.endsWith(".example.com"))
+    assert(refs.nonEmpty && hosts.nonEmpty, rows.keySet.toString)
+    assert(refs.values.forall(_ == 150000L), refs.toString)
+    assert(hosts.values.forall(_ > 150000L), hosts.toString)
+  }
+
   test("q_grouping_sets expands the pre-aggregate, not the fact table") {
     // Expand must sit ABOVE the base-grain HashAggregate: the ×|sets|
     // row multiplication applies to |distinct groups| rows, not the
