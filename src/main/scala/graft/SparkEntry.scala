@@ -278,6 +278,11 @@ object SparkEntry {
         graft.sources.CsvSource.roundTrip(s, d),
       Some(LogView.oracle(
         s"SELECT $logCols FROM log ORDER BY event_id"))),
+    ("orc_source",
+      (s: SparkSession, d: String) =>
+        graft.sources.OrcSource.roundTrip(s, d),
+      Some(LogView.oracle(
+        s"SELECT $logCols FROM log ORDER BY event_id"))),
     // the 100 TB storage layout through the gate: date-partitioned
     // write + read-back rollup per partition directory
     ("partitioned_sink",

@@ -51,4 +51,24 @@ class JsonlSourceSpec extends SparkSpec {
     val total = rollup.agg(sum("n")).head().getLong(0)
     assert(total == LogView(spark, sf).count())
   }
+
+  test("orc round trip is lossless on the full schema; filters push to the scan") {
+    val back = OrcSource.roundTrip(spark, sf)
+    val orig = LogView(spark, sf)
+    // names + types must survive exactly (ORC reads back everything
+    // as nullable, so nullability flags are excluded)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      orig.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"${back.schema} vs ${orig.schema}")
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // native columnar path: a base-column predicate reaches the ORC
+    // reader as a pushed filter (stripe/row-group stats prune I/O)
+    val filtered = back.filter(col("user_id") === 7)
+    val formatted = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters: [") &&
+      formatted.replaceAll("\\s", "").contains("user_id,7"),
+      formatted)
+  }
 }
