@@ -535,12 +535,18 @@ object Ann {
     * Plan shape: one shuffle on the cell key (work bounded by cell
     * occupancy × nprobe², never N²), pair dedup by max-cos groupBy on
     * (q, n), per-query top-k as bounded heaps
-    * ([[graft.plans.TopKPerGroup]]) — at 100 TB cells grow with the
-    * corpus exactly like the ANN index this blocking is borrowed
-    * from. *Rows-only* (KMeans cells are engine-specific).
+    * ([[graft.plans.TopKPerGroup]]). The cell count GROWS with the
+    * corpus (`max(cellsMin, N/256)` — constant ~256 target occupancy,
+    * so pair work stays ~N·256·nprobe² = linear; a fixed cell count
+    * would quietly go quadratic the moment the corpus outgrew it), and
+    * KMeans training cost stays bounded because [[ivfAssign]] fits on
+    * a capped deterministic sample regardless of N. *Rows-only*
+    * (KMeans cells are engine-specific).
     */
   def knnJoin(spark: SparkSession, dir: String,
-              k: Int = 5, cells: Int = 16, nprobe: Int = 2): DataFrame = {
+              k: Int = 5, cellsMin: Int = 16, nprobe: Int = 2): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val cells = math.max(cellsMin, (n / 256L).toInt)
     val (assigned, centersDf) = ivfAssign(spark, dir, cells)
     val probeCells = graft.pipeline.Dedup.multiProbeCellsExpr(
       centersDf.collect().map(r => (r.getInt(0), r.getSeq[Double](1))), nprobe)
