@@ -959,6 +959,18 @@ object SparkEntry {
       s"SELECT doc_id, lang, $normSql AS txt FROM documents)) ORDER BY doc_id"
   }
 
+  // shared by pii_scrub and pii_scrub_stream: one expression tree in
+  // the engine (Curation.piiScrubOf), one oracle in the gate
+  private val piiScrubOracleSql: String =
+    "SELECT doc_id, md5(" +
+      "regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), " +
+      "'[0-9]{7,}', '<NUM>', 'g')) AS scrub_hash, " +
+      "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
+      "CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip " +
+      "FROM documents ORDER BY doc_id"
+
   private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_exact", (s: SparkSession, d: String) => TextAnalysis.dedupExact(s, d),
       Some(s"SELECT md5($normSql) AS content_hash, " +
@@ -1518,14 +1530,13 @@ object SparkEntry {
         "FROM b ORDER BY doc_id")),
     ("pii_scrub",
       (s: SparkSession, d: String) => Curation.piiScrub(s, d),
-      Some("SELECT doc_id, md5(" +
-        "regexp_replace(regexp_replace(regexp_replace(text, " +
-        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), " +
-        "'[0-9]{7,}', '<NUM>', 'g')) AS scrub_hash, " +
-        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
-        "CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip " +
-        "FROM documents ORDER BY doc_id")),
+      Some(piiScrubOracleSql)),
+    // the same scrub at the ingest boundary: batch and stream share
+    // one expression tree (Curation.piiScrubOf) and ONE oracle
+    ("pii_scrub_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.piiScrubStream(s, d),
+      Some(piiScrubOracleSql)),
     ("fingerprint_winnow",
       (s: SparkSession, d: String) => TextAnalysis.fingerprintWinnow(s, d),
       Some(winnowFpCte +

@@ -325,16 +325,23 @@ object Curation {
     * per-class redaction counts, so the gate checks the actual
     * rewriting, not just row counts.
     */
-  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** [[piiScrub]] over any (doc_id, text) frame — shared by the batch
+    * operator and the ingestion-time streaming form
+    * ([[graft.streaming.StreamOps.piiScrubStream]]), so the two can't
+    * drift apart. Pure per-row map: batch and stream are the SAME
+    * expression tree, no state.
+    */
+  private[graft] def piiScrubOf(docs: DataFrame): DataFrame = {
     val scrubbed = piiPatterns.foldLeft(col("text")) {
       case (c, (re, tag)) => regexp_replace(c, re, tag)
     }
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        md5(scrubbed).as("scrub_hash"),
-        regexp_count(col("text"), lit(piiPatterns(0)._1)).cast("long").as("n_email"),
-        regexp_count(col("text"), lit(piiPatterns(1)._1)).cast("long").as("n_ip"))
-      .orderBy("doc_id")
+    docs.select(col("doc_id"),
+      md5(scrubbed).as("scrub_hash"),
+      regexp_count(col("text"), lit(piiPatterns(0)._1)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(piiPatterns(1)._1)).cast("long").as("n_ip"))
   }
 
   /** The end-to-end curation verdict — every document against every

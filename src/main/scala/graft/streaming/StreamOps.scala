@@ -137,6 +137,18 @@ object StreamOps {
           .dropDuplicates("content_hash")
     }.orderBy("content_hash")
 
+  /** Ingestion-time PII redaction: [[graft.pipeline.Curation.piiScrub]]
+    * as a streaming map over arriving documents — scrubbing belongs at
+    * the ingest boundary (PII must never land in the corpus at rest).
+    * Stateless append-mode transform sharing the batch operator's
+    * expression tree ([[graft.pipeline.Curation.piiScrubOf]]), so the
+    * gate runs the stream against the SAME oracle as the batch form.
+    */
+  def piiScrubStream(spark: SparkSession, dir: String): DataFrame =
+    drain(spark, dir, "documents", "graft_pii_scrub_stream", "append") {
+      stream => graft.pipeline.Curation.piiScrubOf(stream)
+    }.orderBy("doc_id")
+
   /** Continuous-ingestion NEAR-dup dedup: arriving documents probe
     * the persisted MinHash band index
     * ([[graft.pipeline.Dedup.bandIndexWriteOf]]) with stream-static

@@ -91,6 +91,13 @@ class StreamingAggSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("pii_scrub_stream equals the batch scrub row for row") {
+    val streamed = StreamOps.piiScrubStream(spark, sf).collect()
+    val batch = graft.pipeline.Curation.piiScrub(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("stream source handles directory-layout tables, not just single files") {
     // regression guard for the sf1 bench bug: the old pathGlobFilter
     // matched only a FILE named events.parquet, so a real table laid
