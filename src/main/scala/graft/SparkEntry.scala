@@ -971,6 +971,34 @@ object SparkEntry {
       "CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip " +
       "FROM documents ORDER BY doc_id"
 
+  // shared by quality_gopher and quality_gopher_stream: one
+  // expression tree in the engine (TextAnalysis.gopherRulesOf), one
+  // oracle in the gate
+  private val gopherOracleSql: String = {
+    val stopKindsSql = TextAnalysis.gopherStopwords
+      .map(w => s"(CASE WHEN contains(' ' || norm || ' ', ' $w ') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    "WITH b AS (SELECT doc_id, trim(text) AS t, " + normSql + " AS norm FROM documents), " +
+      "m AS (SELECT doc_id, " +
+      "len(regexp_split_to_array(t, '\\s+')) AS n_words, " +
+      "length(regexp_replace(t, '\\s+', '', 'g')) AS n_chars, " +
+      "len(list_filter(regexp_split_to_array(t, '\\s+'), " +
+      "w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha, " +
+      "len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_sym, " +
+      stopKindsSql + " AS n_stop_kinds FROM b) " +
+      "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+      "CAST(floor(100.0 * n_chars / n_words) AS BIGINT) AS mwl_c100, " +
+      "CAST(floor(10000.0 * n_alpha / n_words) AS BIGINT) AS alpha_bp, " +
+      "CAST(floor(10000.0 * n_sym / n_words) AS BIGINT) AS sym_bp, " +
+      "CAST(n_stop_kinds AS BIGINT) AS n_stop_kinds, " +
+      "CAST(CASE WHEN n_words BETWEEN 10 AND 100000 " +
+      "AND floor(100.0 * n_chars / n_words) BETWEEN 300 AND 1000 " +
+      "AND floor(10000.0 * n_alpha / n_words) >= 8000 " +
+      "AND floor(10000.0 * n_sym / n_words) <= 1000 " +
+      "AND n_stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok " +
+      "FROM m ORDER BY doc_id"
+  }
+
   private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_exact", (s: SparkSession, d: String) => TextAnalysis.dedupExact(s, d),
       Some(s"SELECT md5($normSql) AS content_hash, " +
@@ -1163,30 +1191,14 @@ object SparkEntry {
         "WHERE status <> 'unchanged' ORDER BY doc_id")),
     ("quality_gopher",
       (s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d),
-      Some {
-        val stopKindsSql = TextAnalysis.gopherStopwords
-          .map(w => s"(CASE WHEN contains(' ' || norm || ' ', ' $w ') THEN 1 ELSE 0 END)")
-          .mkString(" + ")
-        "WITH b AS (SELECT doc_id, trim(text) AS t, " + normSql + " AS norm FROM documents), " +
-          "m AS (SELECT doc_id, " +
-          "len(regexp_split_to_array(t, '\\s+')) AS n_words, " +
-          "length(regexp_replace(t, '\\s+', '', 'g')) AS n_chars, " +
-          "len(list_filter(regexp_split_to_array(t, '\\s+'), " +
-          "w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha, " +
-          "len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_sym, " +
-          stopKindsSql + " AS n_stop_kinds FROM b) " +
-          "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
-          "CAST(floor(100.0 * n_chars / n_words) AS BIGINT) AS mwl_c100, " +
-          "CAST(floor(10000.0 * n_alpha / n_words) AS BIGINT) AS alpha_bp, " +
-          "CAST(floor(10000.0 * n_sym / n_words) AS BIGINT) AS sym_bp, " +
-          "CAST(n_stop_kinds AS BIGINT) AS n_stop_kinds, " +
-          "CAST(CASE WHEN n_words BETWEEN 10 AND 100000 " +
-          "AND floor(100.0 * n_chars / n_words) BETWEEN 300 AND 1000 " +
-          "AND floor(10000.0 * n_alpha / n_words) >= 8000 " +
-          "AND floor(10000.0 * n_sym / n_words) <= 1000 " +
-          "AND n_stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok " +
-          "FROM m ORDER BY doc_id"
-      }),
+      Some(gopherOracleSql)),
+    // the same rule verdicts at the ingest boundary: batch and stream
+    // share one expression tree (TextAnalysis.gopherRulesOf) and ONE
+    // oracle
+    ("quality_gopher_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.gopherRulesStream(s, d),
+      Some(gopherOracleSql)),
     ("repetition_score",
       (s: SparkSession, d: String) => TextAnalysis.repetitionScore(s, d),
       Some("WITH w AS (SELECT doc_id, " +
@@ -1298,6 +1310,29 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_terms_hit " +
         "FROM f JOIN d USING (term) CROSS JOIN nn GROUP BY doc_id " +
         "ORDER BY score DESC, doc_id LIMIT 25")),
+    // BM25 ranking in exactly-reproducible algebra: the per-term
+    // micro-unit expression is built by TextAnalysis.bm25MicroSql for
+    // BOTH engines (Spark inlines the corpus scalars as literals; the
+    // oracle computes them in the `s` CTE — same operation tree, same
+    // bits), so the integer sum is order-free and hash-gateable
+    ("bm25_topk",
+      (s: SparkSession, d: String) => TextAnalysis.bm25TopK(s, d),
+      Some("WITH nd AS (SELECT doc_id, regexp_split_to_array(" +
+        normSql + ", ' ') AS toks FROM documents), " +
+        "dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM nd), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(dl) AS BIGINT) AS dtot FROM dd), " +
+        "t AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd), " +
+        "f AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM t WHERE term IN ('spark', 'table', 'window') GROUP BY 1, 2, 3), " +
+        "d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM f GROUP BY 1), " +
+        "sc AS (SELECT doc_id, " +
+        TextAnalysis.bm25MicroSql("n", "dtot") + " AS s_micro " +
+        "FROM f JOIN d USING (term) CROSS JOIN s) " +
+        "SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro, " +
+        "CAST(count(*) AS BIGINT) AS n_terms_hit " +
+        "FROM sc GROUP BY doc_id " +
+        "ORDER BY score_micro DESC, doc_id LIMIT 25")),
     ("tfidf_top_terms",
       (s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d),
       Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +

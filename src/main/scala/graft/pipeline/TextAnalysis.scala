@@ -119,9 +119,13 @@ object TextAnalysis {
     * no shuffle, embarrassingly parallel at any scale.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
-    gopherRulesOf(Tables.documents(spark, dir))
+    gopherRulesOf(Tables.documents(spark, dir)).orderBy("doc_id")
 
-  /** [[gopherRules]] over any (doc_id, text) DataFrame. */
+  /** [[gopherRules]] over any (doc_id, text) DataFrame — unsorted,
+    * so the ingest-time streaming form
+    * ([[graft.streaming.StreamOps.gopherRulesStream]]) can share the
+    * same expression tree (a streaming plan cannot carry a sort).
+    */
   def gopherRulesOf(docs: DataFrame): DataFrame = {
     val t = trim(col("text"))
     val words = split(t, "\\s+")
@@ -147,7 +151,6 @@ object TextAnalysis {
           col("alpha_bp") >= 8000L &&
           col("sym_bp") <= 1000L &&
           col("n_stop_kinds") >= 2L, 1L).otherwise(0L))
-      .orderBy("doc_id")
   }
 
   /** Token counting: whitespace tokens and a BPE-ish alnum-run count
@@ -399,6 +402,82 @@ object TextAnalysis {
       .agg(sum(col("tf") * expr(s"${n}L div df")).as("score"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The per-term BM25 contribution in micro-units, as one SQL
+    * expression string over columns `tf` (term frequency), `df`
+    * (document frequency), `dl` (document length in tokens) and the
+    * corpus scalars `n` (doc count) / `dtot` (total tokens) — built
+    * here so the Spark plan (scalars inlined as literals) and the
+    * DuckDB oracle (scalars as CTE columns) evaluate the IDENTICAL
+    * operation tree and agree bit-for-bit.
+    *
+    * BM25 (Robertson–Spärck Jones, k1=1.2, b=0.75) made exactly
+    * reproducible:
+    *  - TF saturation `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` is a
+    *    RATIONAL in (tf, dl, n, dtot): multiply through by `10·dtot`
+    *    → `22·tf·dtot / (10·tf·dtot + 3·dtot + 9·dl·n)` — integer
+    *    operands only;
+    *  - log-IDF is transcendental (libm-divergent across engines), so
+    *    the probabilistic-IDF rational surrogate
+    *    `(N−df+0.5)/(df+0.5) = (2N−2df+1)/(2df+1)` replaces it —
+    *    exact integers, the same monotone-in-1/df damping;
+    *  - each double op (int→double conversions under 2^53, products,
+    *    the division) is IEEE-correctly-rounded, so with one shared
+    *    association order both engines produce the same bits;
+    *  - `round(1e6·x)` quantizes to BIGINT micro-units, making the
+    *    per-document SUM integer — order-free, safe under Spark's
+    *    nondeterministic aggregation order.
+    *
+    * Validity bound: operands stay exact below 2^53 — with dl ≤ 10⁴
+    * that holds to ~10¹² total corpus tokens; beyond that, divide
+    * `dtot` out first (`9·dl·n/dtot = 9·dl/avgdl`) at a ulp of
+    * reproducibility cost.
+    */
+  def bm25MicroSql(n: String, dtot: String): String =
+    s"CAST(round((1000000.0 * ((22.0 * tf * $dtot) * (2 * $n - 2 * df + 1))) / " +
+      s"((10.0 * tf * $dtot + 3.0 * $dtot + 9.0 * dl * $n) * (2 * df + 1))) AS BIGINT)"
+
+  /** BM25 top-`k` retrieval — [[keywordSearch]]'s ranking upgraded
+    * with document-length normalisation and TF saturation, still in
+    * exactly-reproducible integer algebra (see [[bm25MicroSql]]).
+    *
+    * Plan shape matches [[keywordSearchOf]]: term filter at the scan
+    * stage, df via a tiny window over the survivor relation, corpus
+    * scalars (N, Σdl) from one agg (at production scale: the
+    * `corpus_stats` manifest), final global top-k via
+    * `TakeOrderedAndProject`. One corpus scan for the scalars + one
+    * for the tf stream — both linear, no self-join of the scan.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("spark", "table", "window"),
+               k: Int = 25): DataFrame =
+    bm25TopKOf(Tables.documents(spark, dir), terms, k)
+
+  /** [[bm25TopK]] over any (doc_id, text) DataFrame. */
+  def bm25TopKOf(docs: DataFrame, terms: Seq[String],
+                 k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        split(normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        col("toks"))
+    val scalars = toks
+      .agg(count(lit(1)).cast("long"), sum("dl").cast("long")).head()
+    val n = scalars.getLong(0)
+    val dTot = scalars.getLong(1)
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")).cast("long"))
+      .withColumn("s_micro", expr(bm25MicroSql(n.toString, dTot.toString)))
+      .groupBy("doc_id")
+      .agg(sum("s_micro").as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
   }
 

@@ -149,6 +149,18 @@ object StreamOps {
       stream => graft.pipeline.Curation.piiScrubOf(stream)
     }.orderBy("doc_id")
 
+  /** Ingestion-time Gopher rule filtering: the document-shape
+    * heuristics ([[graft.pipeline.TextAnalysis.gopherRulesOf]]) run
+    * as a stateless streaming map over arriving documents — rule
+    * verdicts belong at the ingest boundary so rejected documents
+    * never cost downstream dedup/scoring work. Batch and stream share
+    * one expression tree and ONE oracle, so they cannot drift.
+    */
+  def gopherRulesStream(spark: SparkSession, dir: String): DataFrame =
+    drain(spark, dir, "documents", "graft_gopher_stream", "append") {
+      stream => graft.pipeline.TextAnalysis.gopherRulesOf(stream)
+    }.orderBy("doc_id")
+
   /** Continuous-ingestion NEAR-dup dedup: arriving documents probe
     * the persisted MinHash band index
     * ([[graft.pipeline.Dedup.bandIndexWriteOf]]) with stream-static

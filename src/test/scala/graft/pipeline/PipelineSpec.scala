@@ -265,6 +265,42 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq == Seq((2L, 5L, 2L), (1L, 3L, 1L), (3L, 1L, 1L)), r.toSeq.toString)
   }
 
+  test("bm25_topk equals a plain-Scala reference on the corpus") {
+    // independent recompute of the whole operator — same rational
+    // algebra, Double ops in the SAME association order, math.round
+    // (floor(x+0.5), identical to SQL HALF_UP for positives)
+    val terms = Seq("spark", "table", "window")
+    val docs = Tables.documents(spark, sf01)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.replaceAll("\\s+", " ")
+          .toLowerCase.split(" ", -1).toSeq)
+    val n = docs.length.toLong
+    val dTot = docs.map(_._2.length.toLong).sum
+    val tf = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      toks.filter(terms.contains).groupBy(identity)
+        .map { case (t, xs) => (id, dl, t, xs.length.toLong) }
+    }
+    val df = tf.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }
+    val perDoc = tf.groupBy(_._1).map { case (id, xs) =>
+      val s = xs.map { case (_, dl, t, f) =>
+        math.round((1000000.0 * ((22.0 * f * dTot) * (2 * n - 2 * df(t) + 1))) /
+          ((10.0 * f * dTot + 3.0 * dTot + 9.0 * dl * n) * (2 * df(t) + 1)))
+      }.sum
+      (id, s, xs.length.toLong)
+    }
+    val expect = perDoc.toSeq.sortBy { case (id, s, _) => (-s, id) }.take(25)
+    val got = TextAnalysis.bm25TopK(spark, sf01).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got == expect, s"got=${got.take(5)} expect=${expect.take(5)}")
+    // length normalisation is live: at least one ranking inversion vs
+    // the plain tf·idf keyword score would be ideal, but the minimum
+    // honest claim is that scores are dl-sensitive — two docs with the
+    // same tf/df pattern but different dl must not tie
+    assert(expect.map(_._2).distinct.size > 1)
+  }
+
   test("gopher rules: each rule gates exactly its shape") {
     import spark.implicits._
     val docs = Seq(

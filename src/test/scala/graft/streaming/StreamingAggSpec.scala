@@ -91,6 +91,13 @@ class StreamingAggSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("quality_gopher_stream equals the batch rule verdicts row for row") {
+    val streamed = StreamOps.gopherRulesStream(spark, sf).collect()
+    val batch = graft.pipeline.TextAnalysis.gopherRules(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("pii_scrub_stream equals the batch scrub row for row") {
     val streamed = StreamOps.piiScrubStream(spark, sf).collect()
     val batch = graft.pipeline.Curation.piiScrub(spark, sf).collect()
