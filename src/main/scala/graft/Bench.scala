@@ -211,17 +211,31 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     var over2x = -1
     if (baseline.nonEmpty) {
+      // only queries holding a WARM (timed-pass) sample are eligible
+      // for the regression flag: a budget-aborted query's fallback is
+      // its cold warmup time (JIT + codegen + first-touch I/O), and
+      // comparing that against a warm baseline row manufactures 2-4×
+      // "regressions" that vanish on any full run. Cold ratios are
+      // still reported (cold_flagged) so no information is dropped —
+      // they're just labeled as the unlike-for-like comparison they are.
+      val warmSampled = queries.collect {
+        case (n, _) if timed.exists(_(n).exists(_ >= 0)) => n
+      }.toSet
       val ratios = results.collect {
         case (n, v) if v >= 0 && baseline.contains(n) =>
           (n, v, baseline(n), v / baseline(n))
       }
-      val flagged = ratios.filter { case (_, v, b, r) => r > 2.0 && (v max b) >= 1.0 }
+      val (warmR, coldR) = ratios.partition { case (n, _, _, _) => warmSampled(n) }
+      val flagged = warmR.filter { case (_, v, b, r) => r > 2.0 && (v max b) >= 1.0 }
+      val coldFlagged = coldR.filter { case (_, v, b, r) => r > 2.0 && (v max b) >= 1.0 }
       over2x = flagged.length
       val rj = ratios.map { case (n, _, _, r) => "\"" + n + "\":" + f2(r) }
         .mkString("{", ",", "}")
       val fj = flagged.map { case (n, v, b, _) => "\"" + n + "\":\"" + f2(v) + " vs " + f2(b) + "\"" }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"baseline_ratio","baseline":"${esc(baselinePath)}","compared":${ratios.length},"over_2x":${flagged.length},"flagged":$fj,"ratios":$rj}""")
+      val cj = coldFlagged.map { case (n, v, b, _) => "\"" + n + "\":\"" + f2(v) + " vs " + f2(b) + "\"" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"baseline_ratio","baseline":"${esc(baselinePath)}","compared":${ratios.length},"over_2x":${flagged.length},"flagged":$fj,"cold_compared":${coldR.length},"cold_flagged":$cj,"ratios":$rj}""")
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
