@@ -1552,6 +1552,33 @@ object SparkEntry {
         "OVER (PARTITION BY doc_id % 8 ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin " +
         "FROM documents ORDER BY doc_id")),
+    ("sample_token_budget",
+      (s: SparkSession, d: String) => Curation.sampleTokenBudget(s, d),
+      Some("WITH t AS (SELECT doc_id, source, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY md5('tb0:' || CAST(doc_id AS VARCHAR)), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before " +
+        "FROM t) " +
+        "SELECT doc_id, source, n_tokens, cum_before FROM c " +
+        "WHERE cum_before < 800 ORDER BY doc_id")),
+    // chunking: Spark sequence(0, m) is INCLUSIVE of m; DuckDB
+    // range(0, m+1) matches. Both engines' list slice clamps at the
+    // document tail.
+    ("chunk_docs",
+      (s: SparkSession, d: String) => TextAnalysis.chunkDocs(s, d),
+      Some("WITH t AS (SELECT doc_id, " +
+        "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t), " +
+        "e AS (SELECT doc_id, toks, n, " +
+        "unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS chunk_id " +
+        "FROM n) " +
+        "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+        "CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT) AS n_toks, " +
+        "md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_hash " +
+        "FROM e ORDER BY doc_id, chunk_id")),
     ("shard_assign",
       (s: SparkSession, d: String) => Curation.shardAssign(s, d),
       Some("WITH s AS (SELECT doc_id, " +

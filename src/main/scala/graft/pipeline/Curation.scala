@@ -344,6 +344,38 @@ object Curation {
       regexp_count(col("text"), lit(piiPatterns(1)._1)).cast("long").as("n_ip"))
   }
 
+  /** Token-budget sampling: take documents per SOURCE, in salted-hash
+    * order (deterministic, content-independent), until each source's
+    * cumulative token count reaches `budgetTokens` — the data-mixing
+    * primitive that targets TOKEN quotas rather than document counts
+    * ([[mixSources]]/[[mixTemperature]] sample by doc rate; a training
+    * mix is specified in tokens). A document is kept iff the tokens
+    * BEFORE it in its source's hash order are under budget, so every
+    * source overshoots by at most one document — exact, no iteration.
+    *
+    * Plan shape: one shuffle on `source`, a running-sum window inside
+    * each source partition (same discipline as [[packSequences]]),
+    * then a filter — linear at any scale. Skewed source cardinality
+    * is bounded by the budget itself: the window's state is one
+    * running sum, and the output per source is ≤ budget/min_dl docs.
+    */
+  def sampleTokenBudget(spark: SparkSession, dir: String,
+                        budgetTokens: Long = 800,
+                        salt: String = "tb0"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("cum_before") < budgetTokens)
+      .select("doc_id", "source", "n_tokens", "cum_before")
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end curation verdict — every document against every
     * gate in one manifest, the table a pipeline run actually ships:
     * `reasons` is a bitmask of independent reject causes

@@ -405,6 +405,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Context-window chunking: split each document's whitespace-token
+    * stream into fixed-size windows of `win` tokens advancing by
+    * `stride` (overlap = win − stride carries context across chunk
+    * boundaries) — the transform that turns raw documents into
+    * training-context-sized sequences. Chunk `i` covers tokens
+    * `[i·stride, i·stride+win)` clamped to the document, for
+    * `i ∈ [0, ceil(max(0, n−win)/stride)]` — every token appears in
+    * ≥1 chunk, a short document yields exactly one chunk, and the
+    * content of every chunk is hash-attested (`chunk_hash` over the
+    * space-joined token window), so the gate checks the actual
+    * chunk text, not just counts.
+    *
+    * Plan shape: pure per-row explode of a computed index sequence —
+    * no shuffle, no state, embarrassingly parallel; output grows by
+    * ~n/stride rows per doc. `slice` clamps at the document tail in
+    * both engines, so the last chunk may be shorter (its `n_toks`
+    * says by how much).
+    */
+  def chunkDocs(spark: SparkSession, dir: String,
+                win: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && win >= stride, "need 0 < stride <= win")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        expr(s"(greatest(n - ${win}L, 0L) + ${stride - 1}L) div ${stride}L"))))
+      .withColumn("ctoks",
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(win)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_toks"),
+        md5(array_join(col("ctoks"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** The per-term BM25 contribution in micro-units, as one SQL
     * expression string over columns `tf` (term frequency), `df`
     * (document frequency), `dl` (document length in tokens) and the

@@ -265,6 +265,59 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq == Seq((2L, 5L, 2L), (1L, 3L, 1L), (3L, 1L, 1L)), r.toSeq.toString)
   }
 
+  test("chunk_docs covers every token with the declared overlap") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // win=64, stride=48 defaults; craft docs around the boundaries:
+    // shorter than win (1 chunk), exactly win, win+1 (2 chunks, short
+    // tail), and long enough for 3+ chunks
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, mk(10)), (2L, mk(64)), (3L, mk(65)), (4L, mk(150)))
+    val out = TextAnalysis.chunkDocs(spark, sf, win = 64, stride = 48)
+    // gate-scale smoke on real data is Verify's job; here: exact
+    // expected chunking of the crafted docs via a scratch parquet dir
+    val tmp = java.nio.file.Files.createTempDirectory("chunkspec").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.chunkDocs(spark, tmp, win = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val m = (math.max(toks.length - 64, 0) + 47) / 48
+      (0 to m).map { i =>
+        val c = toks.slice(i * 48, i * 48 + 64)
+        (id, i.toLong, c.length.toLong, md5hex(c.mkString(" ")))
+      }
+    }
+    assert(got.toSeq == expect,
+      s"got=${got.toSeq.take(6)} expect=${expect.take(6)}")
+    // every token index of doc 4 appears in >= 1 chunk and chunk
+    // count is ceil((150-64)/48)+1 = 3
+    assert(expect.count(_._1 == 4L) == 3)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "chunk_id", "n_toks", "chunk_hash"))
+  }
+
+  test("sample_token_budget keeps a hash-order prefix, overshoot <= 1 doc") {
+    val budget = 800L
+    val kept = Curation.sampleTokenBudget(spark, sf01, budgetTokens = budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      // every kept doc's cum_before is under budget (the keep rule)
+      assert(rows.forall(_._4 < budget), s"$src over-budget row")
+      // total kept tokens overshoot by at most the LAST doc: max
+      // cum_before + its tokens may exceed budget, nothing else may
+      val total = rows.map(_._3).sum
+      val last = rows.maxBy(_._4)
+      assert(total - last._3 < budget || rows.length == 1,
+        s"$src kept ${total} tokens with budget $budget")
+    }
+  }
+
   test("bm25_topk equals a plain-Scala reference on the corpus") {
     // independent recompute of the whole operator — same rational
     // algebra, Double ops in the SAME association order, math.round
