@@ -1147,6 +1147,14 @@ object SparkEntry {
     // production) — output identical to ann_ivf, asserted in AnnSpec
     ("ann_ivf_indexed",
       (s: SparkSession, d: String) => Ann.ivfTopKIndexed(s, d), None),
+    // online serving: query vectors arrive as a STREAM and probe the
+    // persisted index (literal-centers routing + stream-static join +
+    // complete-mode bounded top-k state) — rows IDENTICAL to
+    // ann_ivf_indexed, asserted in StreamingAggSpec; rows-only here
+    // (KMeans cells engine-specific)
+    ("ann_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.annStream(s, d), None),
     // nightly index maintenance: the same search after an append-only
     // batch lands in the persisted index (no retrain, no file
     // rewrites) — assignment identity + untouched-files + dup-found

@@ -161,6 +161,61 @@ object StreamOps {
       stream => graft.pipeline.TextAnalysis.gopherRulesOf(stream)
     }.orderBy("doc_id")
 
+  /** Streaming ANN serving: query vectors ARRIVE as a stream and
+    * probe the persisted IVF index
+    * ([[graft.pipeline.Ann.ivfIndexWrite]]) — the online-retrieval
+    * shape (a query service, not a batch sweep). Per micro-batch:
+    *
+    *  1. cell routing is the literal-centers multi-probe expression
+    *     (pure per-row compute — no window, no model state, streaming-
+    *     legal);
+    *  2. candidates come from a stream-static join against the
+    *     cell-partitioned index (the static side prunes to probed
+    *     cells);
+    *  3. the running top-k per query is a complete-mode aggregate
+    *     whose state is one candidate list per in-flight query,
+    *     bounded by nprobe × cell occupancy (a long-lived service
+    *     would evict finished queries by watermark; the drain here
+    *     ends with the source).
+    *
+    * Result rows are IDENTICAL to the batch
+    * [[graft.pipeline.Ann.ivfTopKIndexed]] over the same index —
+    * asserted row-for-row in StreamingAggSpec, which is the gate
+    * (cells are engine-specific, so no SQL oracle — same discipline
+    * as `ann_ivf`).
+    */
+  def annStream(spark: SparkSession, dir: String,
+                nQueries: Int = 5, k: Int = 10,
+                cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val idx = graft.pipeline.Ann.ivfIndexFor(spark, dir, cells)
+    val assigned = spark.read.parquet(s"$idx/assigned")
+    val centersArr = spark.read.parquet(s"$idx/centers")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val agg = drain(spark, dir, "embeddings", "graft_ann_stream", "complete") {
+      stream =>
+        val q = stream.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        q.select(col("q_id"), col("v").as("qv"),
+            explode(graft.pipeline.Dedup.multiProbeCellsExpr(
+              centersArr, nprobe)).as("cell"))
+          .join(assigned, Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            graft.functions.cosine_sim(col("qv"), col("v")).as("cos"))
+          // bounded running top-k: sort-then-slice keeps only k rows
+          // visible; state is the per-query candidate list
+          .groupBy("q_id")
+          .agg(slice(array_sort(collect_list(
+            struct((-col("cos")).as("nc"), col("n_id").as("n_id")))),
+            1, k).as("top"))
+    }
+    agg.select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.n_id").as("n_id"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Continuous-ingestion NEAR-dup dedup: arriving documents probe
     * the persisted MinHash band index
     * ([[graft.pipeline.Dedup.bandIndexWriteOf]]) with stream-static

@@ -91,6 +91,14 @@ class StreamingAggSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("ann_stream equals the batch indexed search row for row") {
+    val streamed = StreamOps.annStream(spark, sf01).collect()
+    val batch = graft.pipeline.Ann.ivfTopKIndexed(spark, sf01).collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length,
+      s"stream=${streamed.length} batch=${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("quality_gopher_stream equals the batch rule verdicts row for row") {
     val streamed = StreamOps.gopherRulesStream(spark, sf).collect()
     val batch = graft.pipeline.TextAnalysis.gopherRules(spark, sf).collect()
