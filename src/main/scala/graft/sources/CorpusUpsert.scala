@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** MERGE-INTO-style upsert over a partitioned corpus layout — the
+  * mutation primitive between append-only ingestion
+  * ([[DateLayout]]/[[Backfill]]) and full erasure
+  * ([[ComplianceDelete]]): a batch of keyed rows lands, rows whose
+  * key already exists are REPLACED (matched rows leave their old
+  * partition even when the new version moved partitions), unmatched
+  * rows are inserts. This is what a corpus-correction feed (re-crawl,
+  * re-annotation, metadata fix) needs from the storage layer.
+  *
+  * 100 TB shape, same discipline as [[ComplianceDelete.delete]]:
+  *
+  *  - PLAN, don't sweep: the affected partition set = partitions
+  *    holding old versions (one semi-join plan scan against the
+  *    broadcast batch keys, collecting file paths — metadata-sized)
+  *    ∪ partitions the batch rows land in (from the batch itself).
+  *    Untouched partitions are never opened, never rewritten.
+  *  - Copy-on-write per partition from a bounded pool; each rewrite
+  *    is (live rows minus batch keys) ∪ (batch rows of this
+  *    partition) — idempotent, so any crash window replays.
+  *  - Commit via the shared [[PartitionSwap]] stage/trash/promote
+  *    protocol (atomic dir rename, all crash windows recoverable).
+  *    A batch inserting into a partition that does not exist yet
+  *    promotes its staged dir directly — the same crash-recovery
+  *    window as PartitionSwap's (2)→(3) gap, already handled by
+  *    [[PartitionSwap.recover]].
+  */
+object CorpusUpsert {
+
+  private val StageRoot = "_graft_upsert_stage"
+  private val TrashRoot = "_graft_upsert_trash"
+
+  case class UpsertStats(partitions: Seq[String], replaced: Long,
+                         inserted: Long)
+
+  /** Apply `batch` (which must carry `keyCol` and `partCol`) to the
+    * `partCol`-partitioned table at `dir`. Batch keys are assumed
+    * unique (a MERGE batch is deduped upstream; enforced here with a
+    * cheap require on the driver-side count).
+    */
+  def upsert(spark: SparkSession, dir: String, batch: DataFrame,
+             keyCol: String, partCol: String): UpsertStats = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    PartitionSwap.recover(fs, root, StageRoot, TrashRoot)
+    val b = batch.cache()
+    val nBatch = b.count()
+    val keys = b.select(keyCol)
+    require(keys.distinct().count() == nBatch,
+      s"upsert batch carries duplicate $keyCol values")
+    if (nBatch == 0) return UpsertStats(Nil, 0L, 0L)
+
+    // plan scan: files (→ partitions) holding OLD versions of batch
+    // keys. Key-column-pruned read, broadcast semi-join; the result
+    // is file paths + match counts — metadata-sized at any table size.
+    val planned = spark.read.parquet(dir)
+      // bind input_file_name() to the scan BEFORE the join (the
+      // expression is single-source)
+      .withColumn("f", input_file_name())
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .groupBy("f")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val replaced = planned.map(_._2).sum
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val oldParts = planned.map { case (f, _) =>
+      val rel = new Path(f).toUri.getPath
+        .stripPrefix(rootPath).stripPrefix("/")
+      rel.substring(0, rel.lastIndexOf('/'))
+    }.distinct
+    // partitions the batch lands in — from the batch rows themselves
+    val newParts = b.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => s"$partCol=${r.getString(0)}")
+    val affected = (oldParts ++ newParts).distinct.sorted.toSeq
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, affected.size))
+    try {
+      val futures = affected.map { part =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val live = new Path(root, part)
+            val stage = new Path(root, s"$StageRoot/$part")
+            val partValue = part.substring(part.indexOf('=') + 1)
+            // batch rows of THIS partition, minus the partition
+            // column (the directory name carries it, as in any
+            // partitionBy layout)
+            val incoming = b
+              .filter(col(partCol).cast("string") === partValue)
+              .drop(partCol)
+            val out =
+              if (fs.exists(live))
+                spark.read.parquet(live.toString)
+                  .join(broadcast(keys), Seq(keyCol), "left_anti")
+                  .unionByName(incoming)
+              else incoming
+            out.write.mode("overwrite").parquet(stage.toString)
+            if (fs.exists(live))
+              PartitionSwap.commit(fs, root, part, StageRoot, TrashRoot)
+            else if (!fs.rename(stage, live))
+              throw new java.io.IOException(s"promote failed for $live")
+          }
+        })
+      }
+      futures.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+    fs.delete(new Path(root, StageRoot), true)
+    fs.delete(new Path(root, TrashRoot), true)
+    b.unpersist()
+    UpsertStats(affected, replaced, nBatch - replaced)
+  }
+
+  /** The gate query: lay events out date-partitioned, apply a
+    * deterministic correction batch (re-typed rows for
+    * `user_id % 89 = 5`, brand-new rows derived from
+    * `user_id % 89 = 7` with offset ids), and roll up the final
+    * state per day. The oracle rebuilds the same final state
+    * relationally (anti-join + union); the partition-surgery
+    * properties (untouched days byte-identical, insert-only new
+    * partitions, idempotent replay) are CorpusUpsertSpec's.
+    */
+  def upsertRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scoped("upsert",
+      spark.sparkContext.applicationId, dir)
+    val events = Tables.events(spark, dir)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+    events.repartition(col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(tmp)
+    val updates = events.filter(pmod(col("user_id"), lit(89)) === 5)
+      .withColumn("event_type", lit("corrected"))
+    val inserts = events.filter(pmod(col("user_id"), lit(89)) === 7)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+      .withColumn("event_type", lit("inserted"))
+    upsert(spark, tmp, updates.unionByName(inserts), "event_id", "date")
+    spark.read.parquet(tmp)
+      .groupBy(col("date").cast("string").as("date"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "corrected", 1L).otherwise(0L)).as("n_corrected"),
+        sum(when(col("event_type") === "inserted", 1L).otherwise(0L)).as("n_inserted"),
+        sum("event_id").as("sum_id"))
+      .orderBy("date")
+  }
+}
