@@ -283,6 +283,18 @@ object SparkEntry {
         graft.sources.OrcSource.roundTrip(s, d),
       Some(LogView.oracle(
         s"SELECT $logCols FROM log ORDER BY event_id"))),
+    // schema-evolution read: two writer generations under one root
+    // (v2 adds n_tokens), merged-schema read with NULL-filled
+    // absences IN the output — the oracle rebuilds the merge from
+    // the raw table via the same deterministic generation split
+    ("schema_evolution",
+      (s: SparkSession, d: String) =>
+        graft.sources.SchemaEvolution.evolutionReport(s, d),
+      Some("SELECT doc_id, lang, " +
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS has_tokens, " +
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) ELSE -1 END AS BIGINT) AS n_tokens " +
+        "FROM documents ORDER BY doc_id")),
     // the 100 TB storage layout through the gate: date-partitioned
     // write + read-back rollup per partition directory
     ("partitioned_sink",
