@@ -341,9 +341,9 @@ object SparkEntry {
       Some("WITH e AS (SELECT event_id, CAST(ts AS DATE) AS date, " +
         "user_id, event_type FROM events), " +
         "upd AS (SELECT event_id, date, user_id, 'corrected' AS event_type " +
-        "FROM e WHERE user_id % 89 = 5), " +
+        "FROM e WHERE user_id % 89 = 5 AND day(date) <= 7), " +
         "ins AS (SELECT event_id + 1000000000 AS event_id, date, user_id, " +
-        "'inserted' AS event_type FROM e WHERE user_id % 89 = 7), " +
+        "'inserted' AS event_type FROM e WHERE user_id % 89 = 7 AND day(date) <= 7), " +
         "bk AS (SELECT event_id FROM upd UNION ALL SELECT event_id FROM ins), " +
         "fin AS (SELECT event_id, date, event_type FROM e " +
         "WHERE event_id NOT IN (SELECT event_id FROM bk) " +

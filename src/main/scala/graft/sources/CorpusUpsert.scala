@@ -136,9 +136,17 @@ object CorpusUpsert {
       .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
     events.repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(tmp)
-    val updates = events.filter(pmod(col("user_id"), lit(89)) === 5)
+    // the batch targets the first week of each month: a real
+    // correction feed touches a bounded partition subset, and ONLY a
+    // partial batch exercises the untouched-partitions-stay-put
+    // property through the gate (an all-partition batch would pass
+    // even if the planner swept the whole table)
+    val inWindow = dayofmonth(col("date")) <= 7
+    val updates = events
+      .filter(pmod(col("user_id"), lit(89)) === 5 && inWindow)
       .withColumn("event_type", lit("corrected"))
-    val inserts = events.filter(pmod(col("user_id"), lit(89)) === 7)
+    val inserts = events
+      .filter(pmod(col("user_id"), lit(89)) === 7 && inWindow)
       .withColumn("event_id", col("event_id") + lit(1000000000L))
       .withColumn("event_type", lit("inserted"))
     upsert(spark, tmp, updates.unionByName(inserts), "event_id", "date")
