@@ -900,6 +900,21 @@ object SparkEntry {
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  // the full C4-style cleanup chain (TextAnalysis.normalizeChain),
+  // mirrored step-for-step; the translate to-string is built from
+  // chr(39) so the SQL literal stays unambiguous
+  private val normChainSql =
+    "lower(trim(regexp_replace(" +
+      "regexp_replace(translate(regexp_replace(text, '-\\n', '', 'g'), " +
+      "'’‘“”', chr(39) || chr(39) || '\"\"'), " +
+      "'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))"
+
+  private val normChainOracleSql =
+    s"SELECT doc_id, $normChainSql AS norm_text, " +
+      "CAST(length(text) AS BIGINT) AS n_chars_raw, " +
+      s"CAST(length($normChainSql) AS BIGINT) AS n_chars_norm " +
+      "FROM documents ORDER BY doc_id"
+
   // the winnowed-fingerprint relation (doc_id, fp) as a shared CTE
   // chain — fingerprint_winnow and dedup_winnow_pairs gate against the
   // SAME text so the two oracles can never drift from one another
@@ -938,6 +953,23 @@ object SparkEntry {
       "ep AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b " +
       "FROM ee a JOIN ee b ON a.label = b.label AND a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(a.v, b.v) >= 0.45)"
+
+  // the duplicated-span relation sp(doc_id, grp, s, e) from the
+  // strided k-gram grid (k=41, stride=10) — mirror of
+  // Dedup.spanListOf, shared between the span report
+  // (dedup_substring) and the span removal pass (dedup_scrub) so the
+  // two oracles derive from the identical span set
+  private val substringSpanCteBody =
+    "nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+      "p AS (SELECT doc_id, unnest(range(1, length(txt) - 40 + 1, 10)) AS pos, txt " +
+      "FROM nd WHERE length(txt) >= 41), " +
+      "g AS (SELECT doc_id, pos, substr(txt, CAST(pos AS INTEGER), 41) AS gram FROM p), " +
+      "c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g), " +
+      "d AS (SELECT doc_id, pos FROM c WHERE n >= 2), " +
+      "m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL " +
+      "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 41 THEN 1 ELSE 0 END AS brk FROM d), " +
+      "i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m), " +
+      "sp AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 40 AS e FROM i GROUP BY 1, 2)"
 
   // the blocked ngram-Jaccard pair relation p(doc_a, doc_b, jac_bp ≥
   // 6500) — shared between dedup_ngram, dedup_lsh_verify,
@@ -1074,19 +1106,32 @@ object SparkEntry {
     // fully engine-portable, so the span arithmetic is hash-gated
     ("dedup_substring",
       (s: SparkSession, d: String) => Dedup.substringSpans(s, d),
-      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
-        "p AS (SELECT doc_id, unnest(range(1, length(txt) - 40 + 1, 10)) AS pos, txt " +
-        "FROM nd WHERE length(txt) >= 41), " +
-        "g AS (SELECT doc_id, pos, substr(txt, CAST(pos AS INTEGER), 41) AS gram FROM p), " +
-        "c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g), " +
-        "d AS (SELECT doc_id, pos FROM c WHERE n >= 2), " +
-        "m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL " +
-        "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 41 THEN 1 ELSE 0 END AS brk FROM d), " +
-        "i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m), " +
-        "sp AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 40 AS e FROM i GROUP BY 1, 2) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+      Some("WITH " + substringSpanCteBody +
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
         "CAST(sum(e - s + 1) AS BIGINT) AS dup_chars " +
         "FROM sp GROUP BY 1 ORDER BY doc_id")),
+    // the removal half of the ExactSubstr pass: same span CTE chain,
+    // then stitch each doc's inter-span gaps (+ tail) back together —
+    // docs without spans pass through verbatim
+    ("dedup_scrub",
+      (s: SparkSession, d: String) => Dedup.substringScrub(s, d),
+      Some("WITH " + substringSpanCteBody + ", " +
+        "seg AS (SELECT doc_id, s, e, " +
+        "coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS cur FROM sp), " +
+        "pre AS (SELECT seg.doc_id, seg.s, " +
+        "substr(nd.txt, CAST(seg.cur AS INTEGER), CAST(seg.s - seg.cur AS INTEGER)) AS piece " +
+        "FROM seg JOIN nd ON seg.doc_id = nd.doc_id), " +
+        "asm AS (SELECT doc_id, string_agg(piece, '' ORDER BY s) AS head FROM pre GROUP BY 1), " +
+        "lastn AS (SELECT doc_id, max(e) AS le FROM sp GROUP BY 1), " +
+        "f AS (SELECT nd.doc_id, " +
+        "CASE WHEN l.le IS NULL THEN nd.txt " +
+        "ELSE coalesce(a.head, '') || substr(nd.txt, CAST(l.le + 1 AS INTEGER)) END AS clean_text, " +
+        "length(nd.txt) AS raw_len " +
+        "FROM nd LEFT JOIN lastn l ON nd.doc_id = l.doc_id " +
+        "LEFT JOIN asm a ON nd.doc_id = a.doc_id) " +
+        "SELECT doc_id, clean_text, " +
+        "CAST(raw_len - length(clean_text) AS BIGINT) AS n_cut_chars " +
+        "FROM f ORDER BY doc_id")),
     // incremental (batch-vs-corpus) dedup: asymmetric LSH with the
     // day-batch broadcast, exact verify; oracle = block-exact
     // batch×corpus Jaccard relation over the same deterministic split
@@ -1119,6 +1164,25 @@ object SparkEntry {
         "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a) " +
         "SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep " +
         "FROM r GROUP BY 1 ORDER BY 1")),
+    // leakage-safe split: the salted md5 split predicate applied to
+    // the CLUSTER REP (same recursive closure as dedup_clusters), so
+    // near-duplicates can never straddle train/test
+    ("split_assign",
+      (s: SparkSession, d: String) => Curation.splitAssign(s, d),
+      Some("WITH RECURSIVE " + ngramPairsCteBody() +
+        ", e AS (SELECT doc_a AS a, doc_b AS b FROM p " +
+        "UNION SELECT doc_b, doc_a FROM p " +
+        "UNION SELECT doc_id, doc_id FROM documents), " +
+        "r AS (SELECT a, b FROM e " +
+        "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a), " +
+        "cl AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep " +
+        "FROM r GROUP BY 1) " +
+        "SELECT doc_id, rep, CASE " +
+        "WHEN substr(md5('sp0:' || CAST(rep AS VARCHAR)), 1, 4) < '" +
+        Curation.thresholdHex(8000) + "' THEN 'train' " +
+        "WHEN substr(md5('sp0:' || CAST(rep AS VARCHAR)), 1, 4) < '" +
+        Curation.thresholdHex(9000) + "' THEN 'val' " +
+        "ELSE 'test' END AS split FROM cl ORDER BY doc_id")),
     // the end-to-end keep/drop verdict: connected components over the
     // UNION of the ngram/winnow/embedding edge sets. The gate swaps
     // the two engine-specific edge sources for their SQL-expressible
@@ -1207,6 +1271,17 @@ object SparkEntry {
       (s: SparkSession, d: String) => Ann.ivfPqTopKIndexed(s, d), None),
     ("lang_id", (s: SparkSession, d: String) => TextAnalysis.langId(s, d),
       Some(langIdSql)),
+    // the C4-style cleanup chain, mirrored step-for-step (dehyphenate →
+    // quote translate → control-strip → collapse/trim/lower)
+    ("text_normalize",
+      (s: SparkSession, d: String) => TextAnalysis.textNormalize(s, d),
+      Some(normChainOracleSql)),
+    // the same chain as an ingest-boundary streaming map — batch and
+    // stream share one expression tree and ONE oracle
+    ("text_normalize_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.textNormalizeStream(s, d),
+      Some(normChainOracleSql)),
     ("quality_score", (s: SparkSession, d: String) => TextAnalysis.qualityScore(s, d),
       Some("SELECT doc_id, n_chars_measured, n_tokens, n_punct, n_stop, " +
         "CAST(floor(10000.0 * n_punct / n_chars_measured) AS BIGINT) AS punct_bp, " +

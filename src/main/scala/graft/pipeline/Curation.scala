@@ -62,6 +62,29 @@ object Curation {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Leakage-safe train/val/test split: the split key is the NEAR-DUP
+    * CLUSTER representative ([[Dedup.clusters]]), not the document —
+    * every member of a near-duplicate cluster lands in the same split,
+    * so a test document can never have a near-copy in train (the
+    * contamination mode a per-doc hash split silently allows; cf. the
+    * train-test overlap analyses in the GPT-2/GPT-3 and C4 corpus
+    * papers). Assignment is the same salted md5-prefix predicate as
+    * [[sampleHash]] on the rep id: deterministic, rerun-stable, and
+    * oracle-expressible. Scale shape = the cluster pass it reuses
+    * (LSH-bounded edges + O(log d) components) plus one pure map.
+    */
+  def splitAssign(spark: SparkSession, dir: String,
+                  salt: String = "sp0",
+                  trainBp: Long = 8000, valBp: Long = 1000): DataFrame = {
+    val hp = hashPrefix(col("rep"), salt)
+    Dedup.clusters(spark, dir)
+      .withColumn("split",
+        when(hp < lit(thresholdHex(trainBp)), lit("train"))
+          .when(hp < lit(thresholdHex(trainBp + valBp)), lit("val"))
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+  }
+
   /** Stratified sampling: EXACTLY `k` documents per (lang, source)
     * stratum (or the whole stratum if smaller), selected by salted-
     * hash order — deterministic, content-independent, and unbiased

@@ -862,7 +862,22 @@ object Dedup {
 
   /** [[substringSpans]] over any (doc_id, txt)-shaped frame. */
   private[graft] def substringSpansOf(docs: DataFrame,
-                                      k: Int, stride: Int): DataFrame = {
+                                      k: Int, stride: Int): DataFrame =
+    spanListOf(docs, k, stride)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_chars"))
+      .orderBy("doc_id")
+
+  /** The maximal duplicated spans behind [[substringSpansOf]], one row
+    * per span as `(doc_id, s, e)` 1-based inclusive char bounds —
+    * shared by the span REPORT ([[substringSpans]]) and the span
+    * REMOVAL pass ([[substringScrub]]). Spans within a doc are
+    * disjoint with gap ≥ 1 (grid groups split only where consecutive
+    * duplicated grid positions sit > k apart).
+    */
+  private[graft] def spanListOf(docs: DataFrame,
+                                k: Int, stride: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grid = docs
       // docs shorter than k carry no full k-gram: out of scope (and
@@ -886,9 +901,47 @@ object Dedup {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  /** Exact-substring SCRUB — the removal half of the ExactSubstr pass
+    * (Lee et al. 2022; their released dedup tool cuts EVERY occurrence
+    * of a duplicated substring, which is what this does): delete each
+    * doc's duplicated spans ([[spanListOf]]) from its normalized text
+    * and return the stitched remainder. Per-doc reassembly is a single
+    * `aggregate()` fold over the sorted span array — the spans are
+    * few (bounded by chars/k), the fold is per-row, and the only
+    * shuffles are the span grid's gram window and the doc-keyed span
+    * collect, so the pass stays linear at 100 TB exactly like the
+    * span report it derives from.
+    */
+  def substringScrub(spark: SparkSession, dir: String,
+                     k: Int = 41, stride: Int = 10): DataFrame =
+    substringScrubOf(normed(spark, dir), k, stride)
+
+  /** [[substringScrub]] over any (doc_id, txt)-shaped frame. */
+  private[graft] def substringScrubOf(docs: DataFrame,
+                                      k: Int, stride: Int): DataFrame = {
+    val spans = spanListOf(docs, k, stride)
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_spans"),
-        sum(col("e") - col("s") + 1).cast("long").as("dup_chars"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col("txt")).otherwise(expr(
+          // fold: cursor starts at char 1; each span appends the gap
+          // [cur, s) and jumps the cursor to e+1; finish appends the
+          // tail. Zero-length gaps (adjacent spans, span at pos 1,
+          // span ending at the last char) yield empty substrings.
+          "aggregate(spans, named_struct('cur', CAST(1 AS BIGINT), 'acc', ''), " +
+            "(st, sp) -> named_struct('cur', sp.e + CAST(1 AS BIGINT), " +
+            "'acc', concat(st.acc, " +
+            "substring(txt, CAST(st.cur AS INT), CAST(sp.s - st.cur AS INT)))), " +
+            "st -> concat(st.acc, substring(txt, CAST(st.cur AS INT), " +
+            "CAST(length(txt) - st.cur + 1 AS INT))))")))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("txt")) - length(col("clean_text")))
+          .cast("long").as("n_cut_chars"))
       .orderBy("doc_id")
   }
 }

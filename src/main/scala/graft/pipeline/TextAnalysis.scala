@@ -26,6 +26,40 @@ object TextAnalysis {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
+  /** The full crawl-cleanup normalisation chain (C4-style), applied in
+    * a fixed order so the result is reproducible across engines:
+    *  1. un-wrap soft line breaks (`-\n` hyphenation → joined word);
+    *  2. map typographic quotes to ASCII (`translate`, 1:1);
+    *  3. replace C0 control chars + DEL with a space;
+    *  4. collapse whitespace runs, trim, lower-case.
+    * Every step is a codegen'd built-in (regexp_replace / translate),
+    * expressible identically in the DuckDB oracle (RE2 and Java regex
+    * agree on these classes), and a pure per-row map — the 100 TB
+    * shape is one scan, zero shuffles.
+    */
+  def normalizeChain(c: Column): Column =
+    normText(regexp_replace(
+      translate(regexp_replace(c, "-\n", ""),
+        "’‘“”", "''\"\""),
+      "[\\x00-\\x1f\\x7f]", " "))
+
+  /** `text_normalize`: the [[normalizeChain]] over the corpus, with
+    * before/after char counts so a curation run can report how much
+    * the cleanup removed.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    textNormalizeOf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The normalisation projection over a batch table or an arriving
+    * stream alike (shared expression tree — batch gate covers both).
+    */
+  private[graft] def textNormalizeOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        normalizeChain(col("text")).as("norm_text"),
+        length(col("text")).cast("long").as("n_chars_raw"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+
   /** Exact deduplication: md5 over normalised text; one row per
     * distinct content hash with the representative (min doc_id) and
     * multiplicity. Hash-groupBy: one shuffle on the 32-hex key,

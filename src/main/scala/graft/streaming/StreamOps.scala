@@ -149,6 +149,18 @@ object StreamOps {
       stream => graft.pipeline.Curation.piiScrubOf(stream)
     }.orderBy("doc_id")
 
+  /** Ingestion-time text normalisation: the C4-style cleanup chain
+    * ([[graft.pipeline.TextAnalysis.normalizeChain]]) as a stateless
+    * streaming map over arriving documents — normalisation belongs at
+    * the ingest boundary so every downstream pass (dedup keys, quality
+    * scores, tokenisation) sees one canonical form. Batch and stream
+    * share one expression tree and ONE oracle.
+    */
+  def textNormalizeStream(spark: SparkSession, dir: String): DataFrame =
+    drain(spark, dir, "documents", "graft_text_norm_stream", "append") {
+      stream => graft.pipeline.TextAnalysis.textNormalizeOf(stream)
+    }.orderBy("doc_id")
+
   /** Ingestion-time Gopher rule filtering: the document-shape
     * heuristics ([[graft.pipeline.TextAnalysis.gopherRulesOf]]) run
     * as a stateless streaming map over arriving documents — rule

@@ -386,4 +386,37 @@ class CurationSpec extends SparkSpec {
           s"lang $l: kept/dropped score ranges overlap")
     }
   }
+
+  test("split assignment is leakage-safe at cluster granularity") {
+    val rows = Curation.splitAssign(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // total function over the corpus
+    assert(rows.length == Tables.documents(spark, sf01).count())
+    // one split per cluster: the rep determines the split, so every
+    // member of a near-dup cluster lands together
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $rep straddles splits")
+    }
+    // the leakage property, asserted directly on the production edge
+    // set: no near-dup pair crosses a split boundary
+    val split = rows.map(r => r._1 -> r._3).toMap
+    Dedup.lshJaccardPairs(spark, sf01, minBp = 6500).collect()
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(split(a) == split(b), s"pair ($a,$b) straddles splits")
+      }
+    // roughly 80/10/10 over CLUSTERS (the split unit — doc counts may
+    // skew with cluster size); md5 at ~400 reps has real variance, so
+    // the bound is loose but pins gross mis-assignment
+    val reps = rows.map(r => (r._2, r._3)).distinct
+    val frac = reps.groupBy(_._2).view.mapValues(_.size.toDouble / reps.size)
+    assert(frac("train") > 0.65 && frac("train") < 0.92, frac.toMap.toString)
+    assert(frac.getOrElse("val", 0.0) < 0.25)
+    assert(frac.getOrElse("test", 0.0) < 0.25)
+    // deterministic: a rerun reproduces the assignment bit-for-bit
+    val again = Curation.splitAssign(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }

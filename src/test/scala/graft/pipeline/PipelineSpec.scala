@@ -614,6 +614,65 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("substring scrub removes planted duplicates and nothing else") {
+    import spark.implicits._
+    val k = 41; val s = 10
+    def filler(tag: String, n: Int): String =
+      (0 until n).map(i => f"$tag$i%04d").mkString(" ")
+    val dup = ("x" * 7 + " ") * 15 // 120-char passage in docs 1 and 2
+    val docs = Seq(
+      (1L, filler("aa", 30) + " " + dup + " " + filler("bb", 30)),
+      (2L, filler("cc", 40) + " " + dup + " " + filler("dd", 20)),
+      (3L, filler("ee", 60))).toDF("doc_id", "txt")
+      .select(col("doc_id"),
+        TextAnalysis.normText(col("txt")).as("txt"))
+    val raw = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Dedup.substringScrubOf(docs, k, s).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // untouched doc passes through verbatim
+    assert(got(2)._2 == raw(3L) && got(2)._3 == 0L)
+    got.take(2).foreach { case (id, clean, cut) =>
+      // the planted passage is gone (grid slack may leave < k-1+s-1
+      // chars of its fringe, far shorter than the passage itself)
+      assert(!clean.contains(dup), s"doc $id still holds the passage")
+      assert(cut >= dup.length - (s - 1) - (k - 1), s"doc $id cut $cut")
+      assert(cut <= dup.length + 2 * (k - 1), s"doc $id cut $cut")
+      // cut chars + kept chars = original
+      assert(clean.length + cut == raw(id).length)
+    }
+    // scrub and span report agree on the removed char count, per doc
+    val spans = Dedup.substringSpansOf(docs, k, s).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.take(2).foreach { case (id, _, cut) => assert(spans(id) == cut) }
+    // corpus-level conservation at sf0.01
+    val real = Dedup.substringScrub(spark, sf01).collect()
+    val realSpans = Dedup.substringSpans(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    real.foreach { r =>
+      assert(r.getLong(2) == realSpans.getOrElse(r.getLong(0), 0L))
+    }
+  }
+
+  test("normalize chain cleans controls, quotes, hyphen wraps, whitespace") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "Hyphen-\nated line"),
+      (2L, "curly ‘quotes’ and “double”"),
+      (3L, "ctrl\u0001chars\u007Fhere"),
+      (4L, "  Lots   of\t\twhitespace  "),
+      (5L, "already clean"))
+    val got = cases.toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.normalizeChain(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "hyphenated line")
+    assert(got(2L) == "curly 'quotes' and \"double\"")
+    assert(got(3L) == "ctrl chars here")
+    assert(got(4L) == "lots of whitespace")
+    assert(got(5L) == "already clean")
+  }
+
   test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
     // k=5, w=4 → any common substring of length >= 8 must share one
     val fps = TextAnalysis.fingerprintWinnow(spark, sf01).collect()

@@ -106,6 +106,13 @@ class StreamingAggSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("text_normalize_stream equals the batch chain row for row") {
+    val streamed = StreamOps.textNormalizeStream(spark, sf).collect()
+    val batch = graft.pipeline.TextAnalysis.textNormalize(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("pii_scrub_stream equals the batch scrub row for row") {
     val streamed = StreamOps.piiScrubStream(spark, sf).collect()
     val batch = graft.pipeline.Curation.piiScrub(spark, sf).collect()
