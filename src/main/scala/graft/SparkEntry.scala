@@ -222,6 +222,17 @@ object SparkEntry {
           "user_agent, status, \"length\", content_type, duration_us, " +
           "traffic_sent, traffic_received, message " +
           "FROM log ORDER BY timestamp, remote_host, uri"))),
+    // permissive ingest: deterministically mangled lines must be
+    // counted + quarantined while every good line parses fully
+    ("jsonl_corrupt",
+      (s: SparkSession, d: String) =>
+        graft.sources.JsonlSource.corruptAccounting(s, d),
+      Some(LogView.oracle(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(count(*) FILTER (WHERE event_id % 10 = 3) AS BIGINT) AS n_corrupt, " +
+          "CAST(count(*) FILTER (WHERE event_id % 10 <> 3) AS BIGINT) AS n_good, " +
+          "CAST(sum(timestamp % 86400000000) FILTER (WHERE event_id % 10 <> 3) AS BIGINT) AS good_ts_sum " +
+          "FROM log"))),
     // binary LOG_RECORD packet stream (the `inject` verb, reference
     // doc/index.rst:410-425): serialize to framed datagrams, parse
     // back — header framing, CRC, attribute codecs, null omission
@@ -1670,6 +1681,38 @@ object SparkEntry {
         "OVER (PARTITION BY doc_id % 8 ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin " +
         "FROM documents ORDER BY doc_id")),
+    // the pipeline's terminal artifact: token-id sequences written as
+    // shard-partitioned parquet, manifest computed from the READ-BACK
+    // files (order-pinned md5 digest per (shard, bin) covers the
+    // actual persisted id sequences)
+    ("export_shards",
+      (s: SparkSession, d: String) => Curation.exportShards(s, d),
+      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+        "w AS (SELECT doc_id, regexp_split_to_array(txt, ' ') AS ws FROM nd), " +
+        "p AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, " +
+        "unnest(ws) AS token FROM w), " +
+        "tf AS (SELECT token, count(*) AS tf FROM (" +
+        "SELECT unnest(regexp_split_to_array(txt, ' ')) AS token FROM nd) " +
+        "GROUP BY 1), " +
+        "v AS (SELECT token, vocab_id FROM (SELECT token, " +
+        "row_number() OVER (ORDER BY tf DESC, token ASC) AS vocab_id FROM tf) " +
+        "WHERE vocab_id <= 24), " +
+        "b AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, " +
+        "CAST(coalesce(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) " +
+        "OVER (PARTITION BY doc_id % 8 ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin " +
+        "FROM documents), " +
+        "j AS (SELECT b.shard, b.bin, p.doc_id, p.pos, " +
+        "coalesce(v.vocab_id, 0) AS tid " +
+        "FROM p LEFT JOIN v ON p.token = v.token " +
+        "JOIN b ON p.doc_id = b.doc_id), " +
+        "pd AS (SELECT shard, bin, doc_id, count(*) AS n, " +
+        "string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids " +
+        "FROM j GROUP BY 1, 2, 3) " +
+        "SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(doc_id || ':' || ids, ';' ORDER BY doc_id)) AS ids_digest " +
+        "FROM pd GROUP BY 1, 2 ORDER BY 1, 2")),
     ("sample_token_budget",
       (s: SparkSession, d: String) => Curation.sampleTokenBudget(s, d),
       Some("WITH t AS (SELECT doc_id, source, " +

@@ -333,6 +333,55 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The end of the pipeline: WRITE the training shards. Each
+    * document's token-id sequence ([[TextAnalysis.tokenizeIds]],
+    * pos-ordered array) lands in its [[packSequences]] (shard, bin)
+    * slot, written as a shard-partitioned parquet layout — the
+    * artifact a trainer's data loader reads, one directory per shard,
+    * documents addressable by (bin, doc_id). The returned manifest is
+    * computed FROM THE READ-BACK FILES (doc/token counts + an
+    * order-pinned digest of every id sequence), so the gate hashes
+    * what was actually persisted, not the plan that produced it.
+    *
+    * Scale shape: encoding is the broadcast-vocab map, slotting is
+    * the pack window (per-shard cumulative sums), the write shuffles
+    * once on `shard` (the layout's own partitioning), and the
+    * manifest re-read aggregates per (shard, bin) — nothing
+    * corpus-quadratic, and the digest's sort_array operates on
+    * one bin's documents at a time.
+    */
+  def exportShards(spark: SparkSession, dir: String,
+                   budgetTokens: Long = 2048, shards: Int = 8,
+                   k: Int = 24): DataFrame = {
+    val out = graft.sources.TmpDir.scoped("exportshards",
+      spark.sparkContext.applicationId, s"$dir:$budgetTokens:$shards:$k")
+    val ids = TextAnalysis.tokenizeIds(spark, dir, k)
+      .select("doc_id", "pos", "token_id")
+    val slots = packSequences(spark, dir, budgetTokens, shards)
+      .select("doc_id", "shard", "bin")
+    ids.join(slots, Seq("doc_id"))
+      .groupBy(col("shard"), col("bin"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("token_id"))))
+        .as("pt"))
+      .select(col("shard"), col("bin"), col("doc_id"),
+        expr("transform(pt, x -> x.token_id)").as("ids"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    spark.read.parquet(out)
+      // partition-column inference reads `shard` back as INT
+      .select(col("shard").cast("long").as("shard"), col("bin"),
+        col("doc_id"), col("ids"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ids"))).cast("long").as("n_tokens"),
+        md5(expr(
+          "array_join(transform(sort_array(collect_list(struct(doc_id, ids))), " +
+            "x -> concat(cast(x.doc_id as string), ':', " +
+            "array_join(transform(x.ids, i -> cast(i as string)), ','))), ';')"))
+          .as("ids_digest"))
+      .orderBy("shard", "bin")
+  }
+
   /** The redaction patterns: RE2-safe (work identically under Java
     * regex and DuckDB's RE2) — email, IPv4, and 7+-digit runs.
     */

@@ -59,6 +59,45 @@ object JsonlSource {
         col("content_type"), col("duration").as("duration_us"),
         col("traffic_sent"), col("traffic_received"), col("message"))
 
+  /** Permissive ingest with corrupt-line accounting — what a real
+    * JSONL landing zone needs: malformed lines must be ISOLATED
+    * (counted, quarantined in `_corrupt_record`), never poison the
+    * parse of good lines, and never abort the job (at 100 TB some
+    * lines are always broken). The fixture deterministically mangles
+    * every `event_id % 10 == 3` line (truncated to 20 chars —
+    * unparseable mid-string), so the oracle knows exactly which lines
+    * are bad; the gate checks the good rows parsed fully
+    * (`good_ts_sum` over the recovered microsecond timestamps) and
+    * the bad ones were all caught. Pure per-line parse — the
+    * accounting aggregate is one scalar row.
+    */
+  def corruptAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scoped("jsonl_corrupt",
+      spark.sparkContext.applicationId, dir)
+    Shaping.jsonl(LogView(spark, dir))
+      .select(
+        when(pmod(col("event_id"), lit(10L)) === 3L,
+          substring(col("json"), 1, 20)).otherwise(col("json")).as("json"))
+      .write.mode("overwrite").text(tmp)
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .select(col("_corrupt_record"),
+        // micros-within-day: full sub-second parse fidelity without
+        // BIGINT overflow in the corpus-wide sum (raw micro stamps
+        // are ~1.7e15 each; the full-fidelity round trip is
+        // jsonl_source's gate)
+        pmod(unix_micros(to_timestamp(col("time"), TimeFmt)),
+          lit(86400000000L)).as("ts"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        count(when(col("_corrupt_record").isNull, lit(1))).as("n_good"),
+        sum(when(col("_corrupt_record").isNull, col("ts"))).as("good_ts_sum"))
+  }
+
   /** Round trip: render the log as JSONL ([[Shaping.jsonl]]), read it
     * back through [[read]]. Lossless up to the fields the wire format
     * carries — the gate compares the result against the original log

@@ -387,6 +387,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("export shards conserve the corpus and pin sequence order") {
+    val m = Curation.exportShards(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // every document lands in exactly one (shard, bin) slot
+    assert(m.map(_._3).sum == Tables.documents(spark, sf01).count())
+    // token conservation: manifest totals equal the corpus token count
+    val totalTokens = Tables.documents(spark, sf01)
+      .select(size(split(TextAnalysis.normText(col("text")), " "))
+        .cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(m.map(_._4).sum == totalTokens)
+    // the slotting is exactly packSequences' assignment
+    val slots = Curation.packSequences(spark, sf01).collect()
+      .map(r => (r.getLong(1), r.getAs[Long]("bin"))).distinct.toSet
+    assert(m.map(r => (r._1, r._2)).toSet == slots)
+    // deterministic: a second invocation (fresh write into the same
+    // scoped dir) reproduces every digest
+    val again = Curation.exportShards(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    assert(again.map(r => (r._1, r._2) -> r._3).toMap ==
+      m.map(r => (r._1, r._2) -> r._5).toMap)
+  }
+
   test("split assignment is leakage-safe at cluster granularity") {
     val rows = Curation.splitAssign(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

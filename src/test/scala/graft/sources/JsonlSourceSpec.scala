@@ -21,6 +21,22 @@ class JsonlSourceSpec extends SparkSpec {
     assert(key.forall(back.columns.contains))
   }
 
+  test("corrupt jsonl lines are quarantined, good lines parse fully") {
+    val row = JsonlSource.corruptAccounting(spark, sf).head()
+    val (nRows, nCorrupt, nGood, tsSum) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val log = LogView(spark, sf)
+    assert(nRows == log.count())
+    // exactly the mangled subset is flagged
+    assert(nCorrupt == log.filter(pmod(col("event_id"), lit(10L)) === 3L).count())
+    assert(nGood == nRows - nCorrupt && nCorrupt > 0 && nGood > 0)
+    // every surviving line parsed its timestamp to the microsecond
+    val expect = log.filter(pmod(col("event_id"), lit(10L)) =!= 3L)
+      .select(sum(pmod(col("timestamp"), lit(86400000000L))))
+      .head().getLong(0)
+    assert(tsSum == expect)
+  }
+
   test("csv round trip is lossless on the full schema, nulls stay null") {
     val back = CsvSource.roundTrip(spark, sf)
     val orig = LogView(spark, sf)
