@@ -172,8 +172,27 @@ object Bench {
     // transient host-load spike inflates one pass, not both timings of
     // whichever query it lands on. A per-query transient failure costs
     // that query its timing, never the whole bench.
+    //
+    // Cold-carryover: queries the PREVIOUS run flagged over-2× on a
+    // cold (warmup-only) sample jump the queue — they are guaranteed a
+    // warm sample this run, so a real regression trips the enforced
+    // over_2x gate within one round instead of hiding in cold_flagged
+    // forever (a budget-truncated run could otherwise never warm-
+    // sample a regressed mid-pack query).
+    val carryoverPath = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_STATE_DIR", "."), ".bench_cold_carryover")
+    val carryover: Set[String] =
+      try {
+        if (carryoverPath.isFile)
+          scala.io.Source.fromFile(carryoverPath, "UTF-8").getLines()
+            .map(_.trim).filter(_.nonEmpty).toSet
+        else Set.empty
+      } catch { case _: Throwable => Set.empty }
+    if (carryover.nonEmpty)
+      println(s"""{"metric":"cold_carryover","queries":[${carryover.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]}""")
     val slowestFirst = queries.sortBy { case (n, _) =>
-      -warm(n).filter(_ >= 0).getOrElse(Double.MaxValue)
+      (if (carryover(n)) 0 else 1,
+        -warm(n).filter(_ >= 0).getOrElse(Double.MaxValue))
     }
     val timed = (1 to timedPasses).map(p =>
       pass(p, failedWarm, warmDeadline, slowestFirst))
@@ -236,6 +255,13 @@ object Bench {
       val cj = coldFlagged.map { case (n, v, b, _) => "\"" + n + "\":\"" + f2(v) + " vs " + f2(b) + "\"" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"baseline_ratio","baseline":"${esc(baselinePath)}","compared":${ratios.length},"over_2x":${flagged.length},"flagged":$fj,"cold_compared":${coldR.length},"cold_flagged":$cj,"ratios":$rj}""")
+      // persist THIS run's cold-flagged set for the next run's
+      // head-of-queue treatment (empty file = nothing carried)
+      try {
+        val w = new java.io.PrintWriter(carryoverPath, "UTF-8")
+        try coldFlagged.foreach { case (n, _, _, _) => w.println(n) }
+        finally w.close()
+      } catch { case _: Throwable => () }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

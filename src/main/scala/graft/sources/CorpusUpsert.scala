@@ -75,20 +75,26 @@ object CorpusUpsert {
         .stripPrefix(rootPath).stripPrefix("/")
       rel.substring(0, rel.lastIndexOf('/'))
     }.distinct
-    // partitions the batch lands in — from the batch rows themselves
+    // partitions the batch lands in — from the batch rows themselves.
+    // Values are escaped with Spark's own partition-path escaping so
+    // the names agree with oldParts (parsed from actual file paths,
+    // which Spark wrote escaped): a partCol value holding ' ', '%',
+    // ':' or '/' must map to the same directory on both sides.
     val newParts = b.select(col(partCol).cast("string")).distinct()
-      .collect().map(r => s"$partCol=${r.getString(0)}")
+      .collect().map(r => s"$partCol=${escapePart(r.getString(0))}")
     val affected = (oldParts ++ newParts).distinct.sorted.toSeq
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, affected.size))
+    var futures = Seq.empty[java.util.concurrent.Future[Unit]]
     try {
-      val futures = affected.map { part =>
+      futures = affected.map { part =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           override def call(): Unit = {
             val live = new Path(root, part)
             val stage = new Path(root, s"$StageRoot/$part")
-            val partValue = part.substring(part.indexOf('=') + 1)
+            val partValue = unescapePart(
+              part.substring(part.indexOf('=') + 1))
             // batch rows of THIS partition, minus the partition
             // column (the directory name carries it, as in any
             // partitionBy layout)
@@ -113,12 +119,36 @@ object CorpusUpsert {
         try f.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       }
-    } finally pool.shutdown()
-    fs.delete(new Path(root, StageRoot), true)
-    fs.delete(new Path(root, TrashRoot), true)
-    b.unpersist()
+      // success-only cleanup: after a failed task, stage/trash must
+      // survive for the next run's PartitionSwap.recover
+      fs.delete(new Path(root, StageRoot), true)
+      fs.delete(new Path(root, TrashRoot), true)
+    } finally {
+      // error path: no further commits may land after the failure
+      // surfaces to the caller — cancel queued work, interrupt
+      // running tasks, and BLOCK until the pool is quiet before
+      // returning (a late swap against a caller already in recovery
+      // would be a torn write)
+      futures.foreach(_.cancel(true))
+      pool.shutdownNow()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      b.unpersist()
+    }
     UpsertStats(affected, replaced, nBatch - replaced)
   }
+
+  /** Spark's own partition-path escaping (the encoding
+    * `partitionBy` writes and `input_file_name()` reports), so
+    * directory names built from batch values agree byte-for-byte
+    * with names parsed from scanned file paths.
+    */
+  private def escapePart(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v)
+
+  private def unescapePart(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(v)
 
   /** The gate query: lay events out date-partitioned, apply a
     * deterministic correction batch (re-typed rows for

@@ -68,8 +68,12 @@ object JsonlSource {
     * unparseable mid-string), so the oracle knows exactly which lines
     * are bad; the gate checks the good rows parsed fully
     * (`good_ts_sum` over the recovered microsecond timestamps) and
-    * the bad ones were all caught. Pure per-line parse — the
-    * accounting aggregate is one scalar row.
+    * the bad ones were all caught. The mangle appends an unmatched
+    * `{` to the truncated prefix so the line is invalid JSON by
+    * construction — not merely invalid-because-truncated, which
+    * would silently stop holding if the serialization ever made a
+    * 20-char prefix (or a sub-20-char line) self-delimiting. Pure
+    * per-line parse — the accounting aggregate is one scalar row.
     */
   def corruptAccounting(spark: SparkSession, dir: String): DataFrame = {
     val tmp = TmpDir.scoped("jsonl_corrupt",
@@ -77,7 +81,8 @@ object JsonlSource {
     Shaping.jsonl(LogView(spark, dir))
       .select(
         when(pmod(col("event_id"), lit(10L)) === 3L,
-          substring(col("json"), 1, 20)).otherwise(col("json")).as("json"))
+          concat(substring(col("json"), 1, 20), lit("{")))
+          .otherwise(col("json")).as("json"))
       .write.mode("overwrite").text(tmp)
     spark.read
       .schema(schema.add("_corrupt_record", StringType))
