@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CdcChunks, CosineSimilarity, HyperplaneBuckets, MinHashSignature, MisraGriesAgg, RollingHash, SimHashAgg, SortedIntersectCount, WinnowFps}
+import graft.functions.{BpeEncodeExpr, CdcChunks, CosineSimilarity, HyperplaneBuckets, MinHashSignature, MisraGriesAgg, RollingHash, SimHashAgg, SortedIntersectCount, WinnowFps}
 
 /** SparkSessionExtensions hook registering graft's native expressions
   * as SQL functions, so `spark.sql("SELECT rolling_hash(text) ...")`
@@ -62,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
       (children: Seq[Expression]) => MisraGriesAgg(children(0),
         children(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeExpr].getName, "bpe_encode"),
+      // the shipped (pretrained) merge list; a custom list goes
+      // through the case class directly
+      (children: Seq[Expression]) =>
+        BpeEncodeExpr(children.head, graft.pipeline.Bpe.pretrained)))
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),

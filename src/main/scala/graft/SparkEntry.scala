@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.Analytics
 import graft.logs.{Enrich, LogFilter, LogView, Shaping, TimeParse}
-import graft.pipeline.{Ann, Curation, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Ann, Bpe, Curation, Dedup, Multimodal, TextAnalysis}
 import graft.streaming.Follow
 
 /** Driver contract: one `queries` entry (+ DuckDB `oracleSql` where
@@ -1797,9 +1797,65 @@ object SparkEntry {
         "c -> ord(c))) AS BIGINT) AS byte_sum " +
         "FROM documents ORDER BY doc_id")))
 
+  // ---- §2E subword (BPE) tokenization ----
+
+  // shared presentation of the oracle's per-doc piece stream: global
+  // piece position = row_number over (word position, piece-in-word)
+  private val bpePosSql =
+    "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, pi) AS BIGINT)"
+
+  // the shard/bin plan CTE (identical to export_shards' oracle: bins
+  // key on whitespace-token budgets of the raw text)
+  private val packPlanSql =
+    "b AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, " +
+      "CAST(coalesce(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) " +
+      "OVER (PARTITION BY doc_id % 8 ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin " +
+      "FROM documents)"
+
+  private val bpeQueries: Seq[(String, Q, Option[String])] = Seq(
+    // the trainer: iterative merge selection is not expressible in
+    // one SQL query → rows-only; BpeSpec gates the learner against an
+    // independent naive implementation and pins the pretrained list
+    ("bpe_learn",
+      (s: SparkSession, d: String) => Bpe.bpeLearn(s, d),
+      None),
+    ("bpe_encode",
+      (s: SparkSession, d: String) => Bpe.bpeEncode(s, d),
+      Some("WITH RECURSIVE " + Bpe.encodeCteSql(normSql) +
+        s" SELECT doc_id, $bpePosSql AS pos, piece " +
+        "FROM px ORDER BY doc_id, pos")),
+    ("tokenize_ids_bpe",
+      (s: SparkSession, d: String) => Bpe.tokenizeIdsBpe(s, d),
+      Some("WITH RECURSIVE " + Bpe.encodeCteSql(normSql) + ", " +
+        s"vocab(vpiece, vid) AS (VALUES ${Bpe.vocabValuesSql}) " +
+        s"SELECT doc_id, $bpePosSql AS pos, piece, " +
+        "CAST(coalesce(v.vid, 0) AS BIGINT) AS token_id " +
+        "FROM px LEFT JOIN vocab v ON px.piece = v.vpiece " +
+        "ORDER BY doc_id, pos")),
+    // the terminal artifact re-gated over subword ids: same
+    // read-back-manifest digest discipline as export_shards
+    ("export_shards_bpe",
+      (s: SparkSession, d: String) => Curation.exportShardsBpe(s, d),
+      Some("WITH RECURSIVE " + Bpe.encodeCteSql(normSql) + ", " +
+        s"vocab(vpiece, vid) AS (VALUES ${Bpe.vocabValuesSql}), " +
+        s"tid AS (SELECT doc_id, $bpePosSql AS pos, " +
+        "coalesce(v.vid, 0) AS t FROM px " +
+        "LEFT JOIN vocab v ON px.piece = v.vpiece), " +
+        packPlanSql + ", " +
+        "j AS (SELECT b.shard, b.bin, t.doc_id, t.pos, t.t " +
+        "FROM tid t JOIN b USING (doc_id)), " +
+        "pd AS (SELECT shard, bin, doc_id, count(*) AS n, " +
+        "string_agg(CAST(t AS VARCHAR), ',' ORDER BY pos) AS ids " +
+        "FROM j GROUP BY 1, 2, 3) " +
+        "SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(doc_id || ':' || ids, ';' ORDER BY doc_id)) AS ids_digest " +
+        "FROM pd GROUP BY 1, 2 ORDER BY 1, 2")))
+
   private val all: Seq[(String, Q, Option[String])] =
     filterQueries ++ shapingQueries ++ enrichQueries ++
-      analyticsQueries ++ pipelineQueries
+      analyticsQueries ++ pipelineQueries ++ bpeQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -352,11 +352,30 @@ object Curation {
     */
   def exportShards(spark: SparkSession, dir: String,
                    budgetTokens: Long = 2048, shards: Int = 8,
-                   k: Int = 24): DataFrame = {
+                   k: Int = 24): DataFrame =
+    exportShardsOver(spark, dir,
+      TextAnalysis.tokenizeIds(spark, dir, k).select("doc_id", "pos", "token_id"),
+      s"$dir:$budgetTokens:$shards:$k", budgetTokens, shards)
+
+  /** [[exportShards]] over subword (BPE) ids — the same pack/write/
+    * read-back-manifest machinery fed by
+    * [[graft.pipeline.Bpe.tokenizeIdsBpe]] instead of the word-level
+    * encoder, so the terminal artifact gate also covers the encoding
+    * a real trainer consumes. The bin plan (packSequences) is
+    * unchanged by design: batch planning keys on whitespace-token
+    * budgets, the payload carries subword ids.
+    */
+  def exportShardsBpe(spark: SparkSession, dir: String,
+                      budgetTokens: Long = 2048, shards: Int = 8): DataFrame =
+    exportShardsOver(spark, dir,
+      Bpe.tokenizeIdsBpe(spark, dir).select("doc_id", "pos", "token_id"),
+      s"bpe:$dir:$budgetTokens:$shards", budgetTokens, shards)
+
+  private def exportShardsOver(spark: SparkSession, dir: String,
+                               ids: DataFrame, tag: String,
+                               budgetTokens: Long, shards: Int): DataFrame = {
     val out = graft.sources.TmpDir.scoped("exportshards",
-      spark.sparkContext.applicationId, s"$dir:$budgetTokens:$shards:$k")
-    val ids = TextAnalysis.tokenizeIds(spark, dir, k)
-      .select("doc_id", "pos", "token_id")
+      spark.sparkContext.applicationId, tag)
     val slots = packSequences(spark, dir, budgetTokens, shards)
       .select("doc_id", "shard", "bin")
     ids.join(slots, Seq("doc_id"))
