@@ -1853,9 +1853,35 @@ object SparkEntry {
         "md5(string_agg(doc_id || ':' || ids, ';' ORDER BY doc_id)) AS ids_digest " +
         "FROM pd GROUP BY 1, 2 ORDER BY 1, 2")))
 
+  // ---- §2B storage telemetry ----
+
+  // per-partition parquet footprint (files/rows/bytes) from listing +
+  // footers only; the layout lands at a FIXED path so the oracle
+  // aggregates parquet_metadata() over the SAME files — both engines
+  // read identical thrift footer fields, so even physical byte counts
+  // hash-gate
+  private val storageQueries: Seq[(String, Q, Option[String])] = Seq(
+    ("storage_stats",
+      (s: SparkSession, d: String) =>
+        graft.sources.StorageStats.storageStats(s, d),
+      Some("WITH m AS (SELECT * FROM parquet_metadata(" +
+        s"'${graft.sources.StorageStats.GatePath}/date=*/*.parquet')), " +
+        "f AS (SELECT file_name, " +
+        "regexp_extract(file_name, 'date=([^/]+)', 1) AS date, " +
+        "sum(total_compressed_size) AS comp, " +
+        "sum(total_uncompressed_size) AS uncomp FROM m GROUP BY 1, 2), " +
+        "r AS (SELECT file_name, sum(rg) AS file_rows FROM (" +
+        "SELECT file_name, row_group_id, " +
+        "max(row_group_num_rows) AS rg FROM m GROUP BY 1, 2) GROUP BY 1) " +
+        "SELECT f.date, CAST(count(*) AS BIGINT) AS n_files, " +
+        "CAST(sum(r.file_rows) AS BIGINT) AS n_rows, " +
+        "CAST(sum(f.comp) AS BIGINT) AS compressed_bytes, " +
+        "CAST(sum(f.uncomp) AS BIGINT) AS uncompressed_bytes " +
+        "FROM f JOIN r USING (file_name) GROUP BY 1 ORDER BY 1")))
+
   private val all: Seq[(String, Q, Option[String])] =
     filterQueries ++ shapingQueries ++ enrichQueries ++
-      analyticsQueries ++ pipelineQueries ++ bpeQueries
+      analyticsQueries ++ pipelineQueries ++ bpeQueries ++ storageQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
