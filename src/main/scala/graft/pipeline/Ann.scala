@@ -400,7 +400,8 @@ object Ann {
     */
   private def ivfPqEncodeOf(normed: DataFrame,
                             codebooks: Array[Array[Array[Double]]],
-                            m: Int): DataFrame = {
+                            m: Int,
+                            cellCol: Column = col("cell")): DataFrame = {
     val sub = 64 / m
     val booksLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     def subSlice(vec: Column, s: Int): Column =
@@ -416,7 +417,7 @@ object Ann {
       // matching the LUT's element_at semantics
       (array_position(d, array_min(d)) - 1).cast("int").as(s"code$s")
     }
-    normed.select((Seq(col("vec_id"), col("cell")) ++ codeCols): _*)
+    normed.select((Seq(col("vec_id"), cellCol.as("cell")) ++ codeCols): _*)
   }
 
   /** The IVFADC search plan over any (codes, centers, vectors,
@@ -532,20 +533,96 @@ object Ann {
     * scored. A true neighbour is missed only if the two vectors share
     * none of their probe cells (recall gated in PipelineSpec).
     *
-    * Plan shape: one shuffle on the cell key (work bounded by cell
-    * occupancy × nprobe², never N²), pair dedup by max-cos groupBy on
-    * (q, n), per-query top-k as bounded heaps
-    * ([[graft.plans.TopKPerGroup]]). The cell count GROWS with the
-    * corpus (`max(cellsMin, N/256)` — constant ~256 target occupancy,
-    * so pair work stays ~N·256·nprobe² = linear; a fixed cell count
-    * would quietly go quadratic the moment the corpus outgrew it), and
-    * KMeans training cost stays bounded because [[ivfAssign]] fits on
-    * a capped deterministic sample regardless of N. *Rows-only*
-    * (KMeans cells are engine-specific).
+    * Plan shape — IVF blocking, PQ candidate scoring, exact re-rank:
+    * the cell shuffle carries (vec_id, cell, 8 PQ codes) — never the
+    * raw vector (≈64× narrower; at 100 TB the candidate shuffle width
+    * IS the operator's cost), candidate pairs are scored by m
+    * symmetric-distance table lookups (SDC: the literal centroid ×
+    * centroid dot grid — the join analogue of ivfPqProbePlan's
+    * per-query ADC LUT), and only the top-`rerank` frontier per query
+    * rehydrates raw vectors for the exact cosine that ranks the final
+    * top-k. Pair work stays bounded by cell occupancy × nprobe²: the
+    * cell count GROWS with the corpus (`max(cellsMin, N/256)` —
+    * constant ~256 target occupancy; a fixed cell count would quietly
+    * go quadratic the moment the corpus outgrew it), with N read from
+    * parquet footers (metadata — no count() job), and KMeans training
+    * stays bounded on the capped deterministic sample. With `rerank` ≥
+    * a query's candidate count the result is value-identical to exact
+    * cosine over all candidates ([[knnJoinExactCand]], spec-asserted).
+    * *Rows-only* (KMeans cells are engine-specific).
     */
   def knnJoin(spark: SparkSession, dir: String,
-              k: Int = 5, cellsMin: Int = 16, nprobe: Int = 2): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+              k: Int = 5, cellsMin: Int = 16, nprobe: Int = 2,
+              m: Int = 8, ksub: Int = 16, rerank: Int = 128): DataFrame = {
+    // corpus size from parquet FOOTERS (metadata, no count() job) —
+    // in production this scalar comes off the table manifest
+    val n = graft.sources.StorageStats.parquetRowCount(
+      spark, s"$dir/embeddings.parquet")
+    val cells = math.max(cellsMin, (n / 256L).toInt)
+    val (assigned, centersDf) = ivfAssign(spark, dir, cells)
+    val codebooks = pqCodebooksFor(spark, dir, cells, m, ksub)
+    val probeCells = graft.pipeline.Dedup.multiProbeCellsExpr(
+      centersDf.collect().map(r => (r.getInt(0), r.getSeq[Double](1))), nprobe)
+    // candidate relation: (vec_id, probe cell, 8 PQ codes) — the raw
+    // vector NEVER enters the pair join; each row is ~8 B of codes vs
+    // 512 B of doubles, so the cell shuffle (the operator's dominant
+    // movement) is ~64× narrower than the exact-candidates form
+    val probed = ivfPqEncodeOf(normalized(assigned.drop("cell")),
+      codebooks, m, explode(probeCells))
+    // symmetric distance tables (SDC): per subspace the centroid ×
+    // centroid dot-product grid — m·ksub² doubles, one flat plan
+    // literal; a candidate pair is scored by m array lookups, never a
+    // full-width dot product (the join analogue of ivfPqProbePlan's
+    // per-query ADC LUT, which would cost a 1 KB LUT column per ROW
+    // when every vector is a query)
+    val sdcLit = typedLit((for {
+      s <- 0 until m; a <- 0 until ksub; b <- 0 until ksub
+    } yield codebooks(s)(a).zip(codebooks(s)(b)).map { case (x, y) => x * y }.sum).toSeq)
+    val approx = (0 until m).map { s =>
+      element_at(sdcLit,
+        (lit(s * ksub * ksub) + col(s"a.code$s") * lit(ksub) +
+          col(s"b.code$s") + lit(1)).cast("int"))
+    }.reduce(_ + _)
+    val cand = probed.as("a")
+      .join(probed.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        approx.as("approx"))
+      // a pair sharing several probe cells appears once per cell;
+      // approx is pair-deterministic, so max() is just the dedup
+      .groupBy("q_id", "n_id").agg(max("approx").as("approx"))
+    // top `rerank` frontier per query by approximate score — only
+    // these rehydrate raw vectors for the exact cosine, so the
+    // full-width rows number N·rerank instead of N·candidates
+    val wA = Window.partitionBy("q_id").orderBy(col("approx").desc, col("n_id"))
+    val frontier = cand.withColumn("fr", row_number().over(wA))
+      .filter(col("fr") <= rerank)
+      .select("q_id", "n_id")
+    val vecs = assigned.select(col("vec_id"), col("v"))
+    val exact = frontier
+      .join(vecs.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine_sim(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
+
+  /** The pre-PQ candidate scorer (exact cosine over EVERY same-cell
+    * pair, full vectors riding the cell shuffle) — kept as the
+    * equality reference for [[knnJoin]]: with a frontier wide enough
+    * to hold a query's whole candidate set the two are value-
+    * identical by construction, and PipelineSpec asserts exactly
+    * that. Not registered as a query; the PQ form IS knn_join.
+    */
+  private[graft] def knnJoinExactCand(spark: SparkSession, dir: String,
+                                      k: Int = 5, cellsMin: Int = 16,
+                                      nprobe: Int = 2): DataFrame = {
+    val n = graft.sources.StorageStats.parquetRowCount(
+      spark, s"$dir/embeddings.parquet")
     val cells = math.max(cellsMin, (n / 256L).toInt)
     val (assigned, centersDf) = ivfAssign(spark, dir, cells)
     val probeCells = graft.pipeline.Dedup.multiProbeCellsExpr(
@@ -557,8 +634,6 @@ object Ann {
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
         cosine_sim(col("a.v"), col("b.v")).as("cos"))
-      // a pair sharing several probe cells appears once per cell;
-      // cos is pair-deterministic, so max() is just the dedup
       .groupBy("q_id", "n_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     cand.withColumn("rank", row_number().over(w))

@@ -66,6 +66,33 @@ object StorageStats {
     report(spark, GatePath, "date")
   }
 
+  /** Row count of a parquet file (or one-level directory of files)
+    * from FOOTERS alone — the metadata-sized way to size a plan knob
+    * (IVF cell counts, shuffle widths) without running a count() job
+    * over the data. At 100 TB the number comes from the table
+    * manifest; this is its single-node stand-in with the same
+    * no-data-scan contract.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Array(st)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        var n = 0L
+        r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+        n
+      } finally r.close()
+    }.sum
+  }
+
   /** The telemetry scan itself: list `partCol=` directories under
     * `root`, read each parquet footer, aggregate per partition.
     * Driver-side here (the listing and footers are KB-sized); the

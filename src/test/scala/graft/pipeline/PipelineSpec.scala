@@ -118,6 +118,46 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"knn_join recall@$k = $recall")
   }
 
+  test("knn_join PQ frontier reproduces exact-cosine candidate ranking") {
+    // with a frontier wide enough to hold a query's whole candidate
+    // set, SDC-candidates + exact re-rank must equal exact cosine
+    // over ALL candidates — same cells, same dedup, same tie-breaks.
+    // (At the default rerank=128 the frontier genuinely cuts: ~0.5%
+    // of rows differ here — that's the approximation the recall gate
+    // above prices, not a machinery bug, which THIS equality pins.)
+    val pq = Ann.knnJoin(spark, sf01, rerank = 1000)
+      .collect().map(_.toSeq).toSeq
+    val exact = Ann.knnJoinExactCand(spark, sf01).collect().map(_.toSeq).toSeq
+    assert(pq == exact)
+  }
+
+  test("knn_join candidate stages carry no vector column") {
+    // the operator's premise: codes (8 B) ride the cell shuffle and
+    // the frontier ranking; raw vectors appear only in the re-rank
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window}
+    import org.apache.spark.sql.types.ArrayType
+    val plan = Ann.knnJoin(spark, sf01).queryExecution.optimizedPlan
+    // the candidate pair join: both sides expose code columns — no
+    // array may cross it
+    val candJoins = plan.collect {
+      case j: Join if j.output.exists(_.name.startsWith("code")) => j
+    }
+    assert(candJoins.nonEmpty, "candidate code join not found in plan")
+    candJoins.foreach { j =>
+      val wide = j.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(wide.isEmpty, s"vector columns ride the candidate join: $wide")
+    }
+    // the frontier ranking window over `approx`: scalar rows only
+    val frontierWindows = plan.collect {
+      case w: Window if w.child.output.exists(_.name == "approx") => w
+    }
+    assert(frontierWindows.nonEmpty, "frontier ranking window not found")
+    frontierWindows.foreach { w =>
+      val wide = w.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(wide.isEmpty, s"vector columns ride the frontier shuffle: $wide")
+    }
+  }
+
   test("ann_ivf_indexed: persisted index reproduces the in-memory answer, cell-pruned") {
     val indexed = Ann.ivfTopKIndexed(spark, sf01)
     // identical output: same centers, same probe order, same ranking
