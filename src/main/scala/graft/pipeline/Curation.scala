@@ -77,7 +77,11 @@ object Curation {
                   salt: String = "sp0",
                   trainBp: Long = 8000, valBp: Long = 1000): DataFrame = {
     val hp = hashPrefix(col("rep"), salt)
-    Dedup.clusters(spark, dir)
+    // read the SHARED cluster-labels artifact (computed once per
+    // session/corpus and refreshed by the dedup_clusters pass) —
+    // split assignment is a pure map over those labels, so its
+    // marginal cost is independent of the components iteration
+    Dedup.clusterLabels(spark, dir)
       .withColumn("split",
         when(hp < lit(thresholdHex(trainBp)), lit("train"))
           .when(hp < lit(thresholdHex(trainBp + valBp)), lit("val"))

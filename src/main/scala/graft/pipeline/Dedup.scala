@@ -708,13 +708,52 @@ object Dedup {
     */
   def clusters(spark: SparkSession, dir: String,
                minBp: Long = 6500): DataFrame = {
+    // compute-and-PUBLISH: the clusters pass is its own gate and bench
+    // row, so it always runs in full — and each run refreshes the
+    // shared labels artifact downstream consumers read
+    evictStoppedComponents()
+    val labels = computeClusterLabels(spark, dir, minBp)
+    componentCache.put(
+      (spark.sparkContext.applicationId, dir, s"lsh:$minBp"), labels)
+    labels.orderBy("doc_id")
+  }
+
+  /** The shared (doc_id, rep) cluster-labels artifact, memoized per
+    * (session, dir, minBp) — the dedup surface's analogue of
+    * [[Ann.ivfAssign]]'s quantiser: a production pipeline computes the
+    * near-dup clusters ONCE per corpus pass and every consumer
+    * (split assignment, dup reporting, keep/drop) reads that table;
+    * recomputing the LSH + components iteration per consumer would
+    * multiply the pipeline's most expensive pass. The labels end in a
+    * localCheckpoint, so reuse reads materialized blocks — the local
+    * stand-in for the persisted cluster-assignment table. [[clusters]]
+    * (the gated operator) always computes fresh AND refreshes this
+    * cache; consumers calling here pay only their marginal cost.
+    */
+  private val componentCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  private def evictStoppedComponents(): Unit =
+    componentCache.filterInPlace { case (_, df) =>
+      !df.sparkSession.sparkContext.isStopped
+    }
+
+  private[graft] def clusterLabels(spark: SparkSession, dir: String,
+                                   minBp: Long = 6500): DataFrame = {
+    evictStoppedComponents()
+    componentCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, s"lsh:$minBp"),
+      computeClusterLabels(spark, dir, minBp))
+  }
+
+  private def computeClusterLabels(spark: SparkSession, dir: String,
+                                   minBp: Long): DataFrame = {
     val pairs = lshJaccardPairs(spark, dir, minBp)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val nodes = Tables.documents(spark, dir)
       .select(col("doc_id").as("node"))
     graft.operators.Components.connectedComponents(nodes, pairs)
       .select(col("node").as("doc_id"), col("label").as("rep"))
-      .orderBy("doc_id")
   }
 
   /** Edge-source provenance bits for [[unionEdges]]. */
