@@ -1764,6 +1764,8 @@ object SparkEntry {
       (s: SparkSession, d: String) => TextAnalysis.fingerprintWinnow(s, d),
       Some(winnowFpCte +
         " SELECT doc_id, fp FROM f ORDER BY doc_id, fp")),
+    // resize plans over the PARSED header dims (header = meta + 13/7
+    // offsets — a metadata fallback cannot hash-match)
     ("mm_resize",
       (s: SparkSession, d: String) => Multimodal.resizePlan(s, d),
       Some("SELECT doc_id, format, width, height, " +
@@ -1775,9 +1777,11 @@ object SparkEntry {
         "ELSE 224 END AS INTEGER) AS out_h FROM (" +
         "SELECT doc_id, " +
         "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format, " +
-        "CAST(n_chars % 640 + 1 AS INTEGER) AS width, " +
-        "CAST((n_chars * 7) % 480 + 1 AS INTEGER) AS height " +
+        s"CAST(n_chars % 640 + 1 + ${Multimodal.WOff} AS INTEGER) AS width, " +
+        s"CAST((n_chars * 7) % 480 + 1 + ${Multimodal.HOff} AS INTEGER) AS height " +
         "FROM documents) WHERE format IN ('png', 'jpeg') ORDER BY doc_id")),
+    // frame totals come from the real WAV data-chunk size (= body
+    // bytes at block align 1), scheduled in 1024-sample windows
     ("mm_frame_sample",
       (s: SparkSession, d: String) => Multimodal.frameSample(s, d),
       Some("WITH f AS (SELECT doc_id, " +
@@ -1786,16 +1790,40 @@ object SparkEntry {
         "SELECT DISTINCT doc_id, frames, (i * frames) // 4 AS frame_idx " +
         "FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t " +
         "ORDER BY doc_id, frame_idx")),
+    // the oracle reconstructs every header field arithmetically:
+    // dims carry the +13/+7 header offsets, n_bytes/first_byte add
+    // the per-format header length/signature byte, byte_sum adds the
+    // exact header byte total (fixed bytes + base-256 digit sums of
+    // the dimension/size fields), `parsed` must be true everywhere,
+    // and wav frames = the data-chunk sample count
     ("mm_decode", (s: SparkSession, d: String) => Multimodal.decode(s, d),
-      Some("SELECT doc_id, " +
+      Some("WITH base AS (SELECT doc_id, " +
         "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format, " +
-        "CAST(n_chars % 640 + 1 AS INTEGER) AS width, " +
-        "CAST((n_chars * 7) % 480 + 1 AS INTEGER) AS height, " +
-        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "CAST(ord(substr(text, 1, 1)) AS INTEGER) AS first_byte, " +
+        "CAST(n_chars % 640 + 1 AS INTEGER) AS mw, " +
+        "CAST((n_chars * 7) % 480 + 1 AS INTEGER) AS mh, " +
+        "octet_length(encode(text)) AS len, " +
         "CAST(list_sum(list_transform(regexp_extract_all(text, '.'), " +
-        "c -> ord(c))) AS BIGINT) AS byte_sum " +
-        "FROM documents ORDER BY doc_id")))
+        "c -> ord(c))) AS BIGINT) AS body_sum FROM documents), " +
+        s"d AS (SELECT *, mw + ${Multimodal.WOff} AS hw, " +
+        s"mh + ${Multimodal.HOff} AS hh, len AS dlen, 36 + len AS rlen " +
+        "FROM base) " +
+        "SELECT doc_id, format, " +
+        "CAST(CASE WHEN format = 'wav' THEN mw ELSE hw END AS INTEGER) AS width, " +
+        "CAST(CASE WHEN format = 'wav' THEN mh ELSE hh END AS INTEGER) AS height, " +
+        "CAST(len + CASE format WHEN 'png' THEN 33 WHEN 'jpeg' THEN 21 " +
+        "ELSE 44 END AS BIGINT) AS n_bytes, " +
+        "CAST(CASE format WHEN 'png' THEN 137 WHEN 'jpeg' THEN 255 " +
+        "ELSE 82 END AS INTEGER) AS first_byte, " +
+        "CAST(body_sum + CASE format " +
+        "WHEN 'png' THEN 743 + hw // 256 + hw % 256 + hh // 256 + hh % 256 " +
+        "WHEN 'jpeg' THEN 1006 + hw // 256 + hw % 256 + hh // 256 + hh % 256 " +
+        "ELSE 1588 + dlen % 256 + (dlen // 256) % 256 + " +
+        "(dlen // 65536) % 256 + (dlen // 16777216) % 256 + " +
+        "rlen % 256 + (rlen // 256) % 256 + (rlen // 65536) % 256 + " +
+        "(rlen // 16777216) % 256 END AS BIGINT) AS byte_sum, " +
+        "(1 = 1) AS parsed, " +
+        "CAST(CASE WHEN format = 'wav' THEN len ELSE 1 END AS BIGINT) AS frames " +
+        "FROM d ORDER BY doc_id")))
 
   // ---- §2E subword (BPE) tokenization ----
 

@@ -7,12 +7,23 @@ import org.apache.spark.sql.functions._
   * an opaque `binary` payload column plus a typed metadata struct, and
   * run decode/feature-extraction as a BATCHED per-partition pass.
   *
-  * The decode itself is a STUB (no image/audio codecs in this image):
-  * [[decodeStub]] derives deterministic "features" from the raw bytes.
-  * Everything around it — the schema, the Dataset encoders, the
-  * partition-level batching (the shape a vectorised decoder needs:
-  * amortise model/codec setup per batch, not per row) — is real and
-  * is what transfers to a 100 TB run with a real codec dropped in.
+  * Three REAL dependency-free codec paths — header parsers for the
+  * three public container formats the fixture synthesizes:
+  *
+  *  - PNG (ISO/IEC 15948): signature + IHDR big-endian dims;
+  *  - JPEG (ITU-T T.81): marker-segment scan to the SOF0/1/2 frame
+  *    header, big-endian dims;
+  *  - WAV (RIFF, Microsoft/IBM): chunk scan to `fmt `/`data`,
+  *    little-endian sample rate / block align / data size → frame
+  *    (sample) count.
+  *
+  * PIXEL decode / resampling stays out of scope (no image/audio
+  * codecs in this image) — dimension/frame planning, batching and
+  * schema are the Spark-side plumbing that transfers to a real codec.
+  * The gate fixture writes headers whose dimensions DIFFER from the
+  * metadata struct (width+13, height+7), so the hash gate fails if
+  * the parsers stop being load-bearing and decode falls back to
+  * metadata.
   */
 object Multimodal {
 
@@ -20,35 +31,90 @@ object Multimodal {
   case class MmRecord(doc_id: Long, payload: Array[Byte], meta: MmMeta)
   case class MmFeatures(doc_id: Long, format: String, width: Int,
                         height: Int, n_bytes: Long, first_byte: Int,
-                        byte_sum: Long)
+                        byte_sum: Long, parsed: Boolean, frames: Long)
 
-  /** Synthesise the multimodal table from `documents`: UTF-8 bytes as
-    * the payload, deterministic metadata. In production this is a
-    * parquet table with a real binary column — same schema.
+  /** Header dims are deliberately OFFSET from the metadata struct so
+    * a silent parser→metadata fallback cannot hash-match the oracle.
+    */
+  val WOff = 13
+  val HOff = 7
+
+  /** Synthesise the multimodal table from `documents`: a REAL
+    * container header (PNG / JPEG SOF0 / WAV RIFF, by `doc_id % 3`)
+    * followed by the UTF-8 text as the body bytes. In production this
+    * is a parquet table with a real binary column — same schema, same
+    * decode path.
     */
   def mmTable(spark: SparkSession, dir: String): Dataset[MmRecord] = {
     import spark.implicits._
     graft.Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        struct(
-          expr("CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' " +
-            "ELSE 'wav' END").as("format"),
-          (col("n_chars") % 640 + 1).cast("int").as("width"),
-          ((col("n_chars") * 7) % 480 + 1).cast("int").as("height")).as("meta"))
-      .as[MmRecord]
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val body = text.getBytes("UTF-8")
+        val w = (nChars % 640 + 1).toInt
+        val h = (nChars * 7 % 480 + 1).toInt
+        val (fmt, header) = (id % 3) match {
+          case 0 => ("png", pngHeader(w + WOff, h + HOff))
+          case 1 => ("jpeg", jpegHeader(w + WOff, h + HOff))
+          case _ => ("wav", wavHeader(body.length))
+        }
+        MmRecord(id, header ++ body, MmMeta(fmt, w, h))
+      }
   }
 
   val batchSize = 64
 
+  // ---- header synthesis (the fixture writer) ----
+
+  private[pipeline] def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33) // big-endian by default
+    bb.put(pngSignature)
+    bb.putInt(13); bb.put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w); bb.putInt(h)
+    bb.put(Array[Byte](8, 2, 0, 0, 0)) // depth/color/compress/filter/interlace
+    // CRC left zero: the parser (like dimension sniffers generally)
+    // reads the IHDR fields, not the chunk checksum
+    bb.array()
+  }
+
+  private[pipeline] def jpegHeader(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(21)
+    bb.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    bb.put(Array(0xff, 0xc0).map(_.toByte)) // SOF0 (baseline DCT)
+    bb.putShort(17) // segment length: 2 + 1 + 2 + 2 + 1 + 3·3
+    bb.put(8.toByte) // precision
+    bb.putShort(h.toShort); bb.putShort(w.toShort) // lines, samples/line
+    bb.put(3.toByte) // components
+    bb.put(Array[Byte](1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 2))
+    bb.array()
+  }
+
+  private[pipeline] def wavHeader(dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // channels
+    bb.putInt(8000) // sample rate
+    bb.putInt(8000) // byte rate = rate · channels · bits/8
+    bb.putShort(1) // block align
+    bb.putShort(8) // bits per sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    bb.array()
+  }
+
+  // ---- header parsers (the real codec paths) ----
+
   private val pngSignature: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** One REAL codec path, dependency-free: PNG header parse (public
-    * format, ISO/IEC 15948 — 8-byte signature then the IHDR chunk,
-    * whose width/height are big-endian u32 at byte offsets 16/20).
-    * Returns None for anything that isn't a well-formed PNG prefix.
+  /** PNG header parse (ISO/IEC 15948 — 8-byte signature then the IHDR
+    * chunk, whose width/height are big-endian u32 at byte offsets
+    * 16/20). Returns None for anything that isn't a well-formed PNG
+    * prefix.
     */
   def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
     def u32(o: Int): Long =
@@ -67,23 +133,99 @@ object Multimodal {
     } else None
   }
 
-  /** Batch decoder: a real header parse where the payload is a real
-    * PNG (`pngDims`), the deterministic byte-feature STUB otherwise
-    * (no other codecs in this image). Either way the features are
-    * computed batch-at-a-time — the shape a vectorised decoder needs.
+  /** JPEG frame-dimension parse (ITU-T T.81): walk the marker-segment
+    * stream from SOI to the first start-of-frame header (SOF0/1/2 —
+    * baseline, extended sequential, progressive), whose big-endian
+    * u16 lines/samples-per-line sit at segment offsets 3/5. Skips
+    * other segments by their declared length, as any real sniffer
+    * must (EXIF, quant tables, Huffman tables precede the frame
+    * header in wild files). None for malformed streams.
+    */
+  def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+        if (i + 8 >= b.length) return None
+        val h = u16(i + 5)
+        val w = u16(i + 7)
+        return if (w >= 1 && h >= 1) Some((w, h)) else None
+      }
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+      else i += 2 + u16(i + 2) // skip segment by declared length
+    }
+    None
+  }
+
+  case class WavInfo(sampleRate: Int, channels: Int, blockAlign: Int,
+                     dataBytes: Long) {
+    /** Frame (sample-block) count — the container-true figure frame
+      * sampling schedules on.
+      */
+    def frames: Long = dataBytes / math.max(blockAlign, 1)
+  }
+
+  /** WAV/RIFF header parse: verify RIFF/WAVE, then scan (id, size)
+    * chunks for `fmt ` (sample rate / channels / block align,
+    * little-endian) and `data` (payload size). None unless both
+    * chunks are present and well-formed.
+    */
+  def wavInfo(b: Array[Byte]): Option[WavInfo] = {
+    def tag(o: Int): String =
+      if (o + 4 <= b.length) new String(b, o, 4, "US-ASCII") else ""
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i)
+      val size = u32(i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
+        fmt = Some((u32(i + 12).toInt, u16(i + 10), u16(i + 20)))
+      if (id == "data") data = Some(size)
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    for ((rate, ch, align) <- fmt; d <- data)
+      yield WavInfo(rate, ch, align, d)
+  }
+
+  /** Batch decoder: REAL header parse per the declared format
+    * (dims for png/jpeg, frame count for wav), metadata fallback with
+    * `parsed = false` for malformed payloads. Features are computed
+    * batch-at-a-time — the shape a vectorised decoder needs (codec
+    * setup amortised per batch, not per row).
     */
   def decodeStub(batch: Seq[MmRecord]): Seq[MmFeatures] =
     batch.map { r =>
       var sum = 0L
       var i = 0
       while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
-      val (w, h) =
-        (if (r.meta.format == "png") pngDims(r.payload) else None)
-          .getOrElse((r.meta.width, r.meta.height))
+      val (w, h, parsed, frames) = r.meta.format match {
+        case "png" => pngDims(r.payload) match {
+          case Some((pw, ph)) => (pw, ph, true, 1L)
+          case None => (r.meta.width, r.meta.height, false, 1L)
+        }
+        case "jpeg" => jpegDims(r.payload) match {
+          case Some((pw, ph)) => (pw, ph, true, 1L)
+          case None => (r.meta.width, r.meta.height, false, 1L)
+        }
+        case _ => wavInfo(r.payload) match {
+          case Some(wi) => (r.meta.width, r.meta.height, true, wi.frames)
+          case None => (r.meta.width, r.meta.height, false, 0L)
+        }
+      }
       MmFeatures(r.doc_id, r.meta.format, w, h,
         r.payload.length.toLong,
         if (r.payload.nonEmpty) r.payload(0) & 0xff else -1,
-        sum)
+        sum, parsed, frames)
     }
 
   /** The batched decode pass: `mapPartitions` + `grouped(batchSize)`
@@ -93,20 +235,19 @@ object Multimodal {
   def decode(spark: SparkSession, dir: String): DataFrame =
     decodeRecords(mmTable(spark, dir))
 
-  /** Aspect-preserving resize planning: compute the output dimensions
-    * for fitting each image inside `maxW`×`maxH` (scale down only,
-    * never up) with exact integer math — `out_w = w·s, out_h = h·s`
-    * for the binding axis. The pixel resampling itself belongs to the
-    * codec (stubbed in this image); the dimension plan is what the
-    * pipeline schedules batches and shards by, and is oracle-exact.
-    * Pure map, codegen'd.
+  /** Aspect-preserving resize planning over the PARSED header
+    * dimensions (not the metadata struct): compute the output
+    * dimensions for fitting each image inside `maxW`×`maxH` (scale
+    * down only, never up) with exact integer math — `out_w = w·s,
+    * out_h = h·s` for the binding axis. The pixel resampling itself
+    * belongs to the codec (out of scope in this image); the dimension
+    * plan is what the pipeline schedules batches and shards by, and
+    * is oracle-exact. One batched decode pass, then a codegen'd map.
     */
   def resizePlan(spark: SparkSession, dir: String,
-                 maxW: Int = 224, maxH: Int = 224): DataFrame = {
-    import spark.implicits._
-    mmTable(spark, dir).toDF()
-      .select(col("doc_id"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
+                 maxW: Int = 224, maxH: Int = 224): DataFrame =
+    decodeRecords(mmTable(spark, dir), ordered = false)
+      .select("doc_id", "format", "width", "height")
       .filter(col("format").isin("png", "jpeg"))
       // binding axis: scale = min(maxW/w, maxH/h, 1) as exact rationals
       .withColumn("fit_w",
@@ -121,37 +262,34 @@ object Multimodal {
           s"ELSE $maxH END AS INT)"))
       .select("doc_id", "format", "width", "height", "out_w", "out_h")
       .orderBy("doc_id")
-  }
 
   /** Frame sampling: pick `n` evenly-spaced frame indices per media
     * payload — the standard video/audio subsampling pass before
-    * feature extraction. Frame count is derived from the payload size
-    * (1 KiB frames — a documented stand-in for the container's real
-    * frame index, which the stubbed codec can't read); offsets are
-    * `i·frames div n`, exact integer math mirrored by the oracle.
-    * Explode keeps it one row per (doc, frame) — the unit a
+    * feature extraction. The frame total now comes from the REAL
+    * container header (the WAV `data` chunk size over the block
+    * align, via the decode pass), scheduled in 1024-sample windows;
+    * offsets are `i·frames div n`, exact integer math mirrored by the
+    * oracle. Explode keeps it one row per (doc, frame) — the unit a
     * distributed feature extractor maps over.
     */
-  def frameSample(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
-    import spark.implicits._
-    mmTable(spark, dir).toDF()
-      .select(col("doc_id"), col("meta.format").as("format"),
-        length(col("payload")).cast("long").as("n_bytes"))
-      .filter(col("format") === "wav")
-      .withColumn("frames", expr("n_bytes div 1024 + 1"))
+  def frameSample(spark: SparkSession, dir: String, n: Int = 4): DataFrame =
+    decodeRecords(mmTable(spark, dir), ordered = false)
+      .filter(col("format") === "wav" && col("parsed"))
+      // container-true sample count → 1024-sample scheduling windows
+      .withColumn("frames", expr("frames div 1024 + 1"))
       .select(col("doc_id"), col("frames"),
         explode(expr(s"transform(sequence(0, ${n - 1}), " +
           s"i -> (i * frames) div $n)")).as("frame_idx"))
       .distinct()
       .orderBy("doc_id", "frame_idx")
-  }
 
   /** The batched decode pass over any MmRecord Dataset. */
-  def decodeRecords(records: Dataset[MmRecord]): DataFrame = {
+  def decodeRecords(records: Dataset[MmRecord],
+                    ordered: Boolean = true): DataFrame = {
     import records.sparkSession.implicits._
-    records
+    val out = records
       .mapPartitions(_.grouped(batchSize).flatMap(g => decodeStub(g)))
       .toDF()
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
   }
 }

@@ -916,12 +916,58 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((3, 4))) // non-png format → stub path untouched
   }
 
-  test("multimodal decode: batched plumbing produces per-payload features") {
+  test("jpegDims walks the marker stream to SOF0, skipping prior segments") {
+    // SOI + APP0 (JFIF-style filler) + DQT filler + SOF0 — the parser
+    // must skip the leading segments by declared length
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] = {
+      val len = payload.length + 2
+      Array(0xff.toByte, marker.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    }
+    val sof = seg(0xc0, Array[Byte](8, 1, 0x04, 2, 0x03, 3) ++
+      Array[Byte](1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 2)) // h=260, w=515
+    val stream = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xe0, Array.fill[Byte](14)(0x4a)) ++
+      seg(0xdb, Array.fill[Byte](65)(1)) ++ sof
+    assert(Multimodal.jpegDims(stream).contains((515, 260)))
+    assert(Multimodal.jpegDims("nope".getBytes).isEmpty)
+    assert(Multimodal.jpegDims(Array(0xff, 0xd8).map(_.toByte)).isEmpty)
+  }
+
+  test("wavInfo reads fmt/data chunks little-endian, with chunk padding") {
+    val h = Multimodal.wavHeader(12345)
+    val wi = Multimodal.wavInfo(h ++ Array.fill[Byte](12345)(7))
+    assert(wi.contains(Multimodal.WavInfo(8000, 1, 1, 12345L)))
+    assert(wi.get.frames == 12345L)
+    // an odd-sized unknown chunk before fmt must be skipped with its
+    // pad byte (RIFF chunks are word-aligned)
+    val odd = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0) ++
+      Array[Byte](1, 2, 3, 0)
+    val shifted = h.take(12) ++ odd ++ h.drop(12)
+    assert(Multimodal.wavInfo(shifted).contains(
+      Multimodal.WavInfo(8000, 1, 1, 12345L)))
+    assert(Multimodal.wavInfo("RIFFxxxxNOPE".getBytes).isEmpty)
+  }
+
+  test("multimodal decode: every fixture payload parses via its real header") {
     val out = Multimodal.decode(spark, sf01).collect()
     assert(out.length == 500)
-    // n_bytes equals document length (ASCII corpus)
-    val doc0 = out.find(_.getLong(0) == 0L).get
-    assert(doc0.getLong(4) > 0)
-    assert(Set("png", "jpeg", "wav").contains(doc0.getString(1)))
+    out.foreach { r =>
+      val fmt = r.getString(1)
+      assert(r.getBoolean(7), s"doc ${r.getLong(0)} ($fmt) fell back to metadata")
+      if (fmt == "wav")
+        // frames = data-chunk bytes = body length (block align 1)
+        assert(r.getLong(8) == r.getLong(4) - 44, s"doc ${r.getLong(0)} frames")
+      else
+        assert(r.getLong(8) == 1L)
+    }
+    // header dims are offset from metadata by construction — a
+    // metadata fallback would be exactly (13, 7) smaller. Reconstruct
+    // the metadata dims from the body length (n_bytes − header) and
+    // check the parsed dims carry the offsets.
+    val img = out.find(_.getString(1) == "png").get
+    val bodyLen = img.getLong(4) - 33
+    assert(img.getInt(2) == (bodyLen % 640 + 1 + Multimodal.WOff).toInt)
+    assert(img.getInt(3) == (bodyLen * 7 % 480 + 1 + Multimodal.HOff).toInt)
   }
 }
