@@ -989,17 +989,31 @@ object SparkEntry {
   // split out so the cluster oracles can prepend WITH RECURSIVE).
   // `where` lets dedup_ngram's gate apply its deterministic corpus
   // slice; every other consumer runs the full relation.
+  // The pair stage is the EXPLODED equi-join form — each pair's
+  // intersection size is a count over shared (gram, block) join rows
+  // instead of a per-pair list_intersect over two ~700-element lists.
+  // Relationally identical (a pair with zero shared grams can never
+  // reach jac_bp ≥ 6500, so the inner-join's implicit isect ≥ 1 drops
+  // nothing), but orders of magnitude cheaper in DuckDB at scaled-up
+  // fixtures — the per-pair list scan made the closure oracles
+  // (which re-evaluate this CTE inside the recursion) intractable
+  // beyond sf0.1.
   private def ngramPairsCteBody(where: String = ""): String =
     s"d AS (SELECT doc_id, lang, source, $normSql AS txt FROM documents$where), " +
       "g AS (SELECT doc_id, lang, source, " +
       "list_distinct([substr(txt, i, 3) for i in range(1, greatest(length(txt) - 2, 1) + 1)]) AS sh " +
       "FROM d), " +
+      "ns AS (SELECT doc_id, len(sh) AS nsh FROM g), " +
+      "tg AS (SELECT doc_id, lang, source, unnest(sh) AS gr FROM g), " +
+      "ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "count(*) AS isect FROM tg a JOIN tg b ON a.gr = b.gr " +
+      "AND a.lang = b.lang AND a.source = b.source " +
+      "AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
       "p AS (SELECT doc_a, doc_b, jac_bp FROM (" +
-      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-      "CAST(floor(10000.0 * len(list_intersect(a.sh, b.sh)) / " +
-      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_bp " +
-      "FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source " +
-      "AND a.doc_id < b.doc_id) WHERE jac_bp >= 6500)"
+      "SELECT doc_a, doc_b, " +
+      "CAST(floor(10000.0 * isect / (na.nsh + nb.nsh - isect)) AS BIGINT) AS jac_bp " +
+      "FROM ix JOIN ns na ON na.doc_id = ix.doc_a " +
+      "JOIN ns nb ON nb.doc_id = ix.doc_b) WHERE jac_bp >= 6500)"
 
   // block-exact batch×corpus Jaccard relation over the deterministic
   // doc_id%7 day-batch stand-in — shared by the inline and the
