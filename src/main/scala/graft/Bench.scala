@@ -181,11 +181,15 @@ object Bench {
     // sample a regressed mid-pack query).
     val carryoverPath = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_STATE_DIR", "."), ".bench_cold_carryover")
+    // intersect with THIS run's query set: a renamed/removed query
+    // left in the file by an old run must not pin a stale name to the
+    // head of the queue forever
+    val currentNames = queries.map(_._1).toSet
     val carryover: Set[String] =
       try {
         if (carryoverPath.isFile)
           scala.io.Source.fromFile(carryoverPath, "UTF-8").getLines()
-            .map(_.trim).filter(_.nonEmpty).toSet
+            .map(_.trim).filter(_.nonEmpty).toSet.intersect(currentNames)
         else Set.empty
       } catch { case _: Throwable => Set.empty }
     if (carryover.nonEmpty)
@@ -229,6 +233,7 @@ object Bench {
           .toMap
       } catch { case _: Throwable => Map.empty }
     var over2x = -1
+    var carryNext: Seq[String] = Nil
     if (baseline.nonEmpty) {
       // only queries holding a WARM (timed-pass) sample are eligible
       // for the regression flag: a budget-aborted query's fallback is
@@ -255,14 +260,17 @@ object Bench {
       val cj = coldFlagged.map { case (n, v, b, _) => "\"" + n + "\":\"" + f2(v) + " vs " + f2(b) + "\"" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"baseline_ratio","baseline":"${esc(baselinePath)}","compared":${ratios.length},"over_2x":${flagged.length},"flagged":$fj,"cold_compared":${coldR.length},"cold_flagged":$cj,"ratios":$rj}""")
-      // persist THIS run's cold-flagged set for the next run's
-      // head-of-queue treatment (empty file = nothing carried)
-      try {
-        val w = new java.io.PrintWriter(carryoverPath, "UTF-8")
-        try coldFlagged.foreach { case (n, _, _, _) => w.println(n) }
-        finally w.close()
-      } catch { case _: Throwable => () }
+      carryNext = coldFlagged.map { case (n, _, _, _) => n }
     }
+    // persist THIS run's cold-flagged set for the next run's
+    // head-of-queue treatment — rewritten EVERY run (empty file =
+    // nothing carried), so a run without a baseline clears stale
+    // names instead of letting them jump the queue indefinitely
+    try {
+      val w = new java.io.PrintWriter(carryoverPath, "UTF-8")
+      try carryNext.foreach(w.println)
+      finally w.close()
+    } catch { case _: Throwable => () }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

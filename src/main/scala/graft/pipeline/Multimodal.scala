@@ -190,8 +190,13 @@ object Multimodal {
       if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
         fmt = Some((u32(i + 12).toInt, u16(i + 10), u16(i + 20)))
       if (id == "data") data = Some(size)
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. A chunk
+      // size that doesn't fit the remaining buffer (or whose Int
+      // truncation would step zero/backwards — e.g. 0xFFFFFFF8) marks
+      // the stream malformed: stop scanning rather than loop forever
+      // on adversarial input.
+      if (size < 0 || size > b.length - i - 8) i = b.length
+      else i += 8 + size.toInt + (size.toInt & 1)
     }
     for ((rate, ch, align) <- fmt; d <- data)
       yield WavInfo(rate, ch, align, d)

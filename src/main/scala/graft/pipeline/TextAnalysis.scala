@@ -567,17 +567,71 @@ object TextAnalysis {
     * Output is exact and deterministic (estimate-independent: MG only
     * chooses the candidate set; counts come from the recount), ties
     * broken by term — hash-gated against DuckDB's exact top-k.
+    *
+    * SELF-CERTIFYING: the MG guarantee only covers rank k when the
+    * k-th recounted count strictly exceeds N/(cap+1) — on a flat
+    * distribution (many tokens near N/cap) a fixed cap can silently
+    * return the wrong tail. After the recount the answer is checked
+    * against its own guarantee ([[mgCertified]]); on violation the
+    * cap escalates (doubling) and past `maxCap` the query falls back
+    * to the exact vocab-keyed groupBy — so the result is exact at ANY
+    * distribution, and the bounded-shuffle fast path is used exactly
+    * when its precondition provably holds.
     */
   def heavyHitters(spark: SparkSession, dir: String,
                    cap: Int = 64, k: Int = 10): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(explode(split(normText(col("text")), " ")).as("term"))
-    val cands = toks
-      .agg(graft.functions.misra_gries(col("term"), cap).as("mg"))
-      .select(explode(col("mg")).as("c"))
-      .select(col("c").getField("item").as("term"))
-    toks.join(broadcast(cands), Seq("term"), "left_semi")
-      .groupBy("term")
+    heavyHittersOf(toks, cap, k)
+  }
+
+  /** The certification predicate: with `n` total items and MG
+    * capacity `cap`, every item whose true count exceeds n/(cap+1) is
+    * guaranteed in the candidate set — so items OUTSIDE it have count
+    * ≤ n/(cap+1). The recounted top-k is provably the true top-k iff
+    * k candidates were found and the k-th count `ck` satisfies
+    * ck·(cap+1) > n STRICTLY (an excluded item could tie at exactly
+    * n/(cap+1) and deserve rank k by the term tiebreak, so equality
+    * does not certify).
+    */
+  def mgCertified(found: Int, k: Int, ck: Long, n: Long, cap: Int): Boolean =
+    found >= k && ck * (cap + 1L) > n
+
+  /** [[heavyHitters]] over any single-column (`term`) token stream.
+    * Each attempt is two linear scans (MG summary + bounded recount);
+    * the escalation loop is driver-side over metadata-sized results
+    * (≤ cap candidate strings, ≤ k checked rows). The exact fallback
+    * shuffles |vocab| keys — the cost the fast path avoids, paid only
+    * when no affordable cap covers rank k.
+    */
+  def heavyHittersOf(toks: DataFrame, cap0: Int, k: Int,
+                     maxCap: Int = 4096): DataFrame = {
+    var cap = cap0
+    while (cap <= maxCap) {
+      val summary = toks.agg(
+        graft.functions.misra_gries(col("term"), cap).as("mg"),
+        count(lit(1)).cast("long").as("n")).head()
+      val n = summary.getLong(1)
+      val items = summary.getSeq[org.apache.spark.sql.Row](0)
+        .map(_.getString(0))
+      val spark = toks.sparkSession
+      import spark.implicits._
+      val cands = items.toDF("term")
+      val recount = toks.join(broadcast(cands), Seq("term"), "left_semi")
+        .groupBy("term")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(k)
+      if (n == 0L) return recount
+      val top = recount.collect()
+      if (top.nonEmpty &&
+        mgCertified(top.length, k min n.toInt, top.last.getLong(1), n, cap))
+        return recount
+      cap *= 2
+    }
+    // guarantee not certifiable at any affordable cap (near-flat
+    // distribution): exact top-k over the full token domain
+    toks.groupBy("term")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)

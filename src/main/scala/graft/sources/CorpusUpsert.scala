@@ -87,6 +87,7 @@ object CorpusUpsert {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, affected.size))
     var futures = Seq.empty[java.util.concurrent.Future[Unit]]
+    var primary: Throwable = null
     try {
       futures = affected.map { part =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
@@ -123,6 +124,8 @@ object CorpusUpsert {
       // survive for the next run's PartitionSwap.recover
       fs.delete(new Path(root, StageRoot), true)
       fs.delete(new Path(root, TrashRoot), true)
+    } catch {
+      case t: Throwable => primary = t; throw t
     } finally {
       // error path: no further commits may land after the failure
       // surfaces to the caller — cancel queued work, interrupt
@@ -131,7 +134,19 @@ object CorpusUpsert {
       // would be a torn write)
       futures.foreach(_.cancel(true))
       pool.shutdownNow()
-      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      // a false return means an interrupted swap task is STILL running
+      // after the grace window — returning normally would let a late
+      // PartitionSwap land while the caller is already in recovery
+      // (the torn write this drain exists to prevent). Fail loudly:
+      // throw on the success path; on the failure path attach to the
+      // in-flight exception as suppressed rather than replacing it.
+      if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)) {
+        val quiesce = new java.io.IOException(
+          "corpus_upsert: swap pool failed to quiesce within 10 min; " +
+            "recovery must not start while swap tasks may be live")
+        if (primary != null) primary.addSuppressed(quiesce)
+        else { b.unpersist(); throw quiesce }
+      }
       b.unpersist()
     }
     UpsertStats(affected, replaced, nBatch - replaced)

@@ -35,10 +35,19 @@ object StorageStats {
 
   /** Fixed gate location (NOT TmpDir-scoped: the oracle runs in a
     * separate process after the Spark session exits, so the layout
-    * must survive the JVM and sit at a path the static oracle SQL can
-    * name).
+    * must survive the JVM and sit at a path the oracle SQL can name —
+    * the dumped oracle string interpolates this val at dump time, so
+    * both processes agree). Scoped per-user under java.io.tmpdir so
+    * concurrent graft processes of DIFFERENT users can't race the
+    * overwrite+append write pair or tamper with a predictable path;
+    * same-user concurrency is out of scope (the driver runs one gate
+    * at a time).
     */
-  val GatePath = "/tmp/graft_storage_stats_gate"
+  val GatePath: String = new java.io.File(
+    sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+    "graft_storage_stats_gate_" +
+      sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_.-]", "_")
+  ).getPath
 
   /** Lay out a per-(date, site) rollup of the log date-partitioned —
     * two files per date (sites are hash-split two ways before the

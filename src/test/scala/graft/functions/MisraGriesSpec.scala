@@ -90,4 +90,45 @@ class MisraGriesSpec extends SparkSpec {
     assert(got == Seq("h1" -> 500L, "h2" -> 400L, "h3" -> 300L,
       "h4" -> 250L, "h5" -> 220L))
   }
+
+  test("certification predicate: strict guarantee-line check") {
+    // n=6670, cap=32 → bound ≈ 202: ck=220 certifies, ck=202 does not
+    assert(TextAnalysis.mgCertified(found = 5, k = 5, ck = 220L,
+      n = 6670L, cap = 32))
+    assert(!TextAnalysis.mgCertified(found = 5, k = 5, ck = 202L,
+      n = 6670L, cap = 32), "equality at the bound must NOT certify")
+    assert(!TextAnalysis.mgCertified(found = 4, k = 5, ck = 9999L,
+      n = 6670L, cap = 32), "fewer than k candidates must NOT certify")
+  }
+
+  test("escalation: an uncovering cap0 doubles until the answer is " +
+       "self-certified, result equals the exact top-k") {
+    // cap0=2 on the skewed stream: bound = n/3 ≈ 2223 > every true
+    // count, so the k-th candidate can never certify — the loop must
+    // escalate (2→4→…→32 certifies: 220·33 = 7260 > 6670) and still
+    // return the exact answer
+    val toks = skewed(7).select(col("term"))
+    val got = TextAnalysis.heavyHittersOf(toks, cap0 = 2, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq("h1" -> 500L, "h2" -> 400L, "h3" -> 300L,
+      "h4" -> 250L, "h5" -> 220L))
+  }
+
+  test("flat distribution past maxCap falls back to the exact groupBy") {
+    // 3000 distinct singletons: ck=1 and 1·(cap+1) ≤ n for every cap
+    // ≤ maxCap, so no cap certifies — the fixed-cap r9 form returned
+    // whatever survived MG's evictions here; the self-certifying form
+    // must detect the lapsed guarantee and produce the exact answer
+    import spark.implicits._
+    val toks = (0 until 3000).map(i => f"t$i%04d").toDF("term")
+      .repartition(5)
+    val got = TextAnalysis.heavyHittersOf(toks, cap0 = 8, k = 10,
+        maxCap = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact)
+    assert(got.map(_._1) == (0 until 10).map(i => f"t$i%04d"))
+  }
 }
