@@ -65,10 +65,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncodeExpr].getName, "bpe_encode"),
-      // the shipped (pretrained) merge list; a custom list goes
-      // through the case class directly
-      (children: Seq[Expression]) =>
-        BpeEncodeExpr(children.head, graft.pipeline.Bpe.pretrained)))
+      // bpe_encode(text, merges): the merge list arrives as a foldable
+      // string in BpeEncodeExpr wire format (models are corpus-trained
+      // artifacts now, so there is no ambient "the" merge list to
+      // default to — callers pass the one they loaded)
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "bpe_encode(text, merges) takes exactly 2 arguments")
+        BpeEncodeExpr(children.head, BpeEncodeExpr.parseMerges(
+          children(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),

@@ -1870,7 +1870,7 @@ object SparkEntry {
     ("tokenize_ids_bpe",
       (s: SparkSession, d: String) => Bpe.tokenizeIdsBpe(s, d),
       Some("WITH RECURSIVE " + Bpe.encodeCteSql(normSql) + ", " +
-        s"vocab(vpiece, vid) AS (VALUES ${Bpe.vocabValuesSql}) " +
+        s"${Bpe.vocabCteSql} " +
         s"SELECT doc_id, $bpePosSql AS pos, piece, " +
         "CAST(coalesce(v.vid, 0) AS BIGINT) AS token_id " +
         "FROM px LEFT JOIN vocab v ON px.piece = v.vpiece " +
@@ -1880,7 +1880,7 @@ object SparkEntry {
     ("export_shards_bpe",
       (s: SparkSession, d: String) => Curation.exportShardsBpe(s, d),
       Some("WITH RECURSIVE " + Bpe.encodeCteSql(normSql) + ", " +
-        s"vocab(vpiece, vid) AS (VALUES ${Bpe.vocabValuesSql}), " +
+        s"${Bpe.vocabCteSql}, " +
         s"tid AS (SELECT doc_id, $bpePosSql AS pos, " +
         "coalesce(v.vid, 0) AS t FROM px " +
         "LEFT JOIN vocab v ON px.piece = v.vpiece), " +

@@ -3,34 +3,42 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Byte-pair-encoding of a whitespace-pre-tokenized string against a
-  * fixed merge-rule list (Sennrich et al. 2016): each word starts as
-  * its character sequence, then the applicable merge with the LOWEST
-  * rank is applied at its leftmost occurrence, repeatedly, until no
-  * merge applies; the per-word piece sequences are concatenated in
-  * word order. This one-occurrence-at-a-time formulation is
-  * value-identical to the textbook "merge every occurrence of the
-  * best pair, then re-pick" loop: in any learned merge list, every
-  * pair containing a merge's OUTPUT token must rank after that merge
-  * (the token does not exist earlier), so after merging one
-  * occurrence of the min-rank pair the min rank present is unchanged
-  * while that pair survives — the same occurrences get merged in the
-  * same left-to-right order. BpeSpec asserts the equivalence against
-  * an independent merge-all-per-step implementation.
+/** BYTE-level byte-pair-encoding of a whitespace-pre-tokenized string
+  * against a fixed merge-rule list (Sennrich et al. 2016; byte
+  * alphabet as in GPT-2): each word starts as its UTF-8 byte
+  * sequence — bytes represented as uppercase hex pairs, the engine-
+  * portable canonical form shared with the DuckDB oracle — then the
+  * applicable merge with the LOWEST rank is applied at its leftmost
+  * occurrence, repeatedly, until no merge applies; the per-word piece
+  * sequences are concatenated in word order. Byte-level means no
+  * input is out-of-vocabulary: unmergeable (e.g. non-ASCII) text
+  * degrades to its raw byte pieces, never to a sentinel.
+  *
+  * This one-occurrence-at-a-time formulation is value-identical to
+  * the textbook "merge every occurrence of the best pair, then
+  * re-pick" loop: in any learned merge list, every pair containing a
+  * merge's OUTPUT token must rank after that merge (the token does
+  * not exist earlier), so after merging one occurrence of the
+  * min-rank pair the min rank present is unchanged while that pair
+  * survives — the same occurrences get merged in the same
+  * left-to-right order. BpeSpec asserts the equivalence against an
+  * independent merge-all-per-step implementation.
   *
   * Execution shape: the merge table rides the serialized expression
-  * (a few KB); evaluation is a pure per-row map with a per-task-
-  * instance memo of word → pieces (the word domain is Zipf-skewed, so
-  * the memo turns the per-word merge loop into a hash probe for
-  * almost every occurrence). No shuffle, no broadcast round trip, no
-  * driver participation — the operator scales with input splits.
-  * CodegenFallback: the merge loop is data-dependent iteration over
-  * a per-row token array; there is no profitable whole-stage codegen
-  * form, and the memo makes the interpreted call cheap.
+  * (rank-ordered hex-pair rules, bounded by the trainer's merge
+  * budget — tens of KB worst case); evaluation is a pure per-row map
+  * with a per-task-instance memo of word → pieces (the word domain is
+  * Zipf-skewed, so the memo turns the per-word merge loop into a hash
+  * probe for almost every occurrence). No shuffle, no broadcast round
+  * trip, no driver participation — the operator scales with input
+  * splits. CodegenFallback: the merge loop is data-dependent
+  * iteration over a per-row token array; there is no profitable
+  * whole-stage codegen form, and the memo makes the interpreted call
+  * cheap.
   */
 case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with CodegenFallback {
@@ -60,9 +68,7 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   private def encodeWord(word: String): Array[String] = {
     val hit = memo.get(word)
     if (hit != null) return hit
-    var toks = new Array[String](word.length)
-    var i = 0
-    while (i < word.length) { toks(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var toks = graft.pipeline.Bpe.hexTokens(word)
     var done = toks.length < 2
     while (!done) {
       var bestRank = Int.MaxValue
@@ -107,4 +113,22 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
     copy(child = newChild)
+}
+
+object BpeEncodeExpr {
+
+  /** Merge-list wire format for the SQL-function form: rank-ordered
+    * `"l r"` pairs joined by `';'` — tokens are hex strings, so
+    * neither delimiter can occur inside one.
+    */
+  def serializeMerges(merges: Seq[(String, String)]): String =
+    merges.map { case (l, r) => l + " " + r }.mkString(";")
+
+  def parseMerges(s: String): Seq[(String, String)] =
+    if (s.isEmpty) Seq.empty
+    else s.split(';').toSeq.map { p =>
+      val sp = p.indexOf(' ')
+      require(sp > 0, s"malformed merge entry: '$p'")
+      (p.substring(0, sp), p.substring(sp + 1))
+    }
 }

@@ -51,6 +51,14 @@ package object functions {
     call_function("misra_gries", item,
       org.apache.spark.sql.functions.lit(capacity))
 
+  /** [[graft.functions.BpeEncodeExpr]] as a Column function: the
+    * merge list travels as a serialized literal (hex tokens, so the
+    * wire format is unambiguous).
+    */
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_encode", text,
+      org.apache.spark.sql.functions.lit(BpeEncodeExpr.serializeMerges(merges)))
+
   /** [[graft.functions.MinHashSignature]] as a Column function. */
   def minhash_signature(sh: Column, numPerm: Int): Column =
     call_function("minhash_signature", sh,
