@@ -1837,7 +1837,28 @@ object SparkEntry {
         "(rlen // 16777216) % 256 END AS BIGINT) AS byte_sum, " +
         "(1 = 1) AS parsed, " +
         "CAST(CASE WHEN format = 'wav' THEN len ELSE 1 END AS BIGINT) AS frames " +
-        "FROM d ORDER BY doc_id")))
+        "FROM d ORDER BY doc_id")),
+    // byte-exact payload dedup gated on the PERSISTED payload
+    // artifact: both engines digest the same parquet bytes
+    // (md5 over the canonical hex form — DuckDB v1.0 has no
+    // md5(BLOB)), so the gate covers grouping/keeper selection over
+    // real binary payloads
+    ("mm_dedup_exact",
+      (s: SparkSession, d: String) => Multimodal.mmDedupExact(s, d),
+      Some("WITH p AS (SELECT doc_id, md5(hex(payload)) AS h " +
+        s"FROM '${Multimodal.MmGatePath}/*.parquet'), " +
+        "g AS (SELECT h, count(*) AS n, min(doc_id) AS k FROM p " +
+        "GROUP BY h HAVING count(*) > 1) " +
+        "SELECT g.h AS payload_hash, CAST(g.n AS BIGINT) AS n_docs, " +
+        "g.k AS keep_doc, " +
+        "string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id) AS drop_docs " +
+        "FROM g JOIN p ON p.h = g.h AND p.doc_id <> g.k " +
+        "GROUP BY 1, 2, 3 ORDER BY payload_hash")),
+    // blockhash-style near-dup: signature layout is engine-specific →
+    // rows-only; MultimodalDedupSpec gates exactness vs brute force
+    ("mm_dedup_near",
+      (s: SparkSession, d: String) => Multimodal.mmDedupNear(s, d),
+      None))
 
   // ---- §2E subword (BPE) tokenization ----
 

@@ -98,26 +98,37 @@ object Dedup {
     * so the bucket join stays near-linear.
     */
   def simhashPairs(spark: SparkSession, dir: String,
-                   maxHamming: Int = 3, blocks: Int = 5): DataFrame = {
+                   maxHamming: Int = 3, blocks: Int = 5): DataFrame =
+    hammingPairs(simhash(spark, dir).withColumnRenamed("simhash", "sig"),
+      maxHamming, blocks)
+
+  /** The multi-index Hamming search over ANY (doc_id, sig: long)
+    * fingerprint table — shared by [[simhashPairs]] and the
+    * multimodal payload signature ([[Multimodal.mmDedupNear]]).
+    * Output is EXACTLY the hamming ≤ `maxHamming` pair set
+    * (doc_a, doc_b, hamming).
+    */
+  private[pipeline] def hammingPairs(sigs: DataFrame, maxHamming: Int,
+                                     blocks: Int): DataFrame = {
     require(blocks > maxHamming, "need at least one clean block per index")
     val keep = blocks - maxHamming
     val width = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
     val offset = width.scanLeft(0)(_ + _)
-    // (simhash >>> off) & mask; last block may reach the sign bit —
+    // (sig >>> off) & mask; last block may reach the sign bit —
     // use the logical shift so the mask sees zero-filled high bits
     def bv(i: Int): String =
-      s"(shiftrightunsigned(simhash, ${offset(i)}) & ${(1L << width(i)) - 1}L)"
+      s"(shiftrightunsigned(sig, ${offset(i)}) & ${(1L << width(i)) - 1}L)"
     val keys = (0 until blocks).combinations(keep).zipWithIndex.map {
       case (subset, idx) =>
         expr(s"xxhash64($idx, ${subset.map(bv).mkString(", ")})")
     }.toSeq
-    val keyed = simhash(spark, dir)
-      .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("k"))
+    val keyed = sigs
+      .select(col("doc_id"), col("sig"), explode(array(keys: _*)).as("k"))
     val a = keyed.as("a")
     val b = keyed.as("b")
     a.join(b, col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("bit_count(a.sig ^ b.sig)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")

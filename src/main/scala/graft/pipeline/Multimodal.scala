@@ -297,4 +297,127 @@ object Multimodal {
       .toDF()
     if (ordered) out.orderBy("doc_id") else out
   }
+
+  // ---- payload-level dedup (SURVEY §2E mm_dedup_exact / mm_dedup_near) ----
+
+  /** Fixed gate location for the payload table (per-user scratch,
+    * same discipline as StorageStats.GatePath / Bpe.StorePath: the
+    * DuckDB oracle runs after the session exits and reads the SAME
+    * parquet bytes, so exact dedup is gated on the artifact, not on a
+    * re-synthesis).
+    */
+  val MmGatePath: String = new java.io.File(
+    sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+    "graft_mm_payload_gate_" +
+      sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_.-]", "_")
+  ).getPath
+
+  /** Id offsets of the planted replicas (fixture authoring: the raw
+    * corpus has no byte-identical payloads, so the dedup surface
+    * plants deterministic clones the way every dedup fixture in this
+    * repo does — the ORACLE never sees the synthesis, only the
+    * persisted payload bytes).
+    */
+  val ExactCloneBase = 1000000000L
+  val NearCloneBase = 2000000000L
+
+  /** The payload corpus for dedup: every mmTable record, plus an
+    * exact byte clone for `doc_id % 17 == 0` (id + [[ExactCloneBase]])
+    * and a near clone for `doc_id % 13 == 0` (id + [[NearCloneBase]],
+    * three body bytes bumped — byte-similar, not byte-identical).
+    */
+  def mmDedupTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    mmTable(spark, dir).flatMap { r =>
+      val base = Seq((r.doc_id, r.payload))
+      val exact = if (r.doc_id % 17 == 0)
+        Seq((r.doc_id + ExactCloneBase, r.payload)) else Seq.empty
+      val near = if (r.doc_id % 13 == 0) {
+        val p = r.payload.clone()
+        var i = p.length / 2
+        val until = math.min(p.length, i + 3)
+        while (i < until) { p(i) = (p(i) + 1).toByte; i += 1 }
+        Seq((r.doc_id + NearCloneBase, p))
+      } else Seq.empty
+      base ++ exact ++ near
+    }
+  }
+
+  /** `mm_dedup_exact`: byte-exact payload dedup — md5 over the
+    * payload bytes (as their canonical hex form, the digest both
+    * engines expose), duplicate groups keyed by hash with the lowest
+    * doc as keeper. The hash groupBy is one shuffle of
+    * (digest, doc_id) pairs — payload BYTES never shuffle, which is
+    * the property that matters when payloads are MBs: digests are
+    * computed scan-side, the exchange carries 32-byte keys. The
+    * payload table is persisted first so the oracle digests the same
+    * artifact.
+    */
+  def mmDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mmDedupTable(spark, dir).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(MmGatePath)
+    val hashed = spark.read.parquet(MmGatePath)
+      .select(col("doc_id"), md5(hex(col("payload"))).as("payload_hash"))
+    val groups = hashed.groupBy("payload_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_docs") > 1)
+    hashed.join(groups, Seq("payload_hash"))
+      .filter(col("doc_id") =!= col("keep_doc"))
+      .groupBy("payload_hash", "n_docs", "keep_doc")
+      .agg(array_join(expr("transform(sort_array(collect_list(doc_id)), " +
+        "i -> cast(i as string))"), ",").as("drop_docs"))
+      .orderBy("payload_hash")
+  }
+
+  /** 64-block byte signature of a payload (blockhash-style, Yang et
+    * al.'s block mean hash reduced to bytes so it needs no pixel
+    * decode): split the byte stream into 64 contiguous blocks, bit i
+    * set iff block i's mean byte value STRICTLY exceeds the whole
+    * payload's mean — compared in exact integer cross-multiplication
+    * (`sum_i · n > total · len_i`), so the signature is deterministic
+    * on any engine. Byte-identical payloads share signatures; small
+    * edits disturb only the touched blocks' bits.
+    */
+  def blockSig(b: Array[Byte], blocks: Int = 64): Long = {
+    val n = b.length
+    if (n == 0) return 0L
+    var total = 0L
+    val sums = new Array[Long](blocks)
+    val lens = new Array[Int](blocks)
+    var i = 0
+    while (i < n) {
+      val blk = (i.toLong * blocks / n).toInt
+      total += b(i) & 0xff
+      sums(blk) += b(i) & 0xff
+      lens(blk) += 1
+      i += 1
+    }
+    var sig = 0L
+    var blk = 0
+    while (blk < blocks) {
+      if (sums(blk) * n > total * lens(blk)) sig |= 1L << blk
+      blk += 1
+    }
+    sig
+  }
+
+  /** `mm_dedup_near`: payload near-dup pairs — [[blockSig]] per
+    * payload (one scan-side map, no bytes shuffled), then the SAME
+    * multi-index pigeonhole Hamming search as `dedup_simhash`
+    * ([[Dedup.hammingPairs]]): C(blocks, maxHamming) bucket keys per
+    * doc, bucket self-join, exact bit_count verify. Output is exactly
+    * the Hamming ≤ `maxHamming` pair set. Rows-only at the driver
+    * gate (signature layout is engine-specific); MultimodalDedupSpec
+    * gates it against a brute-force Hamming scan and the planted
+    * near-clone pairs.
+    */
+  def mmDedupNear(spark: SparkSession, dir: String,
+                  maxHamming: Int = 3, blocks: Int = 5): DataFrame = {
+    import spark.implicits._
+    val sigs = mmDedupTable(spark, dir)
+      .map { case (id, p) => (id, blockSig(p)) }
+      .toDF("doc_id", "sig")
+    Dedup.hammingPairs(sigs, maxHamming, blocks)
+  }
 }
