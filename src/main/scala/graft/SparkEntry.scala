@@ -1285,6 +1285,13 @@ object SparkEntry {
     // gated in PipelineSpec; rows-only (KMeans cells engine-specific)
     ("ann_index_append",
       (s: SparkSession, d: String) => Ann.ivfTopKAppended(s, d), None),
+    // the cadence rebuild retiring append's centers-drift debt:
+    // retrain on the index's current corpus, re-assign, re-derive the
+    // inverted list, commit by staged dir swap — search parity with a
+    // from-scratch build + crash-window recovery gated in
+    // PipelineSpec; rows-only (KMeans cells engine-specific)
+    ("ann_index_rebuild",
+      (s: SparkSession, d: String) => Ann.ivfTopKRebuilt(s, d), None),
     // IVF + product quantization: the 8-bytes-per-vector ADC scan
     // with exact re-rank — KMeans codebooks are engine-specific →
     // rows-only, recall@10 vs brute gated in AnnSpec

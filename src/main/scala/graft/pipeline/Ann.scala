@@ -135,36 +135,46 @@ object Ann {
                 cells: Int = 16): (DataFrame, DataFrame) = {
     evictStopped()
     quantisers.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir, cells), {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
-        val all = vectors(spark, dir)
-          .withColumn("fv", array_to_vector(col("v")))
-          .cache()
-        // deterministic hash sample: keep ≈MaxTrainVectors rows however
-        // large the corpus (xxhash64(vec_id) is a fixed uniform map, so
-        // the training set is stable across runs and partitionings; no
-        // global sort, one column-pruned count). n·h < n·1e6·(cap/n)
-        // stays within int64 for any realistic corpus (h < 1e6).
-        val n = all.count()
-        val train =
-          if (n <= MaxTrainVectors) all
-          else all.filter(
-            pmod(xxhash64(col("vec_id")), lit(1000000L)) * n
-              < lit(1000000L) * MaxTrainVectors)
-        val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
-          .setFeaturesCol("fv").setPredictionCol("cell")
-          .fit(train)
-        // assignment runs over the FULL corpus — one map pass against
-        // the (tiny) trained model, the part of IVF that IS linear
-        val assigned = model.transform(all).select("vec_id", "v", "cell").cache()
-        assigned.count() // materialize BEFORE dropping the training
-        all.unpersist() // cache, or the first consumer re-scans parquet
-        val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-          (i, c.toArray)
-        }.toSeq
-        (assigned, spark.createDataFrame(centers).toDF("cell", "center"))
-      })
+      (spark.sparkContext.applicationId, dir, cells),
+      trainAssignOf(vectors(spark, dir), cells))
+  }
+
+  /** The un-memoized quantiser core over ANY (vec_id, v) relation —
+    * train on the capped deterministic sample, assign the full set.
+    * Both returned frames are materialized (the assignment is cached
+    * and counted); callers that don't memoize unpersist when done.
+    */
+  private[pipeline] def trainAssignOf(vecs: DataFrame,
+                                      cells: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vecs.sparkSession
+    val all = vecs
+      .withColumn("fv", array_to_vector(col("v")))
+      .cache()
+    // deterministic hash sample: keep ≈MaxTrainVectors rows however
+    // large the corpus (xxhash64(vec_id) is a fixed uniform map, so
+    // the training set is stable across runs and partitionings; no
+    // global sort, one column-pruned count). n·h < n·1e6·(cap/n)
+    // stays within int64 for any realistic corpus (h < 1e6).
+    val n = all.count()
+    val train =
+      if (n <= MaxTrainVectors) all
+      else all.filter(
+        pmod(xxhash64(col("vec_id")), lit(1000000L)) * n
+          < lit(1000000L) * MaxTrainVectors)
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(train)
+    // assignment runs over the FULL corpus — one map pass against
+    // the (tiny) trained model, the part of IVF that IS linear
+    val assigned = model.transform(all).select("vec_id", "v", "cell").cache()
+    assigned.count() // materialize BEFORE dropping the training
+    all.unpersist() // cache, or the first consumer re-scans parquet
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    (assigned, spark.createDataFrame(centers).toDF("cell", "center"))
   }
 
   /** Per-label centroid components as exact integers: each float
@@ -655,13 +665,22 @@ object Ann {
   def ivfIndexWrite(spark: SparkSession, dir: String, outDir: String,
                     cells: Int = 16): Unit = {
     val (assigned, centersDf) = ivfAssign(spark, dir, cells)
+    writeIndexParts(assigned, centersDf, outDir)
+  }
+
+  /** Write the three index relations of a trained quantiser — shared
+    * by fresh build ([[ivfIndexWrite]]) and [[ivfIndexRebuild]]'s
+    * staging pass. `probed/` is the dedup-grade inverted list: each
+    * vector listed under its [[IndexNprobe]] nearest cells
+    * (multi-probe INDEXING, the storage-for-recall trade IVF dedup
+    * needs at low thresholds — a probe misses a vector only if the
+    * probe cells and all its index cells are disjoint).
+    */
+  private def writeIndexParts(assigned: DataFrame, centersDf: DataFrame,
+                              outDir: String): Unit = {
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outDir/assigned")
     centersDf.write.mode("overwrite").parquet(s"$outDir/centers")
-    // the dedup-grade inverted list: each vector listed under its
-    // IndexNprobe nearest cells (multi-probe INDEXING, the storage-for-
-    // recall trade IVF dedup needs at low thresholds — a probe misses a
-    // vector only if the probe cells and all its index cells disjoint)
     val probeCells = graft.pipeline.Dedup.multiProbeCellsExpr(
       centersDf.collect().map(r => (r.getInt(0), r.getSeq[Double](1))),
       IndexNprobe)
@@ -771,17 +790,96 @@ object Ann {
     val idx = graft.sources.TmpDir.scoped("ivfappend",
       spark.sparkContext.applicationId, s"$dir:$cells")
     if (builtAppendIndexes.add(idx)) {
-      Seq("assigned", "probed").foreach { sub =>
-        spark.read.parquet(s"$src/$sub")
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$idx/$sub")
-      }
-      spark.read.parquet(s"$src/centers")
-        .write.mode("overwrite").parquet(s"$idx/centers")
+      cloneIndex(spark, src, idx)
       val batch = spark.read.parquet(s"$src/assigned")
         .filter(pmod(col("vec_id"), lit(11)) === 0)
         .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("v"))
       ivfIndexAppend(spark, idx, batch)
+    }
+    idx
+  }
+
+  /** Copy an index's three relations (fixture plumbing: production
+    * rebuild/append mutate in place; specs and gate fixtures clone so
+    * the memoized base index stays pristine for its other consumers).
+    */
+  private[graft] def cloneIndex(spark: SparkSession, src: String,
+                                dst: String): Unit = {
+    Seq("assigned", "probed").foreach { sub =>
+      spark.read.parquet(s"$src/$sub")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dst/$sub")
+    }
+    spark.read.parquet(s"$src/centers")
+      .write.mode("overwrite").parquet(s"$dst/centers")
+  }
+
+  private val RebuildStage = ".rebuild_stage"
+  private val RebuildTrash = ".rebuild_trash"
+
+  /** Cadence rebuild of a persisted IVF index — the operator that
+    * RETIRES [[ivfIndexAppend]]'s documented centers-drift debt:
+    * retrain the coarse quantiser on the index's CURRENT corpus (the
+    * capped deterministic sample, exactly like a fresh build),
+    * re-assign every vector, re-derive the multi-probe inverted list,
+    * and commit the three relations by the PartitionSwap staged-
+    * rename protocol so searchers see the old index until the swap
+    * and the new one after — never a mix, with every crash window
+    * recoverable ([[graft.sources.PartitionSwap.recover]] runs
+    * first, so a rebuild killed mid-commit completes or rolls back
+    * on the next invocation).
+    *
+    * Scale shape: one training sample, one linear re-assign pass, two
+    * partitioned writes — the same cost as the original build, paid
+    * on the rebuild cadence; consumers cut over atomically per
+    * relation (assigned → centers → probed, so a reader pinning the
+    * directory set mid-swap can at worst mix new assignments with old
+    * centers for the probe ORDER — recall-neutral, since ranking is
+    * exact cosine over the probed rows). Search parity with a
+    * from-scratch build on the same corpus is spec-asserted.
+    */
+  def ivfIndexRebuild(spark: SparkSession, idx: String,
+                      cells: Int = 16): Unit = {
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.PartitionSwap.recover(fs, root, RebuildStage, RebuildTrash)
+    val current = spark.read.parquet(s"$idx/assigned").select("vec_id", "v")
+    val (assigned, centersDf) = trainAssignOf(current, cells)
+    writeIndexParts(assigned, centersDf, s"$idx/$RebuildStage")
+    Seq("assigned", "centers", "probed").foreach { sub =>
+      graft.sources.PartitionSwap.commit(fs, root, sub, RebuildStage, RebuildTrash)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, RebuildStage), true)
+    fs.delete(new org.apache.hadoop.fs.Path(root, RebuildTrash), true)
+    assigned.unpersist()
+  }
+
+  private val builtRebuiltIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The rebuild gate's lifecycle fixture + search: clone the
+    * APPENDED index (build → append — the drifted state every nightly
+    * ingest accumulates), rebuild it in place, and search the result.
+    * PipelineSpec asserts parity with a from-scratch build over the
+    * same vector set and that no stage/trash residue survives.
+    */
+  def ivfTopKRebuilt(spark: SparkSession, dir: String,
+                     nQueries: Int = 5, k: Int = 10,
+                     cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val idx = rebuiltIndexFor(spark, dir, cells)
+    ivfProbePlan(
+      spark.read.parquet(s"$idx/assigned"),
+      spark.read.parquet(s"$idx/centers"), nQueries, k, nprobe)
+  }
+
+  private[graft] def rebuiltIndexFor(spark: SparkSession, dir: String,
+                                     cells: Int): String = {
+    val src = appendedIndexFor(spark, dir, cells)
+    val idx = graft.sources.TmpDir.scoped("ivfrebuild",
+      spark.sparkContext.applicationId, s"$dir:$cells")
+    if (builtRebuiltIndexes.add(idx)) {
+      cloneIndex(spark, src, idx)
+      ivfIndexRebuild(spark, idx, cells)
     }
     idx
   }

@@ -16,7 +16,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * format's transaction log takes over; the reader-visible gap
   * between (2) and (3) is the gap Delta/Iceberg close.
   */
-private[sources] object PartitionSwap {
+private[graft] object PartitionSwap {
 
   /** Crash recovery, run before every planning pass. Every window of
     * the swap protocol is recoverable:

@@ -234,6 +234,82 @@ class PipelineSpec extends SparkSpec {
     assert(after.size > before.size, "append must add part files")
   }
 
+  test("ivf index rebuild: build → append → rebuild equals a from-scratch " +
+       "build on the same corpus; duplicates still found; no residue") {
+    import org.apache.spark.sql.functions._
+    val idx = Ann.rebuiltIndexFor(spark, sf01, 16)
+    val src = Ann.appendedIndexFor(spark, sf01, 16)
+    // (a) the corpus is preserved: same vec_id set as the appended index
+    val before = spark.read.parquet(s"$src/assigned")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val after = spark.read.parquet(s"$idx/assigned")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(after == before)
+    // (b) the inverted list is fully re-derived
+    assert(spark.read.parquet(s"$idx/probed").count() ==
+      before.size.toLong * Ann.IndexNprobe)
+    // (c) ARTIFACT parity with a from-scratch build over the same
+    // vector set (read the same way — a second clone): training is
+    // deterministic on identical input, so centers and assignments
+    // must match exactly; search parity follows a fortiori
+    val clone2 = java.nio.file.Files.createTempDirectory("graft_rebuild_ref").toString
+    Ann.cloneIndex(spark, src, clone2)
+    val (fa, fc) = Ann.trainAssignOf(
+      spark.read.parquet(s"$clone2/assigned").select("vec_id", "v"), 16)
+    val freshCenters = fc.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val rebuiltCenters = spark.read.parquet(s"$idx/centers").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(rebuiltCenters == freshCenters,
+      "rebuilt centers differ from a fresh build on the same corpus")
+    val freshCells = fa.collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    fa.unpersist()
+    val rebuiltCells = spark.read.parquet(s"$idx/assigned").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    assert(rebuiltCells == freshCells)
+    // (d) drift is actually retired: the rebuilt centers were trained
+    // on corpus+batch, not carried over from the pre-append build
+    val staleCenters = spark.read.parquet(s"$src/centers").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(rebuiltCenters != staleCenters,
+      "rebuild kept the stale centers — retrain did not happen")
+    // (e) search still surfaces the re-ingested duplicates at rank 1
+    val rank1 = Ann.ivfTopKRebuilt(spark, sf01).collect()
+      .filter(r => r.getLong(0) % 11 == 0 && r.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rank1.foreach { case (q, n) => assert(n == q + 1000000L) }
+    assert(rank1.nonEmpty)
+    // (f) no stage/trash residue under the rebuilt index
+    val resid = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith(".rebuild"))
+    assert(resid.isEmpty, s"residue: ${resid.mkString(",")}")
+  }
+
+  test("ivf index rebuild recovers a crash between trash and swap") {
+    import java.nio.file.{Files, Paths}
+    val src = Ann.rebuiltIndexFor(spark, sf01, 16)
+    val dir = Files.createTempDirectory("graft_rebuild_crash").toString
+    Ann.cloneIndex(spark, src, dir)
+    val want = spark.read.parquet(s"$dir/assigned")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // simulate death between steps (2) and (3) of the swap: the live
+    // assigned/ is gone, the staged copy (with _SUCCESS) is whole
+    val stage = Paths.get(dir, ".rebuild_stage")
+    Files.createDirectories(stage)
+    Files.move(Paths.get(dir, "assigned"), stage.resolve("assigned"))
+    if (!Files.exists(stage.resolve("assigned").resolve("_SUCCESS")))
+      Files.createFile(stage.resolve("assigned").resolve("_SUCCESS"))
+    // the next rebuild must first complete the interrupted swap (or
+    // the read of assigned/ would see nothing) and then run normally
+    Ann.ivfIndexRebuild(spark, dir, 16)
+    val got = spark.read.parquet(s"$dir/assigned")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(!Files.exists(stage) &&
+      !Files.exists(Paths.get(dir, ".rebuild_trash")))
+  }
+
   test("ann_ivf_pq: ADC + re-rank recalls what plain IVF recalls") {
     val brute = Ann.bruteTopK(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
