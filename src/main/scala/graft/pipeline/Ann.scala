@@ -332,13 +332,57 @@ object Ann {
   def ivfPqTopK(spark: SparkSession, dir: String,
                 nQueries: Int = 5, k: Int = 10,
                 cells: Int = 16, nprobe: Int = 4,
-                m: Int = 8, ksub: Int = 16, rerank: Int = 40): DataFrame = {
+                m: Int = 8, ksub: Int = 16, rerank: Int = 40,
+                literalBudget: Int = MaxPlanLiteralDoubles): DataFrame = {
     val (assigned, centersDf) = ivfAssign(spark, dir, cells)
     val codebooks = pqCodebooksFor(spark, dir, cells, m, ksub)
-    val encoded = ivfPqEncodeOf(normalized(assigned), codebooks, m)
+    val encoded = ivfPqEncodeOf(normalized(assigned), codebooks, m,
+      literalBudget = literalBudget)
     ivfPqProbePlan(encoded, centersDf,
       assigned.select(col("vec_id"), col("v")), codebooks,
-      nQueries, k, nprobe, m, ksub, rerank)
+      nQueries, k, nprobe, m, ksub, rerank, literalBudget)
+  }
+
+  /** Plan-literal budget, in doubles: lookup grids at or under this
+    * size ride the plan as `typedLit` arrays (zero-join, codegen'd
+    * `element_at`); past it they switch to a one-row BROADCAST
+    * relation cross-joined into the scan — the array then ships once
+    * per executor as a broadcast block instead of being serialized
+    * into every task's plan and chewed by Janino. The shipped
+    * defaults (m=8, ksub=16 → SDC grid 2 k doubles) stay literal;
+    * production-grade codebooks (m=64, ksub=256 → 4.2 M doubles ≈
+    * 32 MB) cross the bound and degrade gracefully instead of
+    * regressing plan compile time. Result equality across both paths
+    * is spec-pinned at a forced zero budget.
+    */
+  val MaxPlanLiteralDoubles: Int = 1 << 16
+
+  /** A flat double lookup grid as (frame-to-scan, grid column):
+    * literal under `budget`, broadcast one-row relation above it.
+    */
+  private def attachGrid(df: DataFrame, grid: Seq[Double], name: String,
+                         budget: Int): (DataFrame, Column) =
+    if (grid.size <= budget) (df, typedLit(grid))
+    else {
+      val sq = df.sparkSession
+      import sq.implicits._
+      (df.crossJoin(broadcast(Seq(Tuple1(grid)).toDF(name))), col(name))
+    }
+
+  /** [[attachGrid]] for the nested per-subspace codebook array
+    * (m × ksub × sub doubles).
+    */
+  private def attachBooks(df: DataFrame,
+                          codebooks: Array[Array[Array[Double]]],
+                          name: String, budget: Int): (DataFrame, Column) = {
+    val nested = codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    val size = codebooks.map(_.map(_.length).sum).sum
+    if (size <= budget) (df, typedLit(nested))
+    else {
+      val sq = df.sparkSession
+      import sq.implicits._
+      (df.crossJoin(broadcast(Seq(Tuple1(nested)).toDF(name))), col(name))
+    }
   }
 
   /** Unit-normalize once: cosine == dot on normalized vectors, which
@@ -411,14 +455,15 @@ object Ann {
   private def ivfPqEncodeOf(normed: DataFrame,
                             codebooks: Array[Array[Array[Double]]],
                             m: Int,
-                            cellCol: Column = col("cell")): DataFrame = {
+                            cellCol: Column = col("cell"),
+                            literalBudget: Int = MaxPlanLiteralDoubles): DataFrame = {
     val sub = 64 / m
-    val booksLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val (frame, books) = attachBooks(normed, codebooks, "pq_books", literalBudget)
     def subSlice(vec: Column, s: Int): Column =
       slice(vec, s * sub + 1, sub)
     // dists(s) = per-centroid squared L2 of subspace s
     def subDists(vec: Column, s: Int): Column =
-      transform(element_at(booksLit, lit(s + 1)), c =>
+      transform(element_at(books, lit(s + 1)), c =>
         aggregate(zip_with(subSlice(vec, s), c, (x, w) => (x - w) * (x - w)),
           lit(0.0), (a, y) => a + y))
     val codeCols = (0 until m).map { s =>
@@ -427,7 +472,7 @@ object Ann {
       // matching the LUT's element_at semantics
       (array_position(d, array_min(d)) - 1).cast("int").as(s"code$s")
     }
-    normed.select((Seq(col("vec_id"), cellCol.as("cell")) ++ codeCols): _*)
+    frame.select((Seq(col("vec_id"), cellCol.as("cell")) ++ codeCols): _*)
   }
 
   /** The IVFADC search plan over any (codes, centers, vectors,
@@ -451,16 +496,17 @@ object Ann {
                              vecs: DataFrame,
                              codebooks: Array[Array[Array[Double]]],
                              nQueries: Int, k: Int, nprobe: Int,
-                             m: Int, ksub: Int, rerank: Int): DataFrame = {
+                             m: Int, ksub: Int, rerank: Int,
+                             literalBudget: Int = MaxPlanLiteralDoubles): DataFrame = {
     val sub = 64 / m
-    val booksLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     // queries: normalized view of the tiny query slice + flat ADC LUT
     // against every centroid — lut[s*ksub + c] = <qn_sub, centroid(s)(c)>
     val queries = normalized(vecs.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vn").as("qn"))
-    val withLut = queries.withColumn("lut",
+    val (qFrame, books) = attachBooks(queries, codebooks, "pq_books", literalBudget)
+    val withLut = qFrame.withColumn("lut",
       flatten(transform(sequence(lit(0), lit(m - 1)), s =>
-        transform(element_at(booksLit, s + 1), c =>
+        transform(element_at(books, s + 1), c =>
           aggregate(
             zip_with(slice(col("qn"), s * lit(sub) + 1, lit(sub)), c,
               (x, w) => x * w),
@@ -563,7 +609,8 @@ object Ann {
     */
   def knnJoin(spark: SparkSession, dir: String,
               k: Int = 5, cellsMin: Int = 16, nprobe: Int = 2,
-              m: Int = 8, ksub: Int = 16, rerank: Int = 128): DataFrame = {
+              m: Int = 8, ksub: Int = 16, rerank: Int = 128,
+              literalBudget: Int = MaxPlanLiteralDoubles): DataFrame = {
     // corpus size from parquet FOOTERS (metadata, no count() job) —
     // in production this scalar comes off the table manifest
     val n = graft.sources.StorageStats.parquetRowCount(
@@ -578,24 +625,28 @@ object Ann {
     // 512 B of doubles, so the cell shuffle (the operator's dominant
     // movement) is ~64× narrower than the exact-candidates form
     val probed = ivfPqEncodeOf(normalized(assigned.drop("cell")),
-      codebooks, m, explode(probeCells))
+      codebooks, m, explode(probeCells), literalBudget)
     // symmetric distance tables (SDC): per subspace the centroid ×
-    // centroid dot-product grid — m·ksub² doubles, one flat plan
-    // literal; a candidate pair is scored by m array lookups, never a
-    // full-width dot product (the join analogue of ivfPqProbePlan's
-    // per-query ADC LUT, which would cost a 1 KB LUT column per ROW
-    // when every vector is a query)
-    val sdcLit = typedLit((for {
+    // centroid dot-product grid — m·ksub² doubles, a flat plan
+    // literal while under the budget and a one-row broadcast relation
+    // past it (32 MB at production m=64/ksub=256 must not ride every
+    // task's serialized plan); a candidate pair is scored by m array
+    // lookups, never a full-width dot product (the join analogue of
+    // ivfPqProbePlan's per-query ADC LUT, which would cost a 1 KB LUT
+    // column per ROW when every vector is a query)
+    val sdcGrid = (for {
       s <- 0 until m; a <- 0 until ksub; b <- 0 until ksub
-    } yield codebooks(s)(a).zip(codebooks(s)(b)).map { case (x, y) => x * y }.sum).toSeq)
+    } yield codebooks(s)(a).zip(codebooks(s)(b)).map { case (x, y) => x * y }.sum).toSeq
+    val joined = probed.as("a")
+      .join(probed.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+    val (scored, sdc) = attachGrid(joined, sdcGrid, "sdc_grid", literalBudget)
     val approx = (0 until m).map { s =>
-      element_at(sdcLit,
+      element_at(sdc,
         (lit(s * ksub * ksub) + col(s"a.code$s") * lit(ksub) +
           col(s"b.code$s") + lit(1)).cast("int"))
     }.reduce(_ + _)
-    val cand = probed.as("a")
-      .join(probed.as("b"), col("a.cell") === col("b.cell") &&
-        col("a.vec_id") =!= col("b.vec_id"))
+    val cand = scored
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
         approx.as("approx"))
       // a pair sharing several probe cells appears once per cell;

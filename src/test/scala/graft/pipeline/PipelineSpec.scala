@@ -310,6 +310,20 @@ class PipelineSpec extends SparkSpec {
       !Files.exists(Paths.get(dir, ".rebuild_trash")))
   }
 
+  test("plan-literal budget: forcing the broadcast-grid path (budget 0) " +
+       "leaves knn_join and ann_ivf_pq results identical") {
+    val litKnn = Ann.knnJoin(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val bcKnn = Ann.knnJoin(spark, sf01, literalBudget = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(litKnn.nonEmpty && litKnn == bcKnn)
+    val litPq = Ann.ivfPqTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val bcPq = Ann.ivfPqTopK(spark, sf01, literalBudget = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(litPq.nonEmpty && litPq == bcPq)
+  }
+
   test("ann_ivf_pq: ADC + re-rank recalls what plain IVF recalls") {
     val brute = Ann.bruteTopK(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
