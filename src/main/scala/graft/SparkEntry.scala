@@ -365,6 +365,30 @@ object SparkEntry {
         "CAST(sum(CASE WHEN event_type = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM fin GROUP BY 1 ORDER BY 1")),
+    // the SAME correction feed through versioned snapshot commits
+    // (manifest-per-version, one atomic rename = the commit point):
+    // final state matches the identical relational oracle; the
+    // all-old-or-all-new reader isolation and crash windows are
+    // SnapshotSpec's
+    ("snapshot_upsert",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotOps.snapshotUpsertRollup(s, d),
+      Some("WITH e AS (SELECT event_id, CAST(ts AS DATE) AS date, " +
+        "user_id, event_type FROM events), " +
+        "upd AS (SELECT event_id, date, user_id, 'corrected' AS event_type " +
+        "FROM e WHERE user_id % 89 = 5 AND day(date) <= 7), " +
+        "ins AS (SELECT event_id + 1000000000 AS event_id, date, user_id, " +
+        "'inserted' AS event_type FROM e WHERE user_id % 89 = 7 AND day(date) <= 7), " +
+        "bk AS (SELECT event_id FROM upd UNION ALL SELECT event_id FROM ins), " +
+        "fin AS (SELECT event_id, date, event_type FROM e " +
+        "WHERE event_id NOT IN (SELECT event_id FROM bk) " +
+        "UNION ALL SELECT event_id, date, event_type FROM upd " +
+        "UNION ALL SELECT event_id, date, event_type FROM ins) " +
+        "SELECT CAST(date AS VARCHAR) AS date, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN event_type = 'corrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected, " +
+        "CAST(sum(CASE WHEN event_type = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM fin GROUP BY 1 ORDER BY 1")),
     // server-to-server backfill (the `clone` verb, reference
     // doc/index.rst:385-400, src/Clone.cxx): day-partitioned copy
     // driven to an empty manifest diff; the oracle's per-day counts

@@ -1,0 +1,238 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned snapshot commits over a partitioned parquet layout — the
+  * table-format layer that closes [[PartitionSwap]]'s documented
+  * reader-visible gap (PartitionSwap.scala: a reader overlapping a
+  * multi-partition mutation can see partition A new and partition B
+  * old). The standard remedy, reduced to its core (the same design
+  * center as Iceberg/Delta):
+  *
+  *  - **Data files are immutable.** A mutation never renames or
+  *    rewrites a live file; it writes NEW files (under per-version
+  *    subdirs of the partition dirs) and leaves the old ones in
+  *    place until vacuum.
+  *  - **One manifest per version** (`_graft_snapshots/vNNNNNNNN
+  *    .manifest`, one relative file path per line) lists the COMPLETE
+  *    live file set of that version.
+  *  - **Commit is one atomic rename**: the next manifest is staged as
+  *    a hidden tmp file and renamed into its final name — the rename
+  *    IS the commit point. Rename-without-overwrite is atomic on
+  *    HDFS and POSIX; a concurrent second writer's rename fails and
+  *    surfaces as an error, never as corruption.
+  *  - **Readers pin a version once** ([[pin]]): resolve the highest
+  *    committed manifest, then read exactly those files. A reader
+  *    overlapping any number of in-flight mutations sees all-old or
+  *    all-new — never a mix — because nothing it references is
+  *    mutated and the file set it scans came from one manifest.
+  *    [[vacuum]] retention (default [[KeepVersions]]) bounds how long
+  *    a pinned reader may straggle, exactly like any table format's
+  *    snapshot-expiry policy.
+  *
+  * Crash windows, all recoverable ([[recoverMeta]] runs before every
+  * mutation): data files staged but manifest never committed →
+  * orphans invisible to every reader, deleted by the next [[vacuum]];
+  * tmp manifest left behind → deleted; died right after the rename →
+  * the commit simply happened. Single writer at a time is assumed
+  * (as for every mutation operator in this package); the atomic
+  * rename turns a violated assumption into a failed commit, not a
+  * torn table.
+  *
+  * Snapshot-managed tables carry the partition column IN the data
+  * (as a string) in addition to the directory name — [[convert]]
+  * re-materializes a `partitionBy` layout once, the migration cost
+  * every table format charges — so snapshot reads are a plain
+  * explicit-file-list parquet scan with no partition-inference games.
+  *
+  * 100 TB shape: the manifest is metadata (one line per file, ~100 B;
+  * a million-file table is a ~100 MB manifest read once per job on
+  * the driver — the scale at which real formats shard manifests, the
+  * one structural simplification taken here). Mutations stay
+  * partition-local copy-on-write; commit cost is O(manifest), not
+  * O(data); readers plan from the manifest without listing a single
+  * directory.
+  */
+object Snapshot {
+
+  val MetaDir = "_graft_snapshots"
+
+  /** Versions retained by [[vacuum]] (current + stragglers). */
+  val KeepVersions = 2
+
+  private def manifestName(v: Long) = f"v$v%08d.manifest"
+  private val ManifestRe = "^v(\\d{8})\\.manifest$".r
+
+  private def metaPath(root: Path) = new Path(root, MetaDir)
+
+  /** All committed versions, ascending. */
+  def versions(fs: FileSystem, root: Path): Seq[Long] = {
+    val meta = metaPath(root)
+    if (!fs.exists(meta)) Seq.empty
+    else fs.listStatus(meta).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(d) => Some(d.toLong)
+        case _ => None
+      }
+    }.sorted
+  }
+
+  def currentVersion(fs: FileSystem, root: Path): Option[Long] =
+    versions(fs, root).lastOption
+
+  /** The file list (relative paths) of one committed version. */
+  def filesOf(fs: FileSystem, root: Path, v: Long): Seq[String] = {
+    val in = fs.open(new Path(metaPath(root), manifestName(v)))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** A pinned snapshot: resolved ONCE; every read against it scans
+    * exactly these files regardless of later commits.
+    */
+  case class Pin(version: Long, files: Seq[String])
+
+  def pin(spark: SparkSession, dir: String): Pin = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = currentVersion(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"$dir is not snapshot-managed (no $MetaDir manifest); run convert"))
+    Pin(v, filesOf(fs, root, v))
+  }
+
+  /** Read the pinned file set. An empty table (possible after a
+    * delete) reads as an empty frame only through [[readPin]] callers
+    * that tolerate it; parquet needs ≥1 file for schema, so empty
+    * manifests are rejected where they cannot occur by construction.
+    */
+  def readPin(spark: SparkSession, dir: String, p: Pin): DataFrame = {
+    require(p.files.nonEmpty, s"snapshot v${p.version} of $dir is empty")
+    spark.read.parquet(p.files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Snapshot-isolated read: resolve the current version once, scan
+    * exactly its files.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readPin(spark, dir, pin(spark, dir))
+
+  /** Commit `files` (relative paths — the complete live set of the
+    * new version) as `base + 1`. Returns the committed version. The
+    * staged tmp manifest is hidden (dot-prefixed) so a concurrent
+    * [[versions]] listing never sees it; the rename is the commit
+    * point and fails (never overwrites) if the version already
+    * exists.
+    */
+  def commit(fs: FileSystem, root: Path, files: Seq[String],
+             base: Long): Long = {
+    val v = base + 1
+    val meta = metaPath(root)
+    fs.mkdirs(meta)
+    val tmp = new Path(meta,
+      s".tmp.${manifestName(v)}.${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val fin = new Path(meta, manifestName(v))
+    if (!fs.rename(tmp, fin)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"snapshot commit of v$v failed (concurrent writer?)")
+    }
+    v
+  }
+
+  /** Drop tmp manifests a dead writer left behind. Orphan DATA files
+    * (staged, never committed) are invisible to readers and reaped by
+    * [[vacuum]].
+    */
+  def recoverMeta(fs: FileSystem, root: Path): Unit = {
+    val meta = metaPath(root)
+    if (fs.exists(meta))
+      fs.listStatus(meta).filter(_.getPath.getName.startsWith(".tmp."))
+        .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** Expire old versions: keep the newest `keep` manifests, delete
+    * every data file not referenced by a kept manifest (this also
+    * reaps never-committed orphans), then delete the expired
+    * manifests. Directories emptied by the sweep are removed.
+    */
+  def vacuum(fs: FileSystem, root: Path, keep: Int = KeepVersions): Unit = {
+    val vs = versions(fs, root)
+    if (vs.isEmpty) return
+    val kept = vs.takeRight(keep)
+    val referenced: Set[String] =
+      kept.flatMap(v => filesOf(fs, root, v)).toSet
+    val rootUri = fs.makeQualified(root).toUri.getPath
+    // returns "no live content remains": unreferenced data files are
+    // deleted; write-marker droppings (_SUCCESS, .…crc) don't count
+    // as live and vanish with their dir's recursive delete
+    def sweep(dir: Path): Boolean = {
+      if (dir.getName == MetaDir) return false
+      var live = false
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (sweep(st.getPath)) fs.delete(st.getPath, true)
+          else live = true
+        } else if (name.endsWith(".parquet") && !name.startsWith(".")) {
+          val rel = st.getPath.toUri.getPath
+            .stripPrefix(rootUri).stripPrefix("/")
+          if (referenced(rel)) live = true
+          else fs.delete(st.getPath, false)
+        } else if (!name.startsWith("_") && !name.startsWith("."))
+          live = true
+      }
+      !live
+    }
+    fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName != MetaDir)
+      .foreach(st => if (sweep(st.getPath)) fs.delete(st.getPath, true))
+    vs.dropRight(keep).foreach { v =>
+      fs.delete(new Path(metaPath(root), manifestName(v)), false)
+    }
+  }
+
+  /** One-time migration of a `partitionBy` layout into snapshot
+    * management: per partition dir, re-materialize the rows WITH the
+    * partition column as a string data column (recovered from the
+    * directory name) under `<part>/u1_0/`, commit the v1 manifest,
+    * and drop the legacy top-level part files. Cost: one full
+    * rewrite — what any table-format migration charges. Returns v1.
+    */
+  def convert(spark: SparkSession, dir: String, partCol: String): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(currentVersion(fs, root).isEmpty, s"$dir is already converted")
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.contains("=")).sorted
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val legacy = scala.collection.mutable.ArrayBuffer.empty[Path]
+    parts.foreach { part =>
+      val live = new Path(root, part)
+      val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(part.substring(part.indexOf('=') + 1))
+      spark.read.parquet(live.toString)
+        .withColumn(partCol, lit(value))
+        .write.mode("overwrite").parquet(s"$dir/$part/u1_0")
+      files ++= dataFilesUnder(fs, root, s"$part/u1_0")
+      legacy ++= fs.listStatus(live).filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    }
+    val v = commit(fs, root, files.toSeq, 0L)
+    legacy.foreach(p => fs.delete(p, false))
+    v
+  }
+
+  /** Relative paths of the parquet files under `root/<rel>`. */
+  private[sources] def dataFilesUnder(fs: FileSystem, root: Path,
+                                      rel: String): Seq[String] =
+    fs.listStatus(new Path(root, rel)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"$rel/${st.getPath.getName}").sorted
+}

@@ -1,0 +1,216 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The three table-mutation operators re-expressed over
+  * [[Snapshot]]'s versioned-manifest commits — upsert, erasure and
+  * compaction with FILE-granular copy-on-write:
+  *
+  *  - plan against the pinned manifest (never a directory listing):
+  *    the files actually holding affected keys come from one
+  *    key-pruned scan with `input_file_name()`, so an untouched file
+  *    is neither read twice nor rewritten;
+  *  - rewrite only those files (plus one new file set per partition
+  *    receiving inserts), into per-version subdirs — live files are
+  *    never renamed, moved or overwritten;
+  *  - commit the complete next file set as ONE manifest rename: a
+  *    reader that pinned before the commit keeps its intact old
+  *    version, a reader pinning after sees the complete new one —
+  *    the all-old-or-all-new guarantee PartitionSwap's per-partition
+  *    dir renames could not give across partitions (SnapshotSpec
+  *    proves both sides, plus the crash windows).
+  *
+  * Every mutation ends with [[Snapshot.vacuum]] at the default
+  * retention, so storage is bounded at ~[[Snapshot.KeepVersions]]×
+  * the churn while still letting a straggling reader finish against
+  * the previous version.
+  */
+object SnapshotOps {
+
+  case class MutationStats(version: Long, partitions: Seq[String],
+                           retiredFiles: Long, newFiles: Long)
+
+  private def escapePart(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v)
+  private def unescapePart(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(v)
+
+  /** MERGE-INTO over a snapshot table: rows of `batch` replace
+    * same-key rows wherever they live (old versions leave their
+    * files even when the new row moved partitions); unmatched rows
+    * insert into their `partCol` partition. `partCol` is compared as
+    * string (the snapshot data column).
+    */
+  def upsert(spark: SparkSession, dir: String, batch: DataFrame,
+             keyCol: String, partCol: String): MutationStats = {
+    val b = batch.withColumn(partCol, col(partCol).cast("string")).cache()
+    try {
+      val nBatch = b.count()
+      require(b.select(keyCol).distinct().count() == nBatch,
+        s"upsert batch carries duplicate $keyCol values")
+      if (nBatch == 0) {
+        val root = new Path(dir)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        return MutationStats(Snapshot.currentVersion(fs, root).getOrElse(0L),
+          Nil, 0L, 0L)
+      }
+      val keys = b.select(keyCol)
+      mutate(spark, dir, keys, keyCol,
+        incomingParts = b.select(partCol).distinct()
+          .collect().map(_.getString(0)).toSeq,
+        incomingOf = part => Some(b.filter(col(partCol) === part)))
+    } finally b.unpersist()
+  }
+
+  /** Compliance erasure over a snapshot table: every row whose
+    * `keyCol` is in `keys` disappears in the committed version; only
+    * files that actually held such rows are rewritten.
+    */
+  def delete(spark: SparkSession, dir: String, keys: DataFrame,
+             keyCol: String): MutationStats =
+    mutate(spark, dir, keys.distinct(), keyCol,
+      incomingParts = Nil, incomingOf = _ => None)
+
+  /** The shared COW core: retire the files holding `keys`, replace
+    * each affected partition's retired rows with (retired minus keys)
+    * ∪ incoming, commit one manifest.
+    */
+  private def mutate(spark: SparkSession, dir: String, keys: DataFrame,
+                     keyCol: String, incomingParts: Seq[String],
+                     incomingOf: String => Option[DataFrame]): MutationStats = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Snapshot.recoverMeta(fs, root)
+    val p = Snapshot.pin(spark, dir)
+    val bkeys = broadcast(keys)
+
+    // the files holding affected keys — ONE key-pruned plan scan of
+    // the pinned set; metadata-sized result
+    val rootUri = fs.makeQualified(root).toUri.getPath
+    def relOf(f: String): String = new Path(f).toUri.getPath
+      .stripPrefix(rootUri).stripPrefix("/")
+    val hitRels = Snapshot.readPin(spark, dir, p)
+      .withColumn("f", input_file_name())
+      .join(bkeys, Seq(keyCol), "left_semi")
+      .select("f").distinct()
+      .collect().map(r => relOf(r.getString(0))).toSet
+    def partOf(rel: String): String = rel.substring(0, rel.indexOf('/'))
+    val affected = (hitRels.map(partOf) ++
+      incomingParts.map(v => partDirOf(p, v))).toSeq.distinct.sorted
+    if (affected.isEmpty)
+      return MutationStats(p.version, Nil, 0L, 0L)
+
+    val newVersion = p.version + 1
+    val newFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    affected.zipWithIndex.foreach { case (part, i) =>
+      val partHits = p.files.filter(f => f.startsWith(s"$part/") && hitRels(f))
+      val keep =
+        if (partHits.isEmpty) None
+        else Some(spark.read.parquet(partHits.map(f => s"$dir/$f"): _*)
+          .join(bkeys, Seq(keyCol), "left_anti"))
+      val partValue = unescapePart(part.substring(part.indexOf('=') + 1))
+      val out = (keep, incomingOf(partValue)) match {
+        case (Some(k), Some(in)) => Some(k.unionByName(in))
+        case (Some(k), None) => Some(k)
+        case (None, Some(in)) => Some(in)
+        case (None, None) => None
+      }
+      out.foreach { df =>
+        val sub = s"$part/u${newVersion}_$i"
+        df.write.mode("overwrite").parquet(s"$dir/$sub")
+        newFiles ++= Snapshot.dataFilesUnder(fs, root, sub)
+      }
+    }
+    val manifest = p.files.filterNot(hitRels) ++ newFiles
+    val v = Snapshot.commit(fs, root, manifest, p.version)
+    Snapshot.vacuum(fs, root)
+    MutationStats(v, affected, hitRels.size.toLong, newFiles.size.toLong)
+  }
+
+  /** The partition dir name an incoming partition value maps to:
+    * reuse the spelling of an existing pinned dir when one matches
+    * (dirs were written escaped), else escape the value.
+    */
+  private def partDirOf(p: Snapshot.Pin, value: String): String = {
+    val dirName = p.files.map(f => f.substring(0, f.indexOf('/')))
+      .find(d => unescapePart(d.substring(d.indexOf('=') + 1)) == value)
+    dirName.getOrElse {
+      val col = p.files.headOption.map(f => f.substring(0, f.indexOf('=')))
+        .getOrElse("part")
+      s"$col=${escapePart(value)}"
+    }
+  }
+
+  /** Compaction over a snapshot table: partitions whose live file
+    * count exceeds `maxFiles` are rewritten into one file; commit is
+    * one manifest rename (the multi-partition atomicity the dir-swap
+    * compactor lacks).
+    */
+  def compact(spark: SparkSession, dir: String,
+              maxFiles: Int = 4): MutationStats = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Snapshot.recoverMeta(fs, root)
+    val p = Snapshot.pin(spark, dir)
+    val byPart = p.files.groupBy(f => f.substring(0, f.indexOf('/')))
+    val affected = byPart.filter(_._2.size > maxFiles).keys.toSeq.sorted
+    if (affected.isEmpty) return MutationStats(p.version, Nil, 0L, 0L)
+    val newVersion = p.version + 1
+    val newFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    val retired = scala.collection.mutable.ArrayBuffer.empty[String]
+    affected.zipWithIndex.foreach { case (part, i) =>
+      val files = byPart(part)
+      retired ++= files
+      val sub = s"$part/u${newVersion}_$i"
+      spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$sub")
+      newFiles ++= Snapshot.dataFilesUnder(fs, root, sub)
+    }
+    val retiredSet = retired.toSet
+    val manifest = p.files.filterNot(retiredSet) ++ newFiles
+    val v = Snapshot.commit(fs, root, manifest, p.version)
+    Snapshot.vacuum(fs, root)
+    MutationStats(v, affected, retired.size.toLong, newFiles.size.toLong)
+  }
+
+  /** The gate query: the SAME correction feed as `corpus_upsert`
+    * (updates for `user_id % 89 = 5`, offset-id inserts for
+    * `% 89 = 7`, first week of each month) applied through snapshot
+    * commits — convert the date layout once, upsert, roll up the
+    * final state from a snapshot-isolated read. The oracle rebuilds
+    * the final state relationally (identical to corpus_upsert's);
+    * the isolation/crash properties are SnapshotSpec's.
+    */
+  def snapshotUpsertRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scoped("snapupsert",
+      spark.sparkContext.applicationId, dir)
+    val events = Tables.events(spark, dir)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+    events.repartition(col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(tmp)
+    Snapshot.convert(spark, tmp, "date")
+    val inWindow = dayofmonth(col("date")) <= 7
+    val updates = events
+      .filter(pmod(col("user_id"), lit(89)) === 5 && inWindow)
+      .withColumn("event_type", lit("corrected"))
+    val inserts = events
+      .filter(pmod(col("user_id"), lit(89)) === 7 && inWindow)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+      .withColumn("event_type", lit("inserted"))
+    upsert(spark, tmp, updates.unionByName(inserts), "event_id", "date")
+    Snapshot.read(spark, tmp)
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "corrected", 1L).otherwise(0L)).as("n_corrected"),
+        sum(when(col("event_type") === "inserted", 1L).otherwise(0L)).as("n_inserted"),
+        sum("event_id").as("sum_id"))
+      .orderBy("date")
+  }
+}

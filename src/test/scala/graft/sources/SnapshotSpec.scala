@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Gates for the versioned-snapshot table layer — the properties
+  * PartitionSwap's per-partition dir renames cannot give:
+  *
+  *  - a reader that PINNED before a multi-partition mutation commits
+  *    still reads its complete OLD version afterward (all-old);
+  *  - a reader pinning after the commit sees the complete NEW
+  *    version (all-new); there is no interleaving in which a reader
+  *    mixes versions, because the scan set comes from one manifest
+  *    resolved once;
+  *  - every crash window (orphan staged data, tmp manifest, death
+  *    before/after the commit rename) leaves the table readable at a
+  *    committed version and is cleaned by the next mutation/vacuum.
+  */
+class SnapshotSpec extends SparkSpec {
+
+  private def freshTable(): (String, DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val events = graft.Tables.events(spark, sf)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+    events.repartition(col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    Snapshot.convert(spark, dir, "date")
+    (dir, events)
+  }
+
+  private def state(df: DataFrame): Set[(Long, String, String)] =
+    df.select(col("event_id"), col("date").cast("string"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("convert preserves content exactly (partition column re-carried " +
+       "in data) and legacy part files are retired") {
+    val (dir, events) = freshTable()
+    assert(state(Snapshot.read(spark, dir)) == state(events))
+    // no top-level part files remain under partition dirs
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).filter(_.isDirectory)
+      .filterNot(_.getPath.getName == Snapshot.MetaDir).foreach { d =>
+        val legacy = fs.listStatus(d.getPath)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        assert(legacy.isEmpty, s"legacy files under ${d.getPath}")
+      }
+  }
+
+  test("upsert: a reader pinned BEFORE the commit reads all-old after " +
+       "it; a pin after reads all-new; file-granular COW only retires " +
+       "hit files") {
+    val (dir, events) = freshTable()
+    val before = Snapshot.pin(spark, dir)
+    val updates = events
+      .filter(pmod(col("user_id"), lit(89)) === 5)
+      .withColumn("event_type", lit("corrected"))
+    val inserts = events
+      .filter(pmod(col("user_id"), lit(89)) === 7)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+      .withColumn("event_type", lit("inserted"))
+    val batch = updates.unionByName(inserts)
+    val stats = SnapshotOps.upsert(spark, dir, batch, "event_id", "date")
+    assert(stats.version == before.version + 1)
+    // all-old: the pre-commit pin still resolves its complete state
+    assert(state(Snapshot.readPin(spark, dir, before)) == state(events),
+      "pinned reader lost its version after the commit")
+    // all-new: a fresh pin sees exactly the merged state
+    val bkeys = batch.select("event_id")
+    val expect = state(events.join(bkeys, Seq("event_id"), "left_anti")
+      .unionByName(batch.select(events.columns.map(col): _*)))
+    assert(state(Snapshot.read(spark, dir)) == expect)
+    // COW is file-granular: untouched pinned files stay referenced
+    val after = Snapshot.pin(spark, dir)
+    val kept = before.files.toSet.intersect(after.files.toSet)
+    assert(stats.retiredFiles == before.files.size - kept.size)
+    assert(kept.nonEmpty, "every file rewritten — planning swept the table")
+  }
+
+  test("delete erases keys; compact folds small files; both commit " +
+       "one manifest and reads stay consistent throughout") {
+    val (dir, events) = freshTable()
+    val doomed = events.filter(pmod(col("user_id"), lit(97)) === 3)
+      .select("event_id")
+    val pre = Snapshot.pin(spark, dir)
+    val del = SnapshotOps.delete(spark, dir, doomed, "event_id")
+    assert(del.version == pre.version + 1)
+    val expect = state(events.join(doomed, Seq("event_id"), "left_anti"))
+    assert(state(Snapshot.read(spark, dir)) == expect)
+    // fragment a partition: three tiny upserts land three file sets
+    val fragRow = events.orderBy("event_id").limit(1).cache()
+    val fragDate = fragRow.select(col("date").cast("string"))
+      .head().getString(0)
+    (0 until 3).foreach { i =>
+      val frag = fragRow
+        .withColumn("event_id", lit(5000000000L + i))
+        .withColumn("event_type", lit("frag"))
+      SnapshotOps.upsert(spark, dir, frag, "event_id", "date")
+    }
+    val fragged = Snapshot.pin(spark, dir)
+    val comp = SnapshotOps.compact(spark, dir, maxFiles = 1)
+    assert(comp.version == fragged.version + 1)
+    assert(comp.retiredFiles > comp.newFiles)
+    val got = state(Snapshot.read(spark, dir))
+    val want = expect ++ (0 until 3).map { i =>
+      (5000000000L + i, fragDate, "frag")
+    }
+    assert(got == want)
+    fragRow.unpersist()
+  }
+
+  test("crash windows: orphan staged data and tmp manifests never " +
+       "surface to readers and are reaped; a completed rename IS the " +
+       "commit") {
+    val (dir, events) = freshTable()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = Snapshot.pin(spark, dir)
+    // (a) writer died after staging data, before any manifest: write
+    // an orphan subdir into a partition
+    val somePart = v1.files.head.substring(0, v1.files.head.indexOf('/'))
+    events.limit(5).withColumn("date", col("date").cast("string"))
+      .write.parquet(s"$dir/$somePart/u99_0")
+    // (b) and a tmp manifest
+    val meta = new Path(root, Snapshot.MetaDir)
+    val tmp = new Path(meta, ".tmp.v00000099.manifest.deadbeef")
+    val out = fs.create(tmp, false); out.write("junk\n".getBytes); out.close()
+    // readers see only v1, exactly
+    assert(Snapshot.currentVersion(fs, root).contains(v1.version))
+    assert(state(Snapshot.read(spark, dir)) == state(events))
+    // the next mutation recovers both: tmp manifest dropped, orphans
+    // reaped by its vacuum
+    SnapshotOps.delete(spark, dir,
+      events.limit(1).select("event_id"), "event_id")
+    assert(!fs.exists(tmp))
+    Snapshot.vacuum(fs, root, keep = 1)
+    assert(!fs.exists(new Path(root, s"$somePart/u99_0")),
+      "orphan staged data survived vacuum")
+    // (c) a completed manifest rename is a commit: hand-write v+1
+    // listing a strict subset (drop one file) — readers follow it
+    val cur = Snapshot.pin(spark, dir)
+    val v = Snapshot.commit(fs, root, cur.files.tail, cur.version)
+    assert(Snapshot.currentVersion(fs, root).contains(v))
+    assert(Snapshot.pin(spark, dir).files == cur.files.tail)
+  }
+
+  test("vacuum keeps the retained versions readable and drops the rest") {
+    val (dir, events) = freshTable()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = Snapshot.pin(spark, dir)
+    SnapshotOps.delete(spark, dir,
+      events.filter(pmod(col("user_id"), lit(50)) === 1).select("event_id"),
+      "event_id")
+    // retention 2: v1 and v2 both resolvable and readable
+    assert(Snapshot.versions(fs, root).size == 2)
+    assert(state(Snapshot.readPin(spark, dir, v1)) == state(events))
+    SnapshotOps.delete(spark, dir,
+      events.filter(pmod(col("user_id"), lit(50)) === 2).select("event_id"),
+      "event_id")
+    // v1 expired now (keep=2 → v2, v3): manifest gone
+    assert(Snapshot.versions(fs, root) ==
+      Seq(v1.version + 1, v1.version + 2))
+  }
+}
