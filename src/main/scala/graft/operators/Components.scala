@@ -16,15 +16,34 @@ import org.apache.spark.sql.functions._
   *    formulation of Kiveris et al., "Connected Components in
   *    MapReduce and Beyond", SoCC 2014).
   *
-  * Each round is two shuffle joins on node id; `localCheckpoint`
-  * truncates the iterative lineage (an uncut 2·k-join plan tree hangs
-  * the optimizer long before the data is the problem — on a cluster
-  * this would be a reliable checkpoint instead). Convergence is
-  * detected by the label-sum invariant: labels only ever decrease, so
-  * an unchanged sum means a fixpoint (summed in decimal — see
-  * labelSum).
+  * Each round is two shuffle joins on node id; [[cut]] truncates the
+  * iterative lineage (an uncut 2·k-join plan tree hangs the optimizer
+  * long before the data is the problem — on a cluster this would be a
+  * reliable checkpoint instead). Convergence is detected by the
+  * label-sum invariant: labels only ever decrease, so an unchanged
+  * sum means a fixpoint (summed in decimal — see labelSum).
   */
 object Components {
+
+  /** Materialize `df` and cut both its lineage AND its plan-size
+    * statistics. A bare `localCheckpoint` truncates lineage but
+    * PRESERVES the origin plan's estimated `sizeInBytes`
+    * (`LogicalRDD.fromDataset` carries the origin stats), and the
+    * size estimator multiplies child sizes at every join — so in a
+    * self-join loop the carried estimate SQUARES each round. The data
+    * never misbehaves, but by round ~15 the estimate is a
+    * megabit-long BigInteger and ONE stats visit costs minutes of
+    * driver CPU in Karatsuba multiplication (observed at the 100×
+    * scale probe: `dedup_keep` spent >10 min inside
+    * `SizeInBytesOnlyStatsPlanVisitor` while the cluster sat idle).
+    * Wrapping the checkpoint in a fresh-leaf frame (row RDD +
+    * schema) resets each round to default leaf statistics, keeping
+    * per-round planning O(1) at any round count.
+    */
+  private def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(df.rdd, df.schema).localCheckpoint(true)
+  }
 
   /** @param nodes one column `node` (every vertex, including
     *              singletons — they emerge as their own component)
@@ -33,13 +52,11 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxRounds: Int = 25): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
+    val sym = cut(edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = nodes
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = cut(nodes
+      .select(col("node"), col("node").as("label")))
     // the sum accumulates in DECIMAL(38,0): int64 would overflow (and,
     // under the session's pinned ANSI mode, raise) once node ids are
     // content hashes or the corpus passes ~1e9 rows; coalesce covers
@@ -61,12 +78,11 @@ object Components {
             coalesce(col("nbr_label"), labels("label"))).as("label"))
       // pointer jumping: every label IS a node id (min over a set
       // containing ids), so the self-join is total
-      val jumped = stepped.as("x")
+      val jumped = cut(stepped.as("x")
         .join(stepped.select(col("node").as("pn"), col("label").as("pl")).as("y"),
           col("x.label") === col("y.pn"))
         .select(col("x.node").as("node"),
-          least(col("x.label"), col("pl")).as("label"))
-        .localCheckpoint(true)
+          least(col("x.label"), col("pl")).as("label")))
       val newSum = labelSum(jumped)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum

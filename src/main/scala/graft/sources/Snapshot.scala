@@ -199,30 +199,50 @@ object Snapshot {
   }
 
   /** One-time migration of a `partitionBy` layout into snapshot
-    * management: per partition dir, re-materialize the rows WITH the
-    * partition column as a string data column (recovered from the
-    * directory name) under `<part>/u1_0/`, commit the v1 manifest,
-    * and drop the legacy top-level part files. Cost: one full
-    * rewrite — what any table-format migration charges. Returns v1.
+    * management: re-materialize the rows WITH the partition column as
+    * a string data column (recovered from the directory name) under
+    * `<part>/u1_0/`, commit the v1 manifest, and drop the legacy
+    * top-level part files. Cost: one full rewrite — what any
+    * table-format migration charges — staged as ONE `partitionBy`
+    * write job (per-dir tagged subplans unioned), then one metadata
+    * RENAME per partition, NOT a sequential driver-looped write job
+    * per partition dir (a 365-partition migration is one job + 365
+    * renames, not 365 jobs). Returns v1.
     */
   def convert(spark: SparkSession, dir: String, partCol: String): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(currentVersion(fs, root).isEmpty, s"$dir is already converted")
     val parts = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.contains("=")).sorted
+      .map(_.getPath.getName).filter(_.contains("=")).sorted.toSeq
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     val legacy = scala.collection.mutable.ArrayBuffer.empty[Path]
-    parts.foreach { part =>
-      val live = new Path(root, part)
-      val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(part.substring(part.indexOf('=') + 1))
-      spark.read.parquet(live.toString)
-        .withColumn(partCol, lit(value))
-        .write.mode("overwrite").parquet(s"$dir/$part/u1_0")
-      files ++= dataFilesUnder(fs, root, s"$part/u1_0")
-      legacy ++= fs.listStatus(live).filter(_.isFile)
-        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    if (parts.nonEmpty) {
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val stage = ".snap_convert_stage"
+      val sch = spark.read.parquet(new Path(root, parts.head).toString).schema
+      parts.map { part =>
+        val value = esc.unescapePathName(part.substring(part.indexOf('=') + 1))
+        spark.read.schema(sch).parquet(new Path(root, part).toString)
+          .withColumn(partCol, lit(value))
+          .withColumn("__snap_part", lit(part))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("__snap_part")
+        .parquet(s"$dir/$stage")
+      parts.foreach { part =>
+        val src = new Path(root,
+          s"$stage/__snap_part=${esc.escapePathName(part)}")
+        if (fs.exists(src)) {
+          val dst = new Path(root, s"$part/u1_0")
+          fs.delete(dst, true)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"convert placement failed for $dst")
+          files ++= dataFilesUnder(fs, root, s"$part/u1_0")
+        }
+        legacy ++= fs.listStatus(new Path(root, part)).filter(_.isFile)
+          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      }
+      fs.delete(new Path(root, stage), true)
     }
     val v = commit(fs, root, files.toSeq, 0L)
     legacy.foreach(p => fs.delete(p, false))

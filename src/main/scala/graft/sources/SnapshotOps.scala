@@ -15,14 +15,25 @@ import graft.Tables
   *    key-pruned scan with `input_file_name()`, so an untouched file
   *    is neither read twice nor rewritten;
   *  - rewrite only those files (plus one new file set per partition
-  *    receiving inserts), into per-version subdirs — live files are
-  *    never renamed, moved or overwritten;
+  *    receiving inserts) in ONE staged `partitionBy` write job — the
+  *    per-partition subplans (kept-rows anti-join ∪ incoming) are
+  *    tagged with their destination dir and unioned, so a mutation
+  *    touching a thousand partitions is still one Spark job, not a
+  *    thousand sequential driver-looped jobs. Placement is then one
+  *    metadata RENAME per partition (stage subdir → per-version
+  *    subdir); live files are never renamed, moved or overwritten;
   *  - commit the complete next file set as ONE manifest rename: a
   *    reader that pinned before the commit keeps its intact old
   *    version, a reader pinning after sees the complete new one —
   *    the all-old-or-all-new guarantee PartitionSwap's per-partition
   *    dir renames could not give across partitions (SnapshotSpec
   *    proves both sides, plus the crash windows).
+  *
+  * Crash windows stay closed with the staged write: a death mid-stage
+  * leaves `.snap_stage_v*` orphans no manifest references (reaped by
+  * the next [[Snapshot.vacuum]]); a death mid-rename leaves
+  * unreferenced per-version subdirs (same); the manifest rename
+  * remains the only commit point.
   *
   * Every mutation ends with [[Snapshot.vacuum]] at the default
   * retention, so storage is bounded at ~[[Snapshot.KeepVersions]]×
@@ -33,6 +44,8 @@ object SnapshotOps {
 
   case class MutationStats(version: Long, partitions: Seq[String],
                            retiredFiles: Long, newFiles: Long)
+
+  private val StageTag = "__snap_part"
 
   private def escapePart(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -79,7 +92,8 @@ object SnapshotOps {
 
   /** The shared COW core: retire the files holding `keys`, replace
     * each affected partition's retired rows with (retired minus keys)
-    * ∪ incoming, commit one manifest.
+    * ∪ incoming — all partitions staged in ONE write job — commit one
+    * manifest.
     */
   private def mutate(spark: SparkSession, dir: String, keys: DataFrame,
                      keyCol: String, incomingParts: Seq[String],
@@ -106,13 +120,15 @@ object SnapshotOps {
     if (affected.isEmpty)
       return MutationStats(p.version, Nil, 0L, 0L)
 
-    val newVersion = p.version + 1
-    val newFiles = scala.collection.mutable.ArrayBuffer.empty[String]
-    affected.zipWithIndex.foreach { case (part, i) =>
+    // one subplan per affected partition (kept rows ∪ incoming),
+    // tagged with its destination dir; schema resolved once
+    val sch = spark.read.parquet(s"$dir/${p.files.head}").schema
+    val parts: Seq[(String, Option[DataFrame])] = affected.map { part =>
       val partHits = p.files.filter(f => f.startsWith(s"$part/") && hitRels(f))
       val keep =
         if (partHits.isEmpty) None
-        else Some(spark.read.parquet(partHits.map(f => s"$dir/$f"): _*)
+        else Some(spark.read.schema(sch)
+          .parquet(partHits.map(f => s"$dir/$f"): _*)
           .join(bkeys, Seq(keyCol), "left_anti"))
       val partValue = unescapePart(part.substring(part.indexOf('=') + 1))
       val out = (keep, incomingOf(partValue)) match {
@@ -121,16 +137,54 @@ object SnapshotOps {
         case (None, Some(in)) => Some(in)
         case (None, None) => None
       }
-      out.foreach { df =>
-        val sub = s"$part/u${newVersion}_$i"
-        df.write.mode("overwrite").parquet(s"$dir/$sub")
-        newFiles ++= Snapshot.dataFilesUnder(fs, root, sub)
-      }
+      (part, out)
     }
+    val newVersion = p.version + 1
+    val newFiles = stageAndPlace(spark, fs, root, dir,
+      parts.collect { case (part, Some(df)) =>
+        (part, df.withColumn(StageTag, lit(part)))
+      }, newVersion, onePerPart = false)
     val manifest = p.files.filterNot(hitRels) ++ newFiles
     val v = Snapshot.commit(fs, root, manifest, p.version)
     Snapshot.vacuum(fs, root)
     MutationStats(v, affected, hitRels.size.toLong, newFiles.size.toLong)
+  }
+
+  /** The staged-write placement shared by every mutation: union the
+    * tagged per-partition subplans, write them in ONE
+    * `partitionBy(__snap_part)` job under a hidden stage dir, then
+    * RENAME each staged subdir into its partition's per-version
+    * subdir (metadata-only; a partition whose subplan produced no
+    * rows simply stages no dir). Returns the new relative file list.
+    */
+  private def stageAndPlace(spark: SparkSession, fs: FileSystem,
+                            root: Path, dir: String,
+                            tagged: Seq[(String, DataFrame)],
+                            newVersion: Long,
+                            onePerPart: Boolean): Seq[String] = {
+    val newFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (tagged.isEmpty) return newFiles.toSeq
+    val stage = f".snap_stage_v$newVersion%08d"
+    val union = tagged.map(_._2).reduce(_ unionByName _)
+    val staged =
+      if (onePerPart) union.repartition(tagged.size, col(StageTag))
+      else union
+    staged.write.mode("overwrite").partitionBy(StageTag)
+      .parquet(s"$dir/$stage")
+    tagged.foreach { case (part, _) =>
+      val src = new Path(root, s"$stage/$StageTag=${escapePart(part)}")
+      if (fs.exists(src)) {
+        val sub = s"$part/u${newVersion}_0"
+        val dst = new Path(root, sub)
+        fs.delete(dst, true) // unreferenced orphan of a dead writer
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"staged placement failed for $dst")
+        newFiles ++= Snapshot.dataFilesUnder(fs, root, sub)
+      }
+    }
+    fs.delete(new Path(root, stage), true)
+    newFiles.toSeq
   }
 
   /** The partition dir name an incoming partition value maps to:
@@ -148,9 +202,12 @@ object SnapshotOps {
   }
 
   /** Compaction over a snapshot table: partitions whose live file
-    * count exceeds `maxFiles` are rewritten into one file; commit is
-    * one manifest rename (the multi-partition atomicity the dir-swap
-    * compactor lacks).
+    * count exceeds `maxFiles` are rewritten into one file each —
+    * all partitions in one clustered staged write (`repartition` on
+    * the stage tag puts each partition's rows in one task, so each
+    * staged dir holds exactly one file) — and commit is one manifest
+    * rename (the multi-partition atomicity the dir-swap compactor
+    * lacks).
     */
   def compact(spark: SparkSession, dir: String,
               maxFiles: Int = 4): MutationStats = {
@@ -162,19 +219,16 @@ object SnapshotOps {
     val affected = byPart.filter(_._2.size > maxFiles).keys.toSeq.sorted
     if (affected.isEmpty) return MutationStats(p.version, Nil, 0L, 0L)
     val newVersion = p.version + 1
-    val newFiles = scala.collection.mutable.ArrayBuffer.empty[String]
-    val retired = scala.collection.mutable.ArrayBuffer.empty[String]
-    affected.zipWithIndex.foreach { case (part, i) =>
-      val files = byPart(part)
-      retired ++= files
-      val sub = s"$part/u${newVersion}_$i"
-      spark.read.parquet(files.map(f => s"$dir/$f"): _*)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/$sub")
-      newFiles ++= Snapshot.dataFilesUnder(fs, root, sub)
+    val sch = spark.read.parquet(s"$dir/${p.files.head}").schema
+    val tagged = affected.map { part =>
+      (part, spark.read.schema(sch)
+        .parquet(byPart(part).map(f => s"$dir/$f"): _*)
+        .withColumn(StageTag, lit(part)))
     }
-    val retiredSet = retired.toSet
-    val manifest = p.files.filterNot(retiredSet) ++ newFiles
+    val newFiles = stageAndPlace(spark, fs, root, dir, tagged,
+      newVersion, onePerPart = true)
+    val retired = affected.flatMap(byPart).toSet
+    val manifest = p.files.filterNot(retired) ++ newFiles
     val v = Snapshot.commit(fs, root, manifest, p.version)
     Snapshot.vacuum(fs, root)
     MutationStats(v, affected, retired.size.toLong, newFiles.size.toLong)
