@@ -45,6 +45,25 @@ object Components {
     spark.createDataFrame(df.rdd, df.schema).localCheckpoint(true)
   }
 
+  /** Free a superseded [[cut]] frame's checkpoint blocks. Every round
+    * retires the previous round's labels; without an explicit drop
+    * the blocks accumulate for the LOOP's lifetime and then linger
+    * for the SESSION's (observed at the 100× probe: an 8 g driver
+    * carried every round of dedup_clusters + dedup_keep and OOM'd
+    * two queries later in knn_join's aggregate). Only superseded
+    * frames are dropped — the returned final labels keep their
+    * blocks, because consumers (the memoized cluster-labels
+    * artifact) read them long after this call returns, and a
+    * checkpointed frame cannot be recomputed once its blocks are
+    * gone.
+    */
+  private def drop(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** @param nodes one column `node` (every vertex, including
     *              singletons — they emerge as their own component)
     * @param edges two columns `a`, `b` (undirected; either order)
@@ -86,8 +105,10 @@ object Components {
       val newSum = labelSum(jumped)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
+      drop(labels)
       labels = jumped
     }
+    drop(sym)
     labels
   }
 }
