@@ -27,12 +27,22 @@ import org.apache.spark.sql.types.IntegerType
   *    partial winners, emits each group ascending with the rank
   *    attribute attached.
   *
-  * No sort operator appears anywhere in the plan; memory is
-  * O(groups·k) per task. Semantics are identical to row_number +
-  * filter: with a total (tie-broken) orderSpec the result is
-  * deterministic; with a partial order, row_number is tie-arbitrary
-  * and so is the heap. Registered via [[graft.GraftExtensions]];
-  * rate_limit, ann_brute and ann_lsh hit the pattern automatically.
+  * No sort operator appears anywhere in the plan. Memory: the FINAL
+  * phase holds O(groups-in-hash-partition · k) rows — bounded by the
+  * shuffle's ClusteredDistribution, same class as a hash aggregate.
+  * The PARTIAL phase sees arbitrary input partitions where EVERY
+  * group may appear, so its map is capped at [[MaxPartialGroups]]
+  * with emit-and-evict (LRU): an evicted group's current winners are
+  * emitted immediately and the group restarts if seen again. The
+  * partial phase only ever needs to emit a SUPERSET of each group's
+  * winners — eviction trades combining efficiency, never
+  * correctness (observed need: at the 100× probe, 500 k query groups
+  * × 32 task-concurrent unmanaged heaps OOM'd a 24 g driver before
+  * the cap). Semantics are identical to row_number + filter: with a
+  * total (tie-broken) orderSpec the result is deterministic; with a
+  * partial order, row_number is tie-arbitrary and so is the heap.
+  * Registered via [[graft.GraftExtensions]]; rate_limit, ann_brute
+  * and ann_lsh hit the pattern automatically.
   */
 case class TopKPerGroupExec(
     k: Int,
@@ -65,30 +75,71 @@ case class TopKPerGroupExec(
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(part, childOutput)
       val ordering = new LazilyGeneratedOrdering(order, childOutput)
-      // max-heap per group: peek = worst of the k best seen so far
+      // max-heap per group: peek = worst of the k best seen so far;
+      // LinkedHashMap iteration order = insertion order (LRU-ish for
+      // the partial phase's emit-and-evict)
       val heaps = new java.util.LinkedHashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1,
-            ordering.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < kk) {
-          heap.add(row.copy())
-        } else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
       import scala.jdk.CollectionConverters._
       if (!isFinal) {
-        // partial: emit the per-partition winners, order irrelevant
-        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+        // partial: bounded map — on overflow emit the eldest group's
+        // current winners and retire it (a superset per group is fine,
+        // the final phase reduces); emit remaining winners at end
+        new Iterator[InternalRow] {
+          private val pending = new java.util.ArrayDeque[InternalRow]()
+          private var drained: java.util.Iterator[
+            java.util.PriorityQueue[InternalRow]] = null
+          private def fill(): Unit = {
+            while (pending.isEmpty && drained == null) {
+              if (iter.hasNext) {
+                val row = iter.next()
+                val key = groupProj(row)
+                var heap = heaps.get(key)
+                if (heap == null) {
+                  heap = new java.util.PriorityQueue[InternalRow](kk + 1,
+                    ordering.reverse)
+                  heaps.put(key.copy(), heap)
+                }
+                if (heap.size() < kk) {
+                  heap.add(row.copy())
+                } else if (ordering.compare(row, heap.peek()) < 0) {
+                  heap.poll()
+                  heap.add(row.copy())
+                }
+                if (heaps.size() > TopKPerGroupExec.MaxPartialGroups) {
+                  val it = heaps.entrySet().iterator()
+                  val eldest = it.next()
+                  it.remove()
+                  eldest.getValue.forEach(r => pending.add(r))
+                }
+              } else {
+                drained = heaps.values().iterator()
+              }
+            }
+            while (pending.isEmpty && drained != null && drained.hasNext) {
+              drained.next().forEach(r => pending.add(r))
+            }
+          }
+          override def hasNext: Boolean = { fill(); !pending.isEmpty }
+          override def next(): InternalRow = { fill(); pending.poll() }
+        }
       } else {
+        while (iter.hasNext) {
+          val row = iter.next()
+          val key = groupProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](kk + 1,
+              ordering.reverse)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size() < kk) {
+            heap.add(row.copy())
+          } else if (ordering.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+        }
         val outProj = UnsafeProjection.create(
           (childOutput :+ rnAttr).map(_.dataType).toArray)
         val joined = new JoinedRow
@@ -108,6 +159,15 @@ case class TopKPerGroupExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Partial-phase group cap per task: ~32 k groups × (k+1) rows
+    * (~tens of MB) regardless of how many distinct groups the input
+    * partition carries. Above it the eldest group's winners are
+    * emitted early — more shuffle rows, same answer.
+    */
+  val MaxPartialGroups = 1 << 15
 }
 
 case class TopKPerGroupStrategy(spark: SparkSession) extends SparkStrategy {

@@ -50,6 +50,31 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(ann.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
   }
 
+  test("partial-phase emit-and-evict: more groups than MaxPartialGroups " +
+       "in one input partition still yields the exact top-k") {
+    import spark.implicits._
+    // one input partition carrying ~1.5x the cap in distinct groups,
+    // 3 rows each, unordered - the partial map MUST evict; the final
+    // phase must still reduce to the exact per-group minimum pair
+    val nGroups = TopKPerGroupExec.MaxPartialGroups * 3 / 2
+    val rows = (0 until nGroups).flatMap { g =>
+      Seq((g.toLong, (g % 7).toLong + 10L), (g.toLong, (g % 5).toLong),
+        (g.toLong, (g % 3).toLong + 100L))
+    }
+    val df = rows.toDF("g", "v").repartition(1)
+    val w = Window.partitionBy("g").orderBy(col("v"))
+    val got = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    got.collect()
+    assert(got.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    val vals = got.select("g", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(vals.size == nGroups)
+    (0 until nGroups).foreach { g =>
+      assert(vals(g.toLong) == (g % 5).toLong, s"group $g")
+    }
+  }
+
   test("rn = 1 (argmax-per-group) also matches") {
     val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
     val df = Tables.events(spark, sf)
