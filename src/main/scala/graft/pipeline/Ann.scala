@@ -606,11 +606,46 @@ object Ann {
     * a query's candidate count the result is value-identical to exact
     * cosine over all candidates ([[knnJoinExactCand]], spec-asserted).
     * *Rows-only* (KMeans cells are engine-specific).
+    *
+    * CANDIDATE REPRESENTATION IS SELECTED BY CORPUS SIZE (from the
+    * same footer-derived count that sizes the cells): below
+    * `pqThreshold` vectors the exact-candidates form wins — its one
+    * cell shuffle beats PQ's extra frontier + re-rank stages while
+    * everything fits comfortably — and above it the PQ form's ~64×
+    * narrower shuffle takes over. Measured crossover trend on one
+    * 32-core node (KnnCrossover, min-of-two warm): PQ/exact = 2.11
+    * at 0.5 M vectors, 1.58 at 5 M — the gap closes ~1.34×/decade,
+    * extrapolating to parity around ~10⁸ vectors locally; a real
+    * cluster pays network for every shuffle byte, so the default
+    * threshold sits at 50 M. Both forms share the IVF blocking and
+    * the recall gate; PipelineSpec pins each form explicitly and
+    * asserts their value identity at full frontier.
     */
   def knnJoin(spark: SparkSession, dir: String,
               k: Int = 5, cellsMin: Int = 16, nprobe: Int = 2,
               m: Int = 8, ksub: Int = 16, rerank: Int = 128,
-              literalBudget: Int = MaxPlanLiteralDoubles): DataFrame = {
+              literalBudget: Int = MaxPlanLiteralDoubles,
+              pqThreshold: Long = KnnPqThresholdVectors): DataFrame = {
+    val nVecs = graft.sources.StorageStats.parquetRowCount(
+      spark, s"$dir/embeddings.parquet")
+    if (nVecs < pqThreshold) knnJoinExactCand(spark, dir, k, cellsMin, nprobe)
+    else knnJoinPq(spark, dir, k, cellsMin, nprobe, m, ksub, rerank,
+      literalBudget)
+  }
+
+  /** Corpus size (vectors) above which [[knnJoin]] switches from
+    * exact-candidates to PQ codes on the candidate shuffle.
+    */
+  val KnnPqThresholdVectors: Long = 50L * 1000 * 1000
+
+  /** The PQ-codes candidate scorer — [[knnJoin]]'s large-corpus arm
+    * (see the selection note there).
+    */
+  private[graft] def knnJoinPq(spark: SparkSession, dir: String,
+                               k: Int = 5, cellsMin: Int = 16,
+                               nprobe: Int = 2, m: Int = 8, ksub: Int = 16,
+                               rerank: Int = 128,
+                               literalBudget: Int = MaxPlanLiteralDoubles): DataFrame = {
     // corpus size from parquet FOOTERS (metadata, no count() job) —
     // in production this scalar comes off the table manifest
     val n = graft.sources.StorageStats.parquetRowCount(
@@ -672,12 +707,13 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
-  /** The pre-PQ candidate scorer (exact cosine over EVERY same-cell
-    * pair, full vectors riding the cell shuffle) — kept as the
-    * equality reference for [[knnJoin]]: with a frontier wide enough
-    * to hold a query's whole candidate set the two are value-
-    * identical by construction, and PipelineSpec asserts exactly
-    * that. Not registered as a query; the PQ form IS knn_join.
+  /** The exact-candidates scorer (exact cosine over EVERY same-cell
+    * pair, full vectors riding the cell shuffle) — [[knnJoin]]'s
+    * small-corpus arm (measured faster below the selection threshold;
+    * see the selection note there) and the equality reference for the
+    * PQ arm: with a frontier wide enough to hold a query's whole
+    * candidate set the two are value-identical by construction, and
+    * PipelineSpec asserts exactly that.
     */
   private[graft] def knnJoinExactCand(spark: SparkSession, dir: String,
                                       k: Int = 5, cellsMin: Int = 16,

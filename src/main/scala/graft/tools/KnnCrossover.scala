@@ -33,7 +33,7 @@ object KnnCrossover {
       println(s"""{"metric":"knn_form","form":"$name","warm":${f2(warm)},"timed":[${timed.map(f2).mkString(",")}]}""")
       timed.min
     }
-    val pq = best("pq_codes", graft.pipeline.Ann.knnJoin(spark, dir))
+    val pq = best("pq_codes", graft.pipeline.Ann.knnJoinPq(spark, dir))
     val exact = best("exact_cand",
       graft.pipeline.Ann.knnJoinExactCand(spark, dir))
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean

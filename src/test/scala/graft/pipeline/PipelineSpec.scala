@@ -125,10 +125,23 @@ class PipelineSpec extends SparkSpec {
     // (At the default rerank=128 the frontier genuinely cuts: ~0.5%
     // of rows differ here — that's the approximation the recall gate
     // above prices, not a machinery bug, which THIS equality pins.)
-    val pq = Ann.knnJoin(spark, sf01, rerank = 1000)
+    val pq = Ann.knnJoinPq(spark, sf01, rerank = 1000)
       .collect().map(_.toSeq).toSeq
     val exact = Ann.knnJoinExactCand(spark, sf01).collect().map(_.toSeq).toSeq
     assert(pq == exact)
+  }
+
+  test("knn_join selects its candidate form by footer-derived corpus " +
+       "size: exact below the threshold, PQ above (forced)") {
+    // sf0.1's corpus is far below the 50M default → the exact arm
+    val sel = Ann.knnJoin(spark, sf01).collect().map(_.toSeq).toSeq
+    val exact = Ann.knnJoinExactCand(spark, sf01).collect().map(_.toSeq).toSeq
+    assert(sel == exact)
+    // threshold 0 forces the PQ arm
+    val forced = Ann.knnJoin(spark, sf01, pqThreshold = 0L)
+      .collect().map(_.toSeq).toSeq
+    val pq = Ann.knnJoinPq(spark, sf01).collect().map(_.toSeq).toSeq
+    assert(forced == pq)
   }
 
   test("knn_join candidate stages carry no vector column") {
@@ -136,7 +149,7 @@ class PipelineSpec extends SparkSpec {
     // the frontier ranking; raw vectors appear only in the re-rank
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window}
     import org.apache.spark.sql.types.ArrayType
-    val plan = Ann.knnJoin(spark, sf01).queryExecution.optimizedPlan
+    val plan = Ann.knnJoinPq(spark, sf01).queryExecution.optimizedPlan
     // the candidate pair join: both sides expose code columns — no
     // array may cross it
     val candJoins = plan.collect {
@@ -312,9 +325,9 @@ class PipelineSpec extends SparkSpec {
 
   test("plan-literal budget: forcing the broadcast-grid path (budget 0) " +
        "leaves knn_join and ann_ivf_pq results identical") {
-    val litKnn = Ann.knnJoin(spark, sf01).collect()
+    val litKnn = Ann.knnJoinPq(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
-    val bcKnn = Ann.knnJoin(spark, sf01, literalBudget = 0).collect()
+    val bcKnn = Ann.knnJoinPq(spark, sf01, literalBudget = 0).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     assert(litKnn.nonEmpty && litKnn == bcKnn)
     val litPq = Ann.ivfPqTopK(spark, sf01).collect()
