@@ -573,10 +573,14 @@ object TextAnalysis {
     * distribution (many tokens near N/cap) a fixed cap can silently
     * return the wrong tail. After the recount the answer is checked
     * against its own guarantee ([[mgCertified]]); on violation the
-    * cap escalates (doubling) and past `maxCap` the query falls back
-    * to the exact vocab-keyed groupBy — so the result is exact at ANY
-    * distribution, and the bounded-shuffle fast path is used exactly
-    * when its precondition provably holds.
+    * cap escalates — certification-GUIDED: the failed attempt's exact
+    * k-th count `ck` says precisely what capacity would certify
+    * (`ck·(cap+1) > n` ⇒ `cap ≥ n/ck`), so the jump lands a
+    * sufficient cap in ONE extra pass instead of a doubling walk;
+    * past `maxCap` the query falls back to the exact vocab-keyed
+    * groupBy — so the result is exact at ANY distribution, and the
+    * bounded-shuffle fast path is used exactly when its precondition
+    * provably holds.
     */
   def heavyHitters(spark: SparkSession, dir: String,
                    cap: Int = 64, k: Int = 10): DataFrame = {
@@ -627,7 +631,14 @@ object TextAnalysis {
       if (top.nonEmpty &&
         mgCertified(top.length, k min n.toInt, top.last.getLong(1), n, cap))
         return recount
-      cap *= 2
+      // guided jump: a larger candidate set can only RAISE the exact
+      // k-th count, so ck'·(cap'+1) ≥ ck·(cap'+1) > n — one extra
+      // pass certifies whenever any affordable cap can (doubling
+      // floor keeps progress if ck is degenerate)
+      val ck = if (top.nonEmpty) top.last.getLong(1) else 0L
+      val needed = if (ck > 0 && n / ck < Int.MaxValue.toLong)
+        (n / ck).toInt + 1 else cap * 2
+      cap = math.max(cap * 2, needed)
     }
     // guarantee not certifiable at any affordable cap (near-flat
     // distribution): exact top-k over the full token domain

@@ -36,10 +36,11 @@ import org.apache.spark.sql.functions._
   * mutation): data files staged but manifest never committed →
   * orphans invisible to every reader, deleted by the next [[vacuum]];
   * tmp manifest left behind → deleted; died right after the rename →
-  * the commit simply happened. Single writer at a time is assumed
-  * (as for every mutation operator in this package); the atomic
-  * rename turns a violated assumption into a failed commit, not a
-  * torn table.
+  * the commit simply happened. Concurrent writers serialize
+  * optimistically: the atomic rename turns a race into a
+  * [[CommitConflict]] for the loser — never a torn table — and
+  * SnapshotOps retries the losing mutation against the winner's
+  * version.
   *
   * Snapshot-managed tables carry the partition column IN the data
   * (as a string) in addition to the directory name — [[convert]]
@@ -140,11 +141,19 @@ object Snapshot {
     val fin = new Path(meta, manifestName(v))
     if (!fs.rename(tmp, fin)) {
       fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"snapshot commit of v$v failed (concurrent writer?)")
+      throw new CommitConflict(v)
     }
     v
   }
+
+  /** Thrown when the commit rename loses the race to a concurrent
+    * writer (the target version already exists). The table is NOT
+    * corrupted — the loser's staged files are unreferenced orphans —
+    * and the mutation can be retried against a fresh pin
+    * (SnapshotOps does, bounded).
+    */
+  final class CommitConflict(v: Long) extends java.io.IOException(
+    s"snapshot commit of v$v lost to a concurrent writer")
 
   /** Drop tmp manifests a dead writer left behind. Orphan DATA files
     * (staged, never committed) are invisible to readers and reaped by

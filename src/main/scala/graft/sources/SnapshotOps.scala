@@ -45,6 +45,12 @@ object SnapshotOps {
   case class MutationStats(version: Long, partitions: Seq[String],
                            retiredFiles: Long, newFiles: Long)
 
+  /** Test seam: invoked immediately before each commit attempt.
+    * SnapshotSpec injects a conflicting winner here to force the
+    * optimistic-retry path deterministically.
+    */
+  @volatile private[sources] var beforeCommit: () => Unit = () => ()
+
   private val StageTag = "__snap_part"
 
   private def escapePart(v: String): String =
@@ -90,12 +96,43 @@ object SnapshotOps {
     mutate(spark, dir, keys.distinct(), keyCol,
       incomingParts = Nil, incomingOf = _ => None)
 
+  /** Optimistic concurrency: a mutation that loses the commit race
+    * ([[Snapshot.CommitConflict]] — another writer landed the next
+    * version first) is retried from a FRESH pin, up to `attempts`
+    * times. The loser's staged files are unreferenced orphans (the
+    * next vacuum reaps them), planning is idempotent, and the retry
+    * re-reads the winner's version — so interleaved writers
+    * serialize instead of corrupting or aborting, the same protocol
+    * every optimistic table format runs. SnapshotSpec injects a
+    * conflicting commit between pin and commit to prove both
+    * mutations' effects land.
+    */
+  private def retryConflicts(attempts: Int)(body: => MutationStats): MutationStats = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: Snapshot.CommitConflict =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** The shared COW core: retire the files holding `keys`, replace
     * each affected partition's retired rows with (retired minus keys)
     * ∪ incoming — all partitions staged in ONE write job — commit one
-    * manifest.
+    * manifest (conflict-retried, see [[retryConflicts]]).
     */
   private def mutate(spark: SparkSession, dir: String, keys: DataFrame,
+                     keyCol: String, incomingParts: Seq[String],
+                     incomingOf: String => Option[DataFrame]): MutationStats =
+    retryConflicts(3) {
+      attemptMutate(spark, dir, keys, keyCol, incomingParts, incomingOf)
+    }
+
+  private def attemptMutate(spark: SparkSession, dir: String, keys: DataFrame,
                      keyCol: String, incomingParts: Seq[String],
                      incomingOf: String => Option[DataFrame]): MutationStats = {
     val root = new Path(dir)
@@ -145,6 +182,7 @@ object SnapshotOps {
         (part, df.withColumn(StageTag, lit(part)))
       }, newVersion, onePerPart = false)
     val manifest = p.files.filterNot(hitRels) ++ newFiles
+    beforeCommit()
     val v = Snapshot.commit(fs, root, manifest, p.version)
     Snapshot.vacuum(fs, root)
     MutationStats(v, affected, hitRels.size.toLong, newFiles.size.toLong)
@@ -210,7 +248,11 @@ object SnapshotOps {
     * lacks).
     */
   def compact(spark: SparkSession, dir: String,
-              maxFiles: Int = 4): MutationStats = {
+              maxFiles: Int = 4): MutationStats =
+    retryConflicts(3) { attemptCompact(spark, dir, maxFiles) }
+
+  private def attemptCompact(spark: SparkSession, dir: String,
+                             maxFiles: Int): MutationStats = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     Snapshot.recoverMeta(fs, root)
@@ -229,6 +271,7 @@ object SnapshotOps {
       newVersion, onePerPart = true)
     val retired = affected.flatMap(byPart).toSet
     val manifest = p.files.filterNot(retired) ++ newFiles
+    beforeCommit()
     val v = Snapshot.commit(fs, root, manifest, p.version)
     Snapshot.vacuum(fs, root)
     MutationStats(v, affected, retired.size.toLong, newFiles.size.toLong)

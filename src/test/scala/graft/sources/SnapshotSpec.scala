@@ -148,6 +148,42 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.pin(spark, dir).files == cur.files.tail)
   }
 
+  test("optimistic concurrency: a mutation that loses the commit race " +
+       "re-plans against the winner's version; both effects land") {
+    val (dir, events) = freshTable()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = Snapshot.pin(spark, dir)
+    // the winner: between the victim's pin and its commit, another
+    // writer lands v2 dropping the first file entirely — injected via
+    // the commit seam so the race is deterministic
+    var fired = false
+    SnapshotOps.beforeCommit = () => if (!fired) {
+      fired = true
+      val cur = Snapshot.pin(spark, dir)
+      Snapshot.commit(fs, root, cur.files.tail, cur.version)
+    }
+    try {
+      // capture the to-be-dropped file's keys BEFORE mutating (the
+      // victim's post-commit vacuum reaps the unreferenced file)
+      import spark.implicits._
+      val droppedIds = spark.read.parquet(s"$dir/${v1.files.head}")
+        .select("event_id").as[Long].collect().toSeq.toDF("event_id")
+      val doomed = events.filter(pmod(col("user_id"), lit(101)) === 7)
+        .select("event_id")
+      val del = SnapshotOps.delete(spark, dir, doomed, "event_id")
+      assert(fired)
+      // the victim lost v2 and landed v3 on retry
+      assert(del.version == v1.version + 2)
+      // final state = the WINNER's file set minus the victim's keys:
+      // proof the retry re-planned against v2, not just re-renamed
+      val expect = state(events
+        .join(droppedIds, Seq("event_id"), "left_anti")
+        .join(doomed, Seq("event_id"), "left_anti"))
+      assert(state(Snapshot.read(spark, dir)) == expect)
+    } finally SnapshotOps.beforeCommit = () => ()
+  }
+
   test("vacuum keeps the retained versions readable and drops the rest") {
     val (dir, events) = freshTable()
     val root = new Path(dir)
