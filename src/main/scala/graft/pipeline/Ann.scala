@@ -613,8 +613,9 @@ object Ann {
     * cell shuffle beats PQ's extra frontier + re-rank stages while
     * everything fits comfortably — and above it the PQ form's ~64×
     * narrower shuffle takes over. Measured crossover trend on one
-    * 32-core node (KnnCrossover, min-of-two warm): PQ/exact = 2.11
-    * at 0.5 M vectors, 1.58 at 5 M — the gap closes ~1.34×/decade,
+    * 32-core node (KnnCrossover, min-of-two warm): PQ/exact =
+    * 2.1–3.0 at 0.5 M vectors (run-condition spread), 1.58 at 5 M —
+    * the gap closes with scale,
     * extrapolating to parity around ~10⁸ vectors locally; a real
     * cluster pays network for every shuffle byte, so the default
     * threshold sits at 50 M. Both forms share the IVF blocking and
