@@ -389,6 +389,39 @@ object SparkEntry {
         "CAST(sum(CASE WHEN event_type = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM fin GROUP BY 1 ORDER BY 1")),
+    // time travel: version 1 pinned and read AFTER v2 committed —
+    // immutable data files + the retained manifest answer the exact
+    // pre-mutation state; n_corrected proves the mutation's rows are
+    // invisible at v1 (the oracle is the UNMUTATED base rollup)
+    ("snapshot_time_travel",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotOps.snapshotTimeTravel(s, d),
+      Some("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN event_type = 'corrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+    // incremental (CDC) read between committed versions: the change
+    // set comes from the MANIFEST diff (only retired/added files are
+    // scanned — churn-sized IO), kept rows of rewritten files cancel
+    // in one signed full-row aggregation; the oracle derives the same
+    // set relationally (update = remove old + add corrected,
+    // insert = add)
+    ("snapshot_changes",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotOps.snapshotChanges(s, d),
+      Some("WITH e AS (SELECT event_id, CAST(ts AS DATE) AS date, " +
+        "user_id FROM events), " +
+        "chg AS (SELECT 'remove' AS op, event_id, date FROM e " +
+        "WHERE user_id % 89 = 5 AND day(date) <= 7 " +
+        "UNION ALL SELECT 'add' AS op, event_id, date FROM e " +
+        "WHERE user_id % 89 = 5 AND day(date) <= 7 " +
+        "UNION ALL SELECT 'add' AS op, event_id + 1000000000 AS event_id, date FROM e " +
+        "WHERE user_id % 89 = 7 AND day(date) <= 7) " +
+        "SELECT op, CAST(date AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM chg GROUP BY 1, 2 ORDER BY 1, 2")),
     // server-to-server backfill (the `clone` verb, reference
     // doc/index.rst:385-400, src/Clone.cxx): day-partitioned copy
     // driven to an empty manifest diff; the oracle's per-day counts

@@ -105,6 +105,27 @@ object Snapshot {
     Pin(v, filesOf(fs, root, v))
   }
 
+  /** Pin an EXPLICIT committed version — the time-travel primitive:
+    * any version [[vacuum]] still retains answers exactly as it did
+    * when it was current, because its data files are immutable and
+    * its manifest is the complete scan set. A version outside the
+    * retention window fails loudly (its manifest is gone), never
+    * silently serves a partially-reaped file set.
+    */
+  def pinAt(spark: SparkSession, dir: String, version: Long): Pin = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = versions(fs, root)
+    require(vs.contains(version),
+      s"version $version of $dir is not committed or has been vacuumed " +
+        s"(live: ${vs.mkString(", ")})")
+    Pin(version, filesOf(fs, root, version))
+  }
+
+  /** Time-travel read: the table exactly as of `version`. */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame =
+    readPin(spark, dir, pinAt(spark, dir, version))
+
   /** Read the pinned file set. An empty table (possible after a
     * delete) reads as an empty frame only through [[readPin]] callers
     * that tolerate it; parquet needs ≥1 file for schema, so empty

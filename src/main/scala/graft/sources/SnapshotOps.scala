@@ -288,6 +288,24 @@ object SnapshotOps {
   def snapshotUpsertRollup(spark: SparkSession, dir: String): DataFrame = {
     val tmp = TmpDir.scoped("snapupsert",
       spark.sparkContext.applicationId, dir)
+    buildAndUpsert(spark, dir, tmp)
+    Snapshot.read(spark, tmp)
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "corrected", 1L).otherwise(0L)).as("n_corrected"),
+        sum(when(col("event_type") === "inserted", 1L).otherwise(0L)).as("n_inserted"),
+        sum("event_id").as("sum_id"))
+      .orderBy("date")
+  }
+
+  /** The shared fixture construction: events date layout → convert
+    * (v1) → the corpus_upsert correction feed landed as ONE snapshot
+    * commit (v2). Both versions stay live under the default
+    * [[Snapshot.KeepVersions]] retention — exactly the straggler
+    * window the vacuum policy promises.
+    */
+  private def buildAndUpsert(spark: SparkSession, dir: String,
+                             tmp: String): Unit = {
     val events = Tables.events(spark, dir)
       .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
     events.repartition(col("date"))
@@ -302,12 +320,89 @@ object SnapshotOps {
       .withColumn("event_id", col("event_id") + lit(1000000000L))
       .withColumn("event_type", lit("inserted"))
     upsert(spark, tmp, updates.unionByName(inserts), "event_id", "date")
-    Snapshot.read(spark, tmp)
+  }
+
+  /** The versioned two-commit table (v1 = converted base, v2 = the
+    * correction-feed upsert), memoized per (session, input dir): the
+    * versioned table IS an artifact — time-travel and incremental
+    * readers consume committed versions of ONE table, the way every
+    * table format's audit/CDC consumers do; rebuilding the table per
+    * consumer would charge the mutation cost once per reader (the
+    * same sharing argument as [[graft.pipeline.Dedup]]'s
+    * cluster-labels artifact). `snapshot_upsert` keeps its own
+    * independent build so its gate (and standing bench row) still
+    * prices the mutation itself.
+    */
+  private val fixtureCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def versionedFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        val tmp = TmpDir.scoped("snapvers",
+          spark.sparkContext.applicationId, dir)
+        buildAndUpsert(spark, dir, tmp)
+        tmp
+      })
+
+  /** Time-travel gate query: the rollup of VERSION 1 resolved AFTER
+    * v2 committed — the pinned old manifest still answers the exact
+    * pre-mutation state (immutable data files + retained manifest),
+    * which is what audit and repro reads ("the corpus as of
+    * yesterday's build") need. `n_corrected` is carried so the gate
+    * proves the post-mutation rows are INVISIBLE at v1, not merely
+    * that some rollup came back.
+    */
+  def snapshotTimeTravel(spark: SparkSession, dir: String): DataFrame =
+    Snapshot.readAt(spark, versionedFixture(spark, dir), 1L)
       .groupBy(col("date"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("event_type") === "corrected", 1L).otherwise(0L)).as("n_corrected"),
-        sum(when(col("event_type") === "inserted", 1L).otherwise(0L)).as("n_inserted"),
         sum("event_id").as("sum_id"))
       .orderBy("date")
+
+  /** The row-level change set between two committed versions, derived
+    * from the MANIFEST diff: only files retired or added between the
+    * versions are scanned (churn-sized IO — never the table), and
+    * rewritten-but-kept rows cancel in one signed full-row
+    * aggregation (no join). Rows present only in `to` carry
+    * op = "add"; rows present only in `from` carry op = "remove".
+    * At 100 TB this is the downstream-consumer primitive: a nightly
+    * consumer reads the delta between two builds, not the corpus.
+    */
+  def changesBetween(spark: SparkSession, tableDir: String,
+                     from: Long, to: Long): DataFrame = {
+    val pf = Snapshot.pinAt(spark, tableDir, from)
+    val pt = Snapshot.pinAt(spark, tableDir, to)
+    val retired = pf.files.filterNot(pt.files.toSet)
+    val fresh = pt.files.filterNot(pf.files.toSet)
+    val sch = spark.read.parquet(s"$tableDir/${pt.files.head}").schema
+    def readRels(rels: Seq[String]): DataFrame =
+      if (rels.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+      else spark.read.schema(sch)
+        .parquet(rels.map(f => s"$tableDir/$f"): _*)
+    val cols = sch.fieldNames.toSeq.map(col)
+    readRels(retired).withColumn("__w", lit(-1L))
+      .unionByName(readRels(fresh).withColumn("__w", lit(1L)))
+      .groupBy(cols: _*)
+      .agg(sum(col("__w")).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .withColumn("op",
+        when(col("__net") > 0L, lit("add")).otherwise(lit("remove")))
+      .drop("__net")
   }
+
+  /** Incremental (CDC-style) gate query: the v1→v2 change set of the
+    * shared fixture rolled up by op × date. The oracle derives the
+    * same change set relationally from the deterministic correction
+    * feed: each update contributes its old row as a remove and its
+    * corrected row as an add; each insert contributes one add.
+    */
+  def snapshotChanges(spark: SparkSession, dir: String): DataFrame =
+    changesBetween(spark, versionedFixture(spark, dir), 1L, 2L)
+      .groupBy(col("op"), col("date"))
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+      .orderBy("op", "date")
 }

@@ -184,6 +184,76 @@ class SnapshotSpec extends SparkSpec {
     } finally SnapshotOps.beforeCommit = () => ()
   }
 
+  test("time travel: an explicit old version reads its exact " +
+       "pre-mutation state after later commits; an expired version " +
+       "fails loudly") {
+    val (dir, events) = freshTable()
+    val v1 = Snapshot.pin(spark, dir).version
+    val updates = events
+      .filter(pmod(col("user_id"), lit(89)) === 5)
+      .withColumn("event_type", lit("corrected"))
+    SnapshotOps.upsert(spark, dir, updates, "event_id", "date")
+    // v1 resolved AFTER the commit answers the unmutated state
+    assert(state(Snapshot.readAt(spark, dir, v1)) == state(events))
+    // and the current version answers the mutated one — the two reads
+    // really hit different manifests
+    assert(state(Snapshot.read(spark, dir)) != state(events))
+    // expire v1 (keep=1) → pinAt must throw, never serve a
+    // partially-reaped file set
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Snapshot.vacuum(fs, root, keep = 1)
+    intercept[IllegalArgumentException] {
+      Snapshot.pinAt(spark, dir, v1)
+    }
+  }
+
+  test("changesBetween: equals the brute-force row diff of the two " +
+       "versions and scans ONLY manifest-diff files") {
+    val (dir, events) = freshTable()
+    val v1 = Snapshot.pin(spark, dir)
+    val updates = events
+      .filter(pmod(col("user_id"), lit(89)) === 5)
+      .withColumn("event_type", lit("corrected"))
+    val inserts = events
+      .filter(pmod(col("user_id"), lit(89)) === 7)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+      .withColumn("event_type", lit("inserted"))
+    SnapshotOps.upsert(spark, dir,
+      updates.unionByName(inserts), "event_id", "date")
+    val v2 = Snapshot.pin(spark, dir)
+
+    val got = SnapshotOps.changesBetween(spark, dir, v1.version, v2.version)
+    def keyed(df: DataFrame): Set[(String, Long, String)] =
+      df.select(col("op"), col("event_id"), col("event_type"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSet
+    // brute force: the signed diff over FULL version reads (every
+    // file, not just the manifest diff) — same change set
+    val full = Snapshot.readAt(spark, dir, v1.version)
+      .withColumn("__w", lit(-1L))
+      .unionByName(Snapshot.readAt(spark, dir, v2.version)
+        .withColumn("__w", lit(1L)))
+      .groupBy(events.columns.map(col).toSeq: _*)
+      .agg(sum(col("__w")).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .withColumn("op",
+        when(col("__net") > 0L, lit("add")).otherwise(lit("remove")))
+    assert(keyed(got) == keyed(full))
+    assert(keyed(got).nonEmpty)
+    // IO economy: the incremental plan touched exactly the retired +
+    // fresh files, strictly fewer than either manifest's full set
+    val diffFiles = (v1.files.filterNot(v2.files.toSet) ++
+      v2.files.filterNot(v1.files.toSet)).map(f => s"/$f").toSet
+    val scanned = got.inputFiles.toSeq
+    assert(scanned.nonEmpty)
+    scanned.foreach { f =>
+      assert(diffFiles.exists(f.endsWith),
+        s"changesBetween scanned a non-diff file: $f")
+    }
+    assert(scanned.size < v1.files.size + v2.files.size)
+  }
+
   test("vacuum keeps the retained versions readable and drops the rest") {
     val (dir, events) = freshTable()
     val root = new Path(dir)
