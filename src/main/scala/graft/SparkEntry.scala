@@ -422,6 +422,29 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM chg GROUP BY 1, 2 ORDER BY 1, 2")),
+    // the CDC FOLLOW loop: a cursor-tracked consumer drains each
+    // committed version's manifest-diff delta exactly once across
+    // three follow calls interleaved with two mutations (upsert then
+    // compliance delete) — no duplicates, no gaps, idempotent
+    // per-version overwrite; the oracle derives both deltas
+    // relationally
+    ("snapshot_changes_follow",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotFollow.snapshotChangesFollow(s, d),
+      Some("WITH e AS (SELECT event_id, CAST(ts AS DATE) AS date, " +
+        "user_id FROM events), " +
+        "chg AS (SELECT 2 AS version, 'remove' AS op, event_id, date FROM e " +
+        "WHERE user_id % 89 = 5 AND day(date) <= 7 " +
+        "UNION ALL SELECT 2 AS version, 'add' AS op, event_id, date FROM e " +
+        "WHERE user_id % 89 = 5 AND day(date) <= 7 " +
+        "UNION ALL SELECT 2 AS version, 'add' AS op, event_id + 1000000000 AS event_id, date FROM e " +
+        "WHERE user_id % 89 = 7 AND day(date) <= 7 " +
+        "UNION ALL SELECT 3 AS version, 'remove' AS op, event_id, date FROM e " +
+        "WHERE user_id % 97 = 3) " +
+        "SELECT version, op, CAST(date AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM chg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
     // server-to-server backfill (the `clone` verb, reference
     // doc/index.rst:385-400, src/Clone.cxx): day-partitioned copy
     // driven to an empty manifest diff; the oracle's per-day counts

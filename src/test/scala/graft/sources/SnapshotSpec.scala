@@ -254,6 +254,48 @@ class SnapshotSpec extends SparkSpec {
     assert(scanned.size < v1.files.size + v2.files.size)
   }
 
+  test("follow: the cursor consumer drains each version exactly once, " +
+       "a crashed cursor re-emits idempotently, and falling behind " +
+       "retention fails loudly") {
+    val (dir, events) = freshTable()
+    val out = java.nio.file.Files.createTempDirectory("graft_follow_out").toString
+    val cursor = s"$out/_cursor"
+    val root = new Path(out)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // bootstrap: only v1 exists — nothing to consume
+    assert(SnapshotFollow.followChanges(spark, dir, cursor, out) == 0)
+    // mutation 1 → one pending version, consumed once; a second call
+    // with no new commits is a no-op
+    SnapshotOps.delete(spark, dir,
+      events.filter(pmod(col("user_id"), lit(50)) === 1).select("event_id"),
+      "event_id")
+    assert(SnapshotFollow.followChanges(spark, dir, cursor, out) == 1)
+    assert(SnapshotFollow.followChanges(spark, dir, cursor, out) == 0)
+    val once = SnapshotFollow.changeLog(spark, out)
+      .groupBy("version").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    // crash window: the cursor write was lost after the delta landed —
+    // the re-run re-emits the SAME delta into the SAME dir (overwrite),
+    // so the log is unchanged, not duplicated
+    fs.delete(new Path(cursor), false)
+    assert(SnapshotFollow.followChanges(spark, dir, cursor, out) == 1)
+    val twice = SnapshotFollow.changeLog(spark, out)
+      .groupBy("version").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(twice == once, "re-emission after a lost cursor duplicated rows")
+    // fell behind retention: two more mutations expire the cursor's
+    // version (keep=2) — the follower must refuse, never skip
+    SnapshotOps.delete(spark, dir,
+      events.filter(pmod(col("user_id"), lit(50)) === 2).select("event_id"),
+      "event_id")
+    SnapshotOps.delete(spark, dir,
+      events.filter(pmod(col("user_id"), lit(50)) === 3).select("event_id"),
+      "event_id")
+    intercept[IllegalArgumentException] {
+      SnapshotFollow.followChanges(spark, dir, cursor, out)
+    }
+  }
+
   test("vacuum keeps the retained versions readable and drops the rest") {
     val (dir, events) = freshTable()
     val root = new Path(dir)
