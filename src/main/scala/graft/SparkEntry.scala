@@ -445,6 +445,18 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM chg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
+    // continuous ingestion INTO the snapshot table: each micro-batch
+    // is one append commit (new files only, live data never
+    // rewritten) keyed by batch id for replay idempotence; the oracle
+    // is the plain batch rollup of the same source — ingest lost and
+    // duplicated nothing
+    ("snapshot_ingest_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.snapshotIngestStream(s, d),
+      Some("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
     // server-to-server backfill (the `clone` verb, reference
     // doc/index.rst:385-400, src/Clone.cxx): day-partitioned copy
     // driven to an empty manifest diff; the oracle's per-day counts

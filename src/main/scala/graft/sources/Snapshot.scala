@@ -83,13 +83,26 @@ object Snapshot {
   def currentVersion(fs: FileSystem, root: Path): Option[Long] =
     versions(fs, root).lastOption
 
-  /** The file list (relative paths) of one committed version. */
-  def filesOf(fs: FileSystem, root: Path, v: Long): Seq[String] = {
+  private def manifestLines(fs: FileSystem, root: Path, v: Long): Seq[String] = {
     val in = fs.open(new Path(metaPath(root), manifestName(v)))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  /** The file list (relative paths) of one committed version. */
+  def filesOf(fs: FileSystem, root: Path, v: Long): Seq[String] =
+    manifestLines(fs, root, v).filterNot(_.startsWith("#"))
+
+  /** The idempotency tags a version carries (`#`-prefixed manifest
+    * lines — e.g. the ingest batch ids [[SnapshotOps.append]] records
+    * so a replayed micro-batch commits nothing twice). Mutations copy
+    * tags forward, so the replay-protection window is exactly the
+    * vacuum retention — the bound every table format's
+    * transaction-id tracking documents.
+    */
+  def tagsOf(fs: FileSystem, root: Path, v: Long): Seq[String] =
+    manifestLines(fs, root, v).filter(_.startsWith("#"))
 
   /** A pinned snapshot: resolved ONCE; every read against it scans
     * exactly these files regardless of later commits.
@@ -150,14 +163,14 @@ object Snapshot {
     * exists.
     */
   def commit(fs: FileSystem, root: Path, files: Seq[String],
-             base: Long): Long = {
+             base: Long, tags: Seq[String] = Nil): Long = {
     val v = base + 1
     val meta = metaPath(root)
     fs.mkdirs(meta)
     val tmp = new Path(meta,
       s".tmp.${manifestName(v)}.${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((tags ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(meta, manifestName(v))
     if (!fs.rename(tmp, fin)) {

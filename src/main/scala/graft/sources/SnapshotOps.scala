@@ -183,7 +183,8 @@ object SnapshotOps {
       }, newVersion, onePerPart = false)
     val manifest = p.files.filterNot(hitRels) ++ newFiles
     beforeCommit()
-    val v = Snapshot.commit(fs, root, manifest, p.version)
+    val v = Snapshot.commit(fs, root, manifest, p.version,
+      Snapshot.tagsOf(fs, root, p.version))
     Snapshot.vacuum(fs, root)
     MutationStats(v, affected, hitRels.size.toLong, newFiles.size.toLong)
   }
@@ -272,9 +273,66 @@ object SnapshotOps {
     val retired = affected.flatMap(byPart).toSet
     val manifest = p.files.filterNot(retired) ++ newFiles
     beforeCommit()
-    val v = Snapshot.commit(fs, root, manifest, p.version)
+    val v = Snapshot.commit(fs, root, manifest, p.version,
+      Snapshot.tagsOf(fs, root, p.version))
     Snapshot.vacuum(fs, root)
     MutationStats(v, affected, retired.size.toLong, newFiles.size.toLong)
+  }
+
+  /** Append-only ingest commit — the primitive continuous ingestion
+    * needs: the batch's partitions stage as NEW files (no key
+    * pruning, no rewrites, live files untouched — O(batch) work
+    * regardless of table size), the next manifest is pinned ∪ new,
+    * and the commit is one conflict-retried manifest rename.
+    * Bootstraps an empty (unconverted) table at v1.
+    *
+    * `idempotencyKey` makes replays safe without a transaction log:
+    * the key is recorded as a `#appended=` tag line in the manifest,
+    * tags are copied forward by every mutation, and an append whose
+    * key is already visible on the CURRENT version is a no-op — so a
+    * restarted stream re-delivering a micro-batch commits nothing
+    * twice. The protection window is the vacuum retention (an expired
+    * manifest takes its tags with it) — the same bound table formats
+    * document for their per-writer transaction ids.
+    */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+             partCol: String,
+             idempotencyKey: Option[String] = None): MutationStats =
+    retryConflicts(3) { attemptAppend(spark, dir, batch, partCol, idempotencyKey) }
+
+  private def attemptAppend(spark: SparkSession, dir: String,
+                            batch: DataFrame, partCol: String,
+                            idempotencyKey: Option[String]): MutationStats = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Snapshot.recoverMeta(fs, root)
+    val (p, tags) = Snapshot.currentVersion(fs, root) match {
+      case Some(v) =>
+        (Snapshot.Pin(v, Snapshot.filesOf(fs, root, v)),
+          Snapshot.tagsOf(fs, root, v))
+      case None => (Snapshot.Pin(0L, Nil), Nil)
+    }
+    val newTag = idempotencyKey.map(k => s"#appended=$k")
+    if (newTag.exists(tags.contains))
+      return MutationStats(p.version, Nil, 0L, 0L)
+    val b = batch.withColumn(partCol, col(partCol).cast("string"))
+    val parts = b.select(partCol).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (parts.isEmpty) return MutationStats(p.version, Nil, 0L, 0L)
+    val tagged = parts.map { v =>
+      val part =
+        if (p.files.isEmpty) s"$partCol=${escapePart(v)}"
+        else partDirOf(p, v)
+      (part, b.filter(col(partCol) === v).withColumn(StageTag, lit(part)))
+    }
+    val newVersion = p.version + 1
+    val newFiles = stageAndPlace(spark, fs, root, dir, tagged,
+      newVersion, onePerPart = false)
+    beforeCommit()
+    val v = Snapshot.commit(fs, root, p.files ++ newFiles, p.version,
+      tags ++ newTag)
+    Snapshot.vacuum(fs, root)
+    MutationStats(v, tagged.map(_._1), 0L, newFiles.size.toLong)
   }
 
   /** The gate query: the SAME correction feed as `corpus_upsert`

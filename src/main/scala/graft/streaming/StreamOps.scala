@@ -430,4 +430,71 @@ object StreamOps {
             min("timestamp").as("first_us"),
             max("timestamp").as("last_us"))
     }
+
+  /** Continuous ingestion INTO a snapshot table: every micro-batch
+    * lands as one [[graft.sources.SnapshotOps.append]] commit — new
+    * files only, live data never rewritten, atomic per-batch
+    * visibility (a reader pins complete batch boundaries, never a
+    * torn batch) — with the batch id as the append's idempotency key,
+    * so a restarted stream re-delivering a micro-batch commits
+    * nothing twice (exactly-once at the TABLE, not just the sink).
+    * This is the write half of the table-format contract the
+    * follow/changes readers consume.
+    */
+  def ingestSnapshot(spark: SparkSession, srcDir: String, table: String,
+                     tableDir: String, checkpointDir: String,
+                     maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val stream0 = Tables.stream(spark, srcDir, table)
+    val stream = maxFilesPerTrigger match {
+      case Some(n) =>
+        // re-open with the batching knob (file-source option)
+        val schema = spark.read.parquet(s"$srcDir/$table.parquet").schema
+        Tables.normalize(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", n)
+          .parquet(pathOf(spark, srcDir, table)))
+      case None => stream0
+    }
+    val q = stream
+      .withColumn("date",
+        expr("date(timestamp_micros(ts div 1000))").cast("string"))
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.sources.SnapshotOps.append(
+          b.sparkSession, tableDir, b, "date", Some(s"ingest-$id"))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def pathOf(spark: SparkSession, srcDir: String,
+                     table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$srcDir/$table.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.getFileStatus(p).isDirectory) s"$p/*.parquet" else p.toString
+  }
+
+  /** Gate query: drain the events stream into a FRESH snapshot table
+    * (checkpoint and table cleared per invocation — each run is one
+    * complete ingest), then roll the snapshot-isolated read up by
+    * date; the oracle is the plain batch rollup of the same source,
+    * so the gate proves ingest lost and duplicated nothing.
+    */
+  def snapshotIngestStream(spark: SparkSession, dir: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    val tableDir = graft.sources.TmpDir.scoped("snapingest", appId, dir)
+    val ckpt = graft.sources.TmpDir.scoped("snapingestck", appId, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(tableDir, ckpt).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    ingestSnapshot(spark, dir, "events", tableDir, ckpt)
+    graft.sources.Snapshot.read(spark, tableDir)
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+      .orderBy("date")
+  }
 }

@@ -296,6 +296,74 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("append: bootstraps an empty table, never rewrites live files, " +
+       "and an idempotency key makes replays no-ops — including through " +
+       "an intervening mutation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_app").toString
+    val events = graft.Tables.events(spark, sf)
+      .withColumn("date",
+        expr("date(timestamp_micros(ts div 1000))").cast("string"))
+    val (d1, d2) = {
+      val ds = events.select("date").distinct().orderBy("date")
+        .collect().map(_.getString(0))
+      (ds.head, ds.last)
+    }
+    val b1 = events.filter(col("date") === d1)
+    val b2 = events.filter(col("date") === d2)
+    // bootstrap on an unconverted dir
+    val a1 = SnapshotOps.append(spark, dir, b1, "date", Some("k1"))
+    assert(a1.version == 1L && a1.newFiles > 0)
+    val v1 = Snapshot.pin(spark, dir)
+    // second append: strictly additive — every v1 file survives
+    val a2 = SnapshotOps.append(spark, dir, b2, "date", Some("k2"))
+    val v2 = Snapshot.pin(spark, dir)
+    assert(a2.retiredFiles == 0L)
+    assert(v1.files.forall(v2.files.contains),
+      "append rewrote or dropped a live file")
+    assert(state(Snapshot.read(spark, dir)) ==
+      state(b1.unionByName(b2)))
+    // replayed key: no-op at the current version
+    val a3 = SnapshotOps.append(spark, dir, b1, "date", Some("k1"))
+    assert(a3.version == a2.version && a3.newFiles == 0L)
+    // tags survive a non-append mutation (copied forward), so the
+    // replay stays a no-op after a delete too
+    SnapshotOps.delete(spark, dir,
+      b2.limit(1).select("event_id"), "event_id")
+    val a4 = SnapshotOps.append(spark, dir, b1, "date", Some("k1"))
+    assert(a4.newFiles == 0L, "idempotency tag lost through a mutation")
+  }
+
+  test("streaming ingest: micro-batches land as append commits — " +
+       "multi-batch run yields multiple versions, final state equals " +
+       "the batch source exactly") {
+    // multi-file source so maxFilesPerTrigger=1 forces several batches
+    val src = java.nio.file.Files.createTempDirectory("graft_ing_src").toString
+    graft.Tables.events(spark, sf).repartition(3)
+      .write.mode("overwrite").parquet(s"$src/events.parquet")
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_ing_tab").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ing_ck").toString
+    graft.streaming.StreamOps.ingestSnapshot(
+      spark, src, "events", tableDir, ckpt, maxFilesPerTrigger = Some(1))
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = Snapshot.versions(fs, root)
+    assert(vs.nonEmpty)
+    // batch-equivalence: the drained snapshot equals the batch read
+    val expect = graft.Tables.events(spark, src)
+      .withColumn("date",
+        expr("date(timestamp_micros(ts div 1000))").cast("string"))
+    assert(state(Snapshot.read(spark, tableDir)) == state(expect))
+    // a re-run over the same checkpoint re-delivers nothing: state
+    // and version unchanged
+    val before = Snapshot.currentVersion(fs, root)
+    graft.streaming.StreamOps.ingestSnapshot(
+      spark, src, "events", tableDir, ckpt, maxFilesPerTrigger = Some(1))
+    assert(Snapshot.currentVersion(fs, root) == before)
+    assert(state(Snapshot.read(spark, tableDir)) == state(expect))
+  }
+
   test("vacuum keeps the retained versions readable and drops the rest") {
     val (dir, events) = freshTable()
     val root = new Path(dir)
