@@ -457,6 +457,20 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM events GROUP BY 1 ORDER BY 1")),
+    // maintenance compaction under small-batch ingest: three
+    // interleaved appends fragment every partition, compact folds each
+    // to ONE file, and the gate hashes BOTH the content rollup and the
+    // per-partition live-file count from the manifest (oracle pins
+    // n_files = 1) — no row lost, no row duplicated, invariant held
+    ("snapshot_compact",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotOps.snapshotCompactRollup(s, d),
+      Some("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "CAST(1 AS BIGINT) AS n_files " +
+        "FROM events WHERE day(CAST(ts AS DATE)) <= 7 " +
+        "GROUP BY 1 ORDER BY 1")),
     // server-to-server backfill (the `clone` verb, reference
     // doc/index.rst:385-400, src/Clone.cxx): day-partitioned copy
     // driven to an empty manifest diff; the oracle's per-day counts

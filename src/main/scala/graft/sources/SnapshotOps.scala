@@ -463,4 +463,50 @@ object SnapshotOps {
       .groupBy(col("op"), col("date"))
       .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
       .orderBy("op", "date")
+
+  /** Compaction gate query: fragment a fresh snapshot table with
+    * three interleaved append commits (every partition lands three
+    * file sets), compact to one file per partition, then roll up the
+    * compacted read WITH the per-partition live-file count from the
+    * committed manifest — so the hash gate proves BOTH that no row
+    * was lost or duplicated AND that the one-file invariant actually
+    * holds (the oracle pins `n_files` to the literal 1). Maintenance
+    * compaction is how a 100 TB table keeps its file count sane under
+    * continuous small-batch ingest; this gate runs the exact
+    * ingest-then-compact lifecycle.
+    */
+  def snapshotCompactRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scoped("snapcompact",
+      spark.sparkContext.applicationId, dir)
+    val fs = new Path(tmp).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(tmp), true)
+    // first-week partitions only: the lifecycle (fragment → compact →
+    // invariant) is identical on any partition subset, and a gate
+    // should not cost five full-table materializations
+    val events = Tables.events(spark, dir)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+      .filter(dayofmonth(col("date")) <= 7)
+      .withColumn("date", col("date").cast("string"))
+    (0 until 3).foreach { i =>
+      append(spark, tmp,
+        events.filter(pmod(col("event_id"), lit(3)) === i),
+        "date", Some(s"seed-$i"))
+    }
+    compact(spark, tmp, maxFiles = 1)
+    val p = Snapshot.pin(spark, tmp)
+    val perPart = p.files
+      .groupBy(f => f.substring(0, f.indexOf('/')))
+      .toSeq
+      .map { case (part, fls) =>
+        (unescapePart(part.substring(part.indexOf('=') + 1)),
+          fls.size.toLong)
+      }
+    import spark.implicits._
+    val filesDf = perPart.toDF("date", "n_files")
+    Snapshot.readPin(spark, tmp, p)
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+      .join(broadcast(filesDf), Seq("date"))
+      .orderBy("date")
+  }
 }
