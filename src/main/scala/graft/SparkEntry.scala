@@ -1728,6 +1728,19 @@ object SparkEntry {
         "LEFT JOIN qk ON d.doc_id = qk.doc_id " +
         "LEFT JOIN ct ON d.doc_id = ct.doc_id " +
         "LEFT JOIN pii ON d.doc_id = pii.doc_id) ORDER BY doc_id")),
+    // the nightly-ingestion capstone: three crawl waves (with
+    // cross-wave re-deliveries) through quality gate → in-batch +
+    // vs-corpus exact dedup → idempotent snapshot appends; the oracle
+    // is the pipeline's fixed point — every quality-passing document
+    // exactly once (a dedup leak doubles rows, a quality leak shifts
+    // every rollup)
+    ("corpus_nightly_build",
+      (s: SparkSession, d: String) => Curation.corpusNightlyBuild(s, d),
+      Some("SELECT lang, source, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(doc_id) AS BIGINT) AS sum_id, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents WHERE n_chars >= 200 " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
     ("quality_filter",
       (s: SparkSession, d: String) => Curation.qualityFilter(s, d),
       Some("WITH s AS (SELECT doc_id, lang, " +

@@ -729,4 +729,57 @@ object Curation {
       .select("doc_id", "lang", "q_bp")
       .orderBy("doc_id")
   }
+
+  /** The nightly-ingestion capstone: three "crawl waves" land on a
+    * versioned snapshot corpus end to end — per wave: quality gate at
+    * the ingest boundary (`n_chars >= minChars`), in-batch exact
+    * dedup (first doc_id per content hash; planned as a bounded-heap
+    * TopKPerGroup, not a sort), dedup against the ACCUMULATED corpus
+    * (left-anti on the content hash — here a column-pruned scan of
+    * the corpus's hash column; at 100 TB this probe is the persisted
+    * band-index / bloom-manifest discipline of
+    * [[Dedup.incrementalDedupIndexed]] and
+    * [[graft.sources.ComplianceDelete]]), then an idempotent
+    * [[graft.sources.SnapshotOps.append]] commit. Waves RE-DELIVER
+    * earlier documents (`doc_id % 5 == wave` rides along with the
+    * wave's own `doc_id % 3 == wave` slice — crawls re-fetch pages),
+    * so a dedup that silently breaks doubles the corpus and fails
+    * the hash gate; a quality gate that leaks shifts every rollup
+    * row. The oracle is the fixed point the pipeline must reach:
+    * every quality-passing document exactly once.
+    */
+  def corpusNightlyBuild(spark: SparkSession, dir: String,
+                         minChars: Long = 200): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    val tmp = graft.sources.TmpDir.scoped("nightly", appId, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    root.getFileSystem(conf).delete(root, true)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("h", md5(TextAnalysis.normText(col("text"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id")
+    (0 until 3).foreach { wave =>
+      val delivered = docs.filter(
+        pmod(col("doc_id"), lit(3)) === wave ||
+          pmod(col("doc_id"), lit(5)) === wave)
+      val passed = delivered.filter(col("n_chars") >= minChars)
+      val inBatch = passed
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val survivors =
+        if (graft.sources.Snapshot.currentVersion(
+            root.getFileSystem(conf), root).isEmpty) inBatch
+        else inBatch.join(
+          graft.sources.Snapshot.read(spark, tmp).select("h"),
+          Seq("h"), "left_anti")
+      graft.sources.SnapshotOps.append(spark, tmp, survivors,
+        "source", Some(s"night-$wave"))
+    }
+    graft.sources.Snapshot.read(spark, tmp)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "source")
+  }
 }

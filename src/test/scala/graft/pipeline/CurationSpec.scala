@@ -443,4 +443,30 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(again.toSeq == rows.toSeq)
   }
+
+  test("nightly build: the waves really re-deliver, dedup drops exactly " +
+       "the re-deliveries, and the corpus converges to every " +
+       "quality-passing doc once") {
+    val docs = Tables.documents(spark, sf01).filter(col("n_chars") >= 200)
+    val nPassing = docs.count()
+    // deliveries across the three waves (with the %5 re-delivery ride-
+    // along) exceed the distinct passing docs — dedup has real work
+    val delivered = (0 until 3).map { w =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === w ||
+        pmod(col("doc_id"), lit(5)) === w).count()
+    }.sum
+    assert(delivered > nPassing,
+      s"no re-deliveries: $delivered delivered vs $nPassing passing")
+    val rollup = Curation.corpusNightlyBuild(spark, sf01).collect()
+    assert(rollup.map(_.getLong(2)).sum == nPassing,
+      "corpus row count != distinct quality-passing docs")
+    // and the corpus content is the passing set exactly (ids match)
+    val expect = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val got = rollup.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
 }
