@@ -1731,16 +1731,25 @@ object SparkEntry {
     // the nightly-ingestion capstone: three crawl waves (with
     // cross-wave re-deliveries) through quality gate → in-batch +
     // vs-corpus exact dedup → idempotent snapshot appends; the oracle
-    // is the pipeline's fixed point — every quality-passing document
-    // exactly once (a dedup leak doubles rows, a quality leak shifts
-    // every rollup)
+    // is the pipeline's fixed point — every quality-passing CONTENT
+    // exactly once, represented by its earliest delivery (first wave,
+    // then min doc_id; a doc's first wave is the least of its %3 wave
+    // and its %5 ride-along when that falls in 0..2) — the sf1 scaled
+    // corpus carries real content collisions, so the keeper rule is
+    // load-bearing, not a formality
     ("corpus_nightly_build",
       (s: SparkSession, d: String) => Curation.corpusNightlyBuild(s, d),
-      Some("SELECT lang, source, CAST(count(*) AS BIGINT) AS n, " +
+      Some("WITH d AS (SELECT doc_id, lang, source, n_chars, " +
+        s"md5($normSql) AS h, " +
+        "LEAST(doc_id % 3, CASE WHEN doc_id % 5 <= 2 THEN doc_id % 5 " +
+        "ELSE doc_id % 3 END) AS fw " +
+        "FROM documents WHERE n_chars >= 200), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY h " +
+        "ORDER BY fw, doc_id) AS rn FROM d) " +
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(doc_id) AS BIGINT) AS sum_id, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
-        "FROM documents WHERE n_chars >= 200 " +
-        "GROUP BY 1, 2 ORDER BY 1, 2")),
+        "FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2")),
     ("quality_filter",
       (s: SparkSession, d: String) => Curation.qualityFilter(s, d),
       Some("WITH s AS (SELECT doc_id, lang, " +
