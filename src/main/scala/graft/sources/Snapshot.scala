@@ -200,12 +200,24 @@ object Snapshot {
         .foreach(st => fs.delete(st.getPath, false))
   }
 
+  /** A hidden stage dir younger than this is presumed to belong to a
+    * LIVE concurrent writer mid-stage and is skipped by [[vacuum]];
+    * older ones are dead writers' orphans and are reaped whole. The
+    * same grace real table formats give in-flight write attempts —
+    * without it, writer A's post-commit vacuum could delete writer B's
+    * staged-but-not-yet-placed files out from under it.
+    */
+  val StageGraceMs: Long = 6L * 3600 * 1000
+
   /** Expire old versions: keep the newest `keep` manifests, delete
     * every data file not referenced by a kept manifest (this also
     * reaps never-committed orphans), then delete the expired
-    * manifests. Directories emptied by the sweep are removed.
+    * manifests. Directories emptied by the sweep are removed. Hidden
+    * (dot-prefixed) top-level stage dirs are reaped only past
+    * [[StageGraceMs]] — they may belong to a live writer.
     */
-  def vacuum(fs: FileSystem, root: Path, keep: Int = KeepVersions): Unit = {
+  def vacuum(fs: FileSystem, root: Path, keep: Int = KeepVersions,
+             stageGraceMs: Long = StageGraceMs): Unit = {
     val vs = versions(fs, root)
     if (vs.isEmpty) return
     val kept = vs.takeRight(keep)
@@ -233,9 +245,17 @@ object Snapshot {
       }
       !live
     }
+    val now = System.currentTimeMillis()
     fs.listStatus(root).filter(_.isDirectory)
       .filter(_.getPath.getName != MetaDir)
-      .foreach(st => if (sweep(st.getPath)) fs.delete(st.getPath, true))
+      .foreach { st =>
+        if (st.getPath.getName.startsWith(".")) {
+          // in-flight stage dir of a concurrent writer — reap only
+          // once it is old enough to be a dead writer's orphan
+          if (now - st.getModificationTime > stageGraceMs)
+            fs.delete(st.getPath, true)
+        } else if (sweep(st.getPath)) fs.delete(st.getPath, true)
+      }
     vs.dropRight(keep).foreach { v =>
       fs.delete(new Path(metaPath(root), manifestName(v)), false)
     }
@@ -262,7 +282,12 @@ object Snapshot {
     val legacy = scala.collection.mutable.ArrayBuffer.empty[Path]
     if (parts.nonEmpty) {
       val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      val stage = ".snap_convert_stage"
+      // writer-unique stage + destination names, same reason as
+      // SnapshotOps.stageAndPlace: a racing convert must never rename
+      // over dirs another writer placed (the loser's commit conflicts
+      // and its uniquely-named orphans are vacuum's to reap)
+      val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val stage = s".snap_convert_stage_$token"
       val sch = spark.read.parquet(new Path(root, parts.head).toString).schema
       parts.map { part =>
         val value = esc.unescapePathName(part.substring(part.indexOf('=') + 1))
@@ -276,11 +301,11 @@ object Snapshot {
         val src = new Path(root,
           s"$stage/__snap_part=${esc.escapePathName(part)}")
         if (fs.exists(src)) {
-          val dst = new Path(root, s"$part/u1_0")
-          fs.delete(dst, true)
+          val sub = s"$part/u1_$token"
+          val dst = new Path(root, sub)
           if (!fs.rename(src, dst))
             throw new java.io.IOException(s"convert placement failed for $dst")
-          files ++= dataFilesUnder(fs, root, s"$part/u1_0")
+          files ++= dataFilesUnder(fs, root, sub)
         }
         legacy ++= fs.listStatus(new Path(root, part)).filter(_.isFile)
           .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)

@@ -46,10 +46,18 @@ object SnapshotFollow {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val live = Snapshot.versions(fs, root)
     require(live.nonEmpty, s"$tableDir has no committed versions")
-    val cursor = readCursor(fs, cursorPath).getOrElse(live.min)
+    val persisted = readCursor(fs, cursorPath)
+    val cursor = persisted.getOrElse(live.min)
     require(live.contains(cursor),
       s"follower cursor v$cursor fell behind retention " +
         s"(live: ${live.mkString(", ")}); re-bootstrap from a full read")
+    // persist the resolved cursor even when nothing is pending — a
+    // fresh follower that bootstraps at live.min and only polls again
+    // after >= KeepVersions further commits would otherwise re-resolve
+    // cursor = the NEW live.min and silently skip the oldest delta;
+    // with the cursor written, that poll trips the loud fell-behind
+    // require above instead of gapping
+    if (persisted.isEmpty) writeCursor(fs, cursorPath, cursor)
     val pending = live.filter(_ > cursor)
     pending.foldLeft(cursor) { (from, to) =>
       SnapshotOps.changesBetween(spark, tableDir, from, to)
@@ -66,24 +74,42 @@ object SnapshotFollow {
   def changeLog(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
 
+  /** An empty or unparseable cursor file (a legacy writer that died
+    * between create-truncate and write) reads as ABSENT — the follower
+    * re-bootstraps instead of crashing unrecoverably on every poll.
+    * [[writeCursor]]'s tmp+rename makes that window impossible for
+    * cursors written by this code.
+    */
   private def readCursor(fs: org.apache.hadoop.fs.FileSystem,
                          path: String): Option[Long] = {
     val p = new Path(path)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().next().trim.toLong)
-      finally in.close()
+      val first =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().nextOption()
+        finally in.close()
+      first.map(_.trim).filter(_.nonEmpty)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
     }
   }
 
+  /** Cursor writes go through tmp + rename (the manifest-commit
+    * discipline): a crash mid-write leaves either the old cursor or a
+    * tmp file that is simply ignored — never a truncated cursor.
+    */
   private def writeCursor(fs: org.apache.hadoop.fs.FileSystem,
                           path: String, v: Long): Unit = {
     val p = new Path(path)
-    val out = fs.create(p, true)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp.${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
     try out.write(s"$v\n".getBytes("UTF-8"))
     finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"cursor write failed for $p")
   }
 
   /** Gate fixture + query: the two-mutation lifecycle consumed

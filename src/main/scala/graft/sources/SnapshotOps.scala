@@ -31,9 +31,13 @@ import graft.Tables
   *
   * Crash windows stay closed with the staged write: a death mid-stage
   * leaves `.snap_stage_v*` orphans no manifest references (reaped by
-  * the next [[Snapshot.vacuum]]); a death mid-rename leaves
-  * unreferenced per-version subdirs (same); the manifest rename
-  * remains the only commit point.
+  * [[Snapshot.vacuum]] once past [[Snapshot.StageGraceMs]] — younger
+  * stage dirs may belong to a live concurrent writer); a death
+  * mid-rename leaves unreferenced per-version subdirs (reaped by the
+  * next vacuum); the manifest rename remains the only commit point.
+  * Placement destinations are writer-unique (`u<version>_<token>`), so
+  * two writers optimistically racing the same next version can never
+  * rename over — or delete — each other's placed or committed files.
   *
   * Every mutation ends with [[Snapshot.vacuum]] at the default
   * retention, so storage is bounded at ~[[Snapshot.KeepVersions]]×
@@ -51,7 +55,58 @@ object SnapshotOps {
     */
   @volatile private[sources] var beforeCommit: () => Unit = () => ()
 
+  /** Test seam: invoked after a mutation pinned its base version but
+    * before it stages any data — the window in which a concurrent
+    * winner can stage AND commit the same next version. SnapshotSpec
+    * runs a full competing mutation here to prove two writers both
+    * staging data files cannot clobber each other's placements.
+    */
+  @volatile private[sources] var beforeStage: () => Unit = () => ()
+
   private val StageTag = "__snap_part"
+
+  /** Idempotency tags are carried forward for this many commits after
+    * the commit that introduced them, then dropped — so the manifest's
+    * tag section is bounded at O([[TagKeepVersions]] × tags/commit)
+    * under continuous micro-batch ingest instead of growing by one
+    * line per batch forever. This window (not the vacuum retention) is
+    * the replay-protection bound: a batch re-delivered within
+    * [[TagKeepVersions]] commits of its original landing is a no-op; a
+    * replay older than that re-appends. Streaming checkpoints make
+    * replays arrive within a few commits in practice, so a window of
+    * 16 is generous; it survives any intervening non-append mutations
+    * inside the window (tags are copied forward by every mutation).
+    */
+  private[sources] val TagKeepVersions = 16L
+
+  /** `#appended@VVVVVVVV=key` — the tag line format carrying the
+    * version that introduced the key, so expiry needs no side state.
+    * Legacy un-versioned `#appended=key` lines are re-stamped with the
+    * current base version on first carry-forward and then age out
+    * normally.
+    */
+  private def mkTag(version: Long, key: String): String =
+    f"#appended@$version%08d=$key"
+
+  private val TagRe = "^#appended(?:@(\\d+))?=(.*)$".r
+
+  private[sources] def tagKeyOf(line: String): Option[String] = line match {
+    case TagRe(_, k) => Some(k)
+    case _ => None
+  }
+
+  /** Drop tags introduced more than [[TagKeepVersions]] commits before
+    * `newVersion`; re-stamp legacy un-versioned tags at `newVersion-1`.
+    */
+  private[sources] def expireTags(tags: Seq[String],
+                                  newVersion: Long): Seq[String] =
+    tags.flatMap {
+      case TagRe(v, k) =>
+        val intro = Option(v).map(_.toLong).getOrElse(newVersion - 1)
+        if (intro > newVersion - TagKeepVersions) Some(mkTag(intro, k))
+        else None
+      case other => Some(other) // unknown tag kinds carried as-is
+    }
 
   private def escapePart(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -139,6 +194,7 @@ object SnapshotOps {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     Snapshot.recoverMeta(fs, root)
     val p = Snapshot.pin(spark, dir)
+    beforeStage()
     val bkeys = broadcast(keys)
 
     // the files holding affected keys — ONE key-pruned plan scan of
@@ -184,7 +240,7 @@ object SnapshotOps {
     val manifest = p.files.filterNot(hitRels) ++ newFiles
     beforeCommit()
     val v = Snapshot.commit(fs, root, manifest, p.version,
-      Snapshot.tagsOf(fs, root, p.version))
+      expireTags(Snapshot.tagsOf(fs, root, p.version), newVersion))
     Snapshot.vacuum(fs, root)
     MutationStats(v, affected, hitRels.size.toLong, newFiles.size.toLong)
   }
@@ -195,6 +251,17 @@ object SnapshotOps {
     * RENAME each staged subdir into its partition's per-version
     * subdir (metadata-only; a partition whose subplan produced no
     * rows simply stages no dir). Returns the new relative file list.
+    *
+    * Both the stage dir and every destination subdir carry a
+    * WRITER-UNIQUE token (`u<version>_<token>/`): under the optimistic
+    * protocol two racing writers legitimately target the same next
+    * version, so a deterministic destination would let the loser
+    * delete or rename over files the winner already COMMITTED —
+    * manifest-referenced data destroyed by a writer that then merely
+    * retries. With unique names no placement can ever collide with a
+    * live writer's; a dead writer's placed-but-never-committed dirs
+    * are unreferenced orphans that [[Snapshot.vacuum]] reaps, so no
+    * pre-placement delete is needed (or allowed) here.
     */
   private def stageAndPlace(spark: SparkSession, fs: FileSystem,
                             root: Path, dir: String,
@@ -203,7 +270,8 @@ object SnapshotOps {
                             onePerPart: Boolean): Seq[String] = {
     val newFiles = scala.collection.mutable.ArrayBuffer.empty[String]
     if (tagged.isEmpty) return newFiles.toSeq
-    val stage = f".snap_stage_v$newVersion%08d"
+    val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val stage = f".snap_stage_v$newVersion%08d_$token"
     val union = tagged.map(_._2).reduce(_ unionByName _)
     val staged =
       if (onePerPart) union.repartition(tagged.size, col(StageTag))
@@ -213,9 +281,8 @@ object SnapshotOps {
     tagged.foreach { case (part, _) =>
       val src = new Path(root, s"$stage/$StageTag=${escapePart(part)}")
       if (fs.exists(src)) {
-        val sub = s"$part/u${newVersion}_0"
+        val sub = s"$part/u${newVersion}_$token"
         val dst = new Path(root, sub)
-        fs.delete(dst, true) // unreferenced orphan of a dead writer
         fs.mkdirs(dst.getParent)
         if (!fs.rename(src, dst))
           throw new java.io.IOException(s"staged placement failed for $dst")
@@ -258,6 +325,7 @@ object SnapshotOps {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     Snapshot.recoverMeta(fs, root)
     val p = Snapshot.pin(spark, dir)
+    beforeStage()
     val byPart = p.files.groupBy(f => f.substring(0, f.indexOf('/')))
     val affected = byPart.filter(_._2.size > maxFiles).keys.toSeq.sorted
     if (affected.isEmpty) return MutationStats(p.version, Nil, 0L, 0L)
@@ -274,7 +342,7 @@ object SnapshotOps {
     val manifest = p.files.filterNot(retired) ++ newFiles
     beforeCommit()
     val v = Snapshot.commit(fs, root, manifest, p.version,
-      Snapshot.tagsOf(fs, root, p.version))
+      expireTags(Snapshot.tagsOf(fs, root, p.version), newVersion))
     Snapshot.vacuum(fs, root)
     MutationStats(v, affected, retired.size.toLong, newFiles.size.toLong)
   }
@@ -287,13 +355,15 @@ object SnapshotOps {
     * Bootstraps an empty (unconverted) table at v1.
     *
     * `idempotencyKey` makes replays safe without a transaction log:
-    * the key is recorded as a `#appended=` tag line in the manifest,
-    * tags are copied forward by every mutation, and an append whose
-    * key is already visible on the CURRENT version is a no-op — so a
-    * restarted stream re-delivering a micro-batch commits nothing
-    * twice. The protection window is the vacuum retention (an expired
-    * manifest takes its tags with it) — the same bound table formats
-    * document for their per-writer transaction ids.
+    * the key is recorded as a version-stamped `#appended@V=` tag line
+    * in the manifest, tags are copied forward by every mutation, and
+    * an append whose key is already visible on the CURRENT version is
+    * a no-op — so a restarted stream re-delivering a micro-batch
+    * commits nothing twice. The protection window is
+    * [[TagKeepVersions]] commits after the key first landed (expiry
+    * happens at commit time, so the manifest's tag section stays
+    * bounded under continuous ingest) — the same bounded-window
+    * semantics table formats document for per-writer transaction ids.
     */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              partCol: String,
@@ -312,9 +382,10 @@ object SnapshotOps {
           Snapshot.tagsOf(fs, root, v))
       case None => (Snapshot.Pin(0L, Nil), Nil)
     }
-    val newTag = idempotencyKey.map(k => s"#appended=$k")
-    if (newTag.exists(tags.contains))
+    val liveKeys = tags.flatMap(tagKeyOf).toSet
+    if (idempotencyKey.exists(liveKeys))
       return MutationStats(p.version, Nil, 0L, 0L)
+    beforeStage()
     val b = batch.withColumn(partCol, col(partCol).cast("string"))
     val parts = b.select(partCol).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -329,8 +400,9 @@ object SnapshotOps {
     val newFiles = stageAndPlace(spark, fs, root, dir, tagged,
       newVersion, onePerPart = false)
     beforeCommit()
+    val newTag = idempotencyKey.map(k => mkTag(newVersion, k))
     val v = Snapshot.commit(fs, root, p.files ++ newFiles, p.version,
-      tags ++ newTag)
+      expireTags(tags, newVersion) ++ newTag)
     Snapshot.vacuum(fs, root)
     MutationStats(v, tagged.map(_._1), 0L, newFiles.size.toLong)
   }
@@ -424,9 +496,17 @@ object SnapshotOps {
     * versions are scanned (churn-sized IO — never the table), and
     * rewritten-but-kept rows cancel in one signed full-row
     * aggregation (no join). Rows present only in `to` carry
-    * op = "add"; rows present only in `from` carry op = "remove".
+    * op = "add"; rows present only in `from` carry op = "remove",
+    * and `n` carries the NET multiplicity (a row duplicated k times
+    * that disappears emits one "remove" row with n = k) so a consumer
+    * replaying the delta row-by-row applies each change the right
+    * number of times — without it, duplicate rows under-apply.
     * At 100 TB this is the downstream-consumer primitive: a nightly
     * consumer reads the delta between two builds, not the corpus.
+    *
+    * Schema resolves from whichever side has files — `to` may be an
+    * EMPTY manifest (a compliance delete can legally erase the whole
+    * table) and the change set is then all-removes, not a crash.
     */
   def changesBetween(spark: SparkSession, tableDir: String,
                      from: Long, to: Long): DataFrame = {
@@ -434,7 +514,10 @@ object SnapshotOps {
     val pt = Snapshot.pinAt(spark, tableDir, to)
     val retired = pf.files.filterNot(pt.files.toSet)
     val fresh = pt.files.filterNot(pf.files.toSet)
-    val sch = spark.read.parquet(s"$tableDir/${pt.files.head}").schema
+    val schemaFile = pt.files.headOption.orElse(pf.files.headOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"both v$from and v$to of $tableDir are empty — no change set"))
+    val sch = spark.read.parquet(s"$tableDir/$schemaFile").schema
     def readRels(rels: Seq[String]): DataFrame =
       if (rels.isEmpty)
         spark.createDataFrame(
@@ -449,6 +532,7 @@ object SnapshotOps {
       .filter(col("__net") =!= 0L)
       .withColumn("op",
         when(col("__net") > 0L, lit("add")).otherwise(lit("remove")))
+      .withColumn("n", abs(col("__net")))
       .drop("__net")
   }
 

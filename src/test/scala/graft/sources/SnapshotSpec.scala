@@ -184,6 +184,171 @@ class SnapshotSpec extends SparkSpec {
     } finally SnapshotOps.beforeCommit = () => ()
   }
 
+  test("two-writer staging race: a loser that staged data files can " +
+       "never clobber the winner's placed or committed files; the " +
+       "retry lands both effects and vacuum reaps only true orphans") {
+    val (dir, events) = freshTable()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = Snapshot.pin(spark, dir)
+    // the winner: fires in the victim's pin→stage window and runs a
+    // FULL competing mutation (stages its own data files, commits v2)
+    // — the interleaving in which a deterministic staging destination
+    // would let the victim delete or rename over the winner's files
+    var fired = false
+    val corrections = events
+      .filter(pmod(col("user_id"), lit(89)) === 5)
+      .withColumn("event_type", lit("corrected"))
+    SnapshotOps.beforeStage = () => if (!fired) {
+      fired = true
+      SnapshotOps.upsert(spark, dir, corrections, "event_id", "date")
+    }
+    try {
+      val doomed = events.filter(pmod(col("user_id"), lit(101)) === 7)
+        .select("event_id")
+      val del = SnapshotOps.delete(spark, dir, doomed, "event_id")
+      assert(fired)
+      assert(del.version == v1.version + 2, "victim did not lose then retry")
+      // the winner's committed version stays byte-intact: every file
+      // its manifest references still exists
+      val v2files = Snapshot.filesOf(fs, root, v1.version + 1)
+      v2files.foreach { f =>
+        assert(fs.exists(new Path(root, f)),
+          s"winner's committed file $f destroyed by the losing writer")
+      }
+      // and answers the winner's exact state
+      val winnerState = state(events
+        .join(corrections.select("event_id"), Seq("event_id"), "left_anti")
+        .unionByName(corrections.select(events.columns.map(col): _*)))
+      assert(state(Snapshot.readAt(spark, dir, v1.version + 1)) == winnerState)
+      // the retry re-planned against the winner: final = both effects
+      val expect = state(events
+        .join(corrections.select("event_id"), Seq("event_id"), "left_anti")
+        .unionByName(corrections.select(events.columns.map(col): _*))
+        .join(doomed, Seq("event_id"), "left_anti"))
+      assert(state(Snapshot.read(spark, dir)) == expect)
+      // no orphan parquet survives outside the retained manifests (the
+      // victim's failed-attempt placements were uniquely named and
+      // vacuum reaped them)
+      val referenced = (v2files ++
+        Snapshot.filesOf(fs, root, v1.version + 2)).toSet
+      val rootUri = fs.makeQualified(root).toUri.getPath
+      def walk(p: Path): Seq[Path] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq(st.getPath)
+        }
+      walk(root)
+        .filter(_.getName.endsWith(".parquet"))
+        .filterNot(_.toUri.getPath.contains(s"/${Snapshot.MetaDir}/"))
+        .foreach { p =>
+          val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+          assert(referenced(rel), s"unreferenced orphan survived vacuum: $rel")
+        }
+    } finally SnapshotOps.beforeStage = () => ()
+  }
+
+  test("idempotency tags expire after TagKeepVersions commits and the " +
+       "manifest tag section stays bounded under continuous ingest") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snap_tags").toString
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val row = graft.Tables.events(spark, sf)
+      .withColumn("date",
+        expr("date(timestamp_micros(ts div 1000))").cast("string"))
+      .orderBy("event_id").limit(1).cache()
+    val n = (SnapshotOps.TagKeepVersions + 3).toInt
+    (0 until n).foreach { i =>
+      SnapshotOps.append(spark, dir,
+        row.withColumn("event_id", col("event_id") + lit(i.toLong * 10000)),
+        "date", Some(s"batch-$i"))
+    }
+    val cur = Snapshot.currentVersion(fs, root).get
+    val tags = Snapshot.tagsOf(fs, root, cur)
+    assert(tags.size <= SnapshotOps.TagKeepVersions,
+      s"tag section grew unboundedly: ${tags.size} lines after $n appends")
+    // a key inside the window replays as a no-op
+    val recent = SnapshotOps.append(spark, dir,
+      row.withColumn("event_id", col("event_id") + lit((n - 1).toLong * 10000)),
+      "date", Some(s"batch-${n - 1}"))
+    assert(recent.newFiles == 0L, "recent key lost its replay protection")
+    // a key older than the window has aged out — the append lands
+    // again (the documented bounded-window semantics)
+    val ancient = SnapshotOps.append(spark, dir,
+      row.withColumn("event_id", col("event_id") + lit(999999L)),
+      "date", Some("batch-0"))
+    assert(ancient.newFiles > 0L,
+      "expired tag still carried — manifest growth is unbounded")
+    row.unpersist()
+  }
+
+  test("changesBetween: an empty 'to' manifest (full-table erasure) " +
+       "yields all-removes, and the n column carries net multiplicity " +
+       "for duplicated rows") {
+    // duplicated rows: the same batch appended twice under different
+    // idempotency keys lands every row twice
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snap_mult").toString
+    val batch = graft.Tables.events(spark, sf)
+      .withColumn("date",
+        expr("date(timestamp_micros(ts div 1000))").cast("string"))
+      .orderBy("event_id").limit(20).cache()
+    val nRows = batch.count()
+    SnapshotOps.append(spark, dir, batch, "date", Some("k1"))
+    SnapshotOps.append(spark, dir, batch, "date", Some("k2"))
+    // v1→v2: each row gained one copy → all adds, n = 1
+    val adds = SnapshotOps.changesBetween(spark, dir, 1L, 2L)
+    assert(adds.filter(col("op") =!= "add").count() == 0)
+    assert(adds.filter(col("n") =!= 1L).count() == 0)
+    assert(adds.count() == nRows)
+    // erase every key → v3 with an EMPTY manifest; the delta must
+    // resolve its schema from the 'from' side and emit one remove per
+    // distinct row with n = 2 (both copies gone)
+    SnapshotOps.delete(spark, dir, batch.select("event_id"), "event_id")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(Snapshot.filesOf(fs, root, 3L).isEmpty, "erasure left files")
+    val removes = SnapshotOps.changesBetween(spark, dir, 2L, 3L)
+    assert(removes.filter(col("op") =!= "remove").count() == 0)
+    assert(removes.count() == nRows)
+    assert(removes.filter(col("n") =!= 2L).count() == 0,
+      "net multiplicity lost: duplicated rows must carry n = 2")
+    batch.unpersist()
+  }
+
+  test("follow: the bootstrap cursor is persisted immediately (a slow " +
+       "first poller fails loudly instead of silently gapping) and an " +
+       "empty cursor file reads as absent") {
+    val (dir, events) = freshTable()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_follow_boot").toString
+    val cursor = s"$out/_cursor"
+    val fs = new Path(out).getFileSystem(spark.sessionState.newHadoopConf())
+    // bootstrap: nothing pending — but the resolved cursor must be
+    // written NOW, not first at the next consumed version
+    assert(SnapshotFollow.followChanges(spark, dir, cursor, out) == 0)
+    assert(fs.exists(new Path(cursor)),
+      "bootstrap did not persist the cursor — a later poll would " +
+        "silently re-resolve from live.min")
+    // two commits expire v1 (keep=2): the persisted v1 cursor now
+    // trips the loud fell-behind require — the silent-gap window the
+    // unpersisted bootstrap had
+    SnapshotOps.delete(spark, dir,
+      events.filter(pmod(col("user_id"), lit(50)) === 1).select("event_id"),
+      "event_id")
+    SnapshotOps.delete(spark, dir,
+      events.filter(pmod(col("user_id"), lit(50)) === 2).select("event_id"),
+      "event_id")
+    intercept[IllegalArgumentException] {
+      SnapshotFollow.followChanges(spark, dir, cursor, out)
+    }
+    // an empty cursor file (legacy torn write) is treated as absent:
+    // the follower re-bootstraps instead of crashing on every poll
+    val out2 = fs.create(new Path(cursor), true); out2.close()
+    assert(SnapshotFollow.followChanges(spark, dir, cursor, out) == 1)
+  }
+
   test("time travel: an explicit old version reads its exact " +
        "pre-mutation state after later commits; an expired version " +
        "fails loudly") {
