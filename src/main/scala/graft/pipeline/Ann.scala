@@ -139,8 +139,180 @@ object Ann {
       trainAssignOf(vectors(spark, dir), cells))
   }
 
+  /** Cell count at or below which the coarse quantiser trains and
+    * assigns FLAT (one MLlib fit; assignment ranks every cell per
+    * vector — fine while cells is a constant). Above it the quantiser
+    * goes TWO-LEVEL: ≈√cells super-centers route first, then only the
+    * probed super's cells are ranked — because with `cells ∝ N/256`
+    * (the constant-occupancy rule the kNN family uses) a flat
+    * assignment is O(N · cells) = O(N²/256) in disguise, the exact
+    * at-scale defect the sf10 probe measured (knn_join 31× wall for
+    * 10× data). Two-level routing makes per-vector assignment
+    * O(√cells) and training O(sample·√cells), the standard
+    * hierarchical-quantiser remedy (FAISS-style deployments switch to
+    * a second-level quantiser once nlist passes ~10⁴).
+    */
+  val FlatCellsMax = 64
+
+  /** The two-level routing structure every per-VECTOR cell operation
+    * (assignment, multi-probe) evaluates against: per super-center its
+    * member cells, with pre-computed norms for cosine ranking. The
+    * super "center" is the MEAN of its member cells' centers — a
+    * routing representative derivable from the (cell, center, super)
+    * relation alone, so the persisted index needs no extra
+    * `supercenters/` file and legacy flat indexes (no super column)
+    * degrade to one super holding every cell, which makes the
+    * two-level expressions EXACTLY the old single-level ones.
+    */
+  private[graft] type RouterSupers =
+    Seq[(Seq[Double], Double, Seq[(Int, Seq[Double], Double)])]
+
+  private[graft] def routerOf(
+      rows: Array[(Int, Seq[Double], Int)]): RouterSupers =
+    rows.groupBy(_._3).toSeq.sortBy(_._1).map { case (_, cs) =>
+      val cells = cs.sortBy(_._1).map { case (id, w, _) =>
+        (id, w, math.max(math.sqrt(w.map(x => x * x).sum), 1e-12))
+      }.toSeq
+      val dim = cells.head._2.length
+      val sc = (0 until dim).map(d => cells.map(_._2(d)).sum / cells.size)
+      (sc, math.max(math.sqrt(sc.map(x => x * x).sum), 1e-12), cells)
+    }
+
+  /** Build the router from any (cell, center[, super]) relation —
+    * in-memory centersDf or the persisted `centers/` parquet.
+    */
+  private[graft] def routerFromCenters(centersDf: DataFrame): RouterSupers = {
+    val hasSuper = centersDf.columns.contains("super")
+    routerOf(centersDf.collect().map(r =>
+      (r.getInt(0), r.getSeq[Double](1), if (hasSuper) r.getInt(2) else 0)))
+  }
+
+  /** The router as a bare plan literal — for call sites (streaming)
+    * where the broadcast-relation fallback is unavailable and the
+    * frame is small.
+    */
+  private[graft] def routerLit(router: RouterSupers): Column =
+    typedLit(router)
+
+  /** The router as a plan-side column: a nested literal under the
+    * budget (ksuper·dim + cells·dim doubles), a one-row broadcast
+    * relation past it — same discipline as [[attachGrid]]; a
+    * million-cell router is ~500 MB of centers and must never ride
+    * every task's serialized plan.
+    */
+  private[graft] def attachRouter(df: DataFrame, router: RouterSupers,
+                                  budget: Int = MaxPlanLiteralDoubles): (DataFrame, Column) = {
+    val doubles = router.map(s => s._1.size + s._3.map(_._2.size).sum).sum
+    if (doubles <= budget) (df, typedLit(router))
+    else {
+      val sq = df.sparkSession
+      import sq.implicits._
+      (df.crossJoin(broadcast(Seq(Tuple1(router)).toDF("__router"))),
+        col("__router"))
+    }
+  }
+
+  /** Euclidean cell assignment through the router: argmin over the
+    * supers (ties to the lower super), then argmin over ONLY that
+    * super's cells (ties to the lower cell id — array_sort on
+    * (d2, cell) structs). O(√cells) distance loops per vector instead
+    * of O(cells); all loop-shaped higher-order functions, so the
+    * generated code stays small at any router size.
+    */
+  private[graft] def routeCellExpr(routerCol: Column,
+                                   v: Column = col("v")): Column = {
+    val sd = transform(routerCol, s =>
+      aggregate(zip_with(v, s.getField("_1"), (x, w) => (x - w) * (x - w)),
+        lit(0.0), (a, y) => a + y))
+    val cells = element_at(routerCol,
+      array_position(sd, array_min(sd)).cast("int")).getField("_3")
+    val scored = transform(cells, c =>
+      struct(
+        aggregate(zip_with(v, c.getField("_2"), (x, w) => (x - w) * (x - w)),
+          lit(0.0), (a, y) => a + y).as("d2"),
+        c.getField("_1").as("cell")))
+    element_at(transform(array_sort(scored), x => x.getField("cell")), 1)
+  }
+
+  /** The `nprobe` nearest cells of `v` through the router, ranked by
+    * cosine (dot/|c| — |v| is a positive per-row constant): rank the
+    * supers, gather the cells of the top `min(nSupers, max(2, nprobe))`
+    * supers, rank only those. With one super (flat/legacy router) this
+    * is exactly the old single-level multi-probe expression — same
+    * scoring, same (score desc, cell asc) tie order.
+    */
+  private[graft] def routeProbeExpr(routerCol: Column, router: RouterSupers,
+                                    nprobe: Int,
+                                    v: Column = col("v")): Column = {
+    val sprobe = math.min(router.size, math.max(2, nprobe))
+    val ss = transform(routerCol, (s, i) =>
+      struct(
+        (-aggregate(zip_with(v, s.getField("_1"), (x, w) => x * w),
+          lit(0.0), (a, y) => a + y) / s.getField("_2")).as("ns"),
+        i.as("pos")))
+    val cand = flatten(transform(
+      slice(array_sort(ss), 1, sprobe),
+      x => element_at(routerCol,
+        (x.getField("pos") + 1).cast("int")).getField("_3")))
+    val scored = transform(cand, c =>
+      struct(
+        (-aggregate(zip_with(v, c.getField("_2"), (x, w) => x * w),
+          lit(0.0), (a, y) => a + y) / c.getField("_3")).as("ns"),
+        c.getField("_1").as("cell")))
+    transform(slice(array_sort(scored), lit(1), lit(nprobe)),
+      x => x.getField("cell"))
+  }
+
+  /** Driver-side Lloyd's over one super-cell's SAMPLE slice — the
+    * second-level fits are many and tiny (sample/ksuper points,
+    * cells/ksuper centers each), where an MLlib job per fit would pay
+    * ksuper job-scheduling round-trips for milliseconds of arithmetic.
+    * Deterministic: seeded init over vec_id-sorted points; an emptied
+    * cluster keeps its previous center.
+    */
+  private def localKMeans(pts: Array[Array[Double]], k: Int, seed: Long,
+                          iters: Int = 10): Array[Array[Double]] = {
+    val dim = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(pts.indices.toVector).take(k)
+      .map(i => pts(i).clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val cnt = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        cnt(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnt(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / cnt(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** The un-memoized quantiser core over ANY (vec_id, v) relation —
     * train on the capped deterministic sample, assign the full set.
+    * Returns (assigned, centersDf = (cell, center, super)). Flat at or
+    * below [[FlatCellsMax]] cells; two-level above it (see there):
+    * one MLlib fit for ≈√cells super-centers, then per-super local
+    * Lloyd's over the sample slice, then ONE linear corpus pass
+    * assigning through the router expression — no per-vector
+    * all-cells ranking anywhere.
     * Both returned frames are materialized (the assignment is cached
     * and counted); callers that don't memoize unpersist when done.
     */
@@ -149,32 +321,67 @@ object Ann {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = vecs.sparkSession
-    val all = vecs
-      .withColumn("fv", array_to_vector(col("v")))
-      .cache()
+    val all = vecs.cache()
     // deterministic hash sample: keep ≈MaxTrainVectors rows however
     // large the corpus (xxhash64(vec_id) is a fixed uniform map, so
     // the training set is stable across runs and partitionings; no
     // global sort, one column-pruned count). n·h < n·1e6·(cap/n)
     // stays within int64 for any realistic corpus (h < 1e6).
     val n = all.count()
-    val train =
+    val sampled =
       if (n <= MaxTrainVectors) all
       else all.filter(
         pmod(xxhash64(col("vec_id")), lit(1000000L)) * n
           < lit(1000000L) * MaxTrainVectors)
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(train)
-    // assignment runs over the FULL corpus — one map pass against
-    // the (tiny) trained model, the part of IVF that IS linear
-    val assigned = model.transform(all).select("vec_id", "v", "cell").cache()
-    assigned.count() // materialize BEFORE dropping the training
-    all.unpersist() // cache, or the first consumer re-scans parquet
-    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
-    (assigned, spark.createDataFrame(centers).toDF("cell", "center"))
+    if (cells <= FlatCellsMax) {
+      val train = sampled.withColumn("fv", array_to_vector(col("v")))
+      val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(train)
+      // assignment runs over the FULL corpus — one map pass against
+      // the (tiny) trained model, the part of IVF that IS linear
+      val assigned = model
+        .transform(all.withColumn("fv", array_to_vector(col("v"))))
+        .select("vec_id", "v", "cell").cache()
+      assigned.count() // materialize BEFORE dropping the training
+      all.unpersist() // cache, or the first consumer re-scans parquet
+      val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.toSeq, 0)
+      }.toSeq
+      (assigned, spark.createDataFrame(centers).toDF("cell", "center", "super"))
+    } else {
+      val ksuper = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+      val subPerSuper = math.max(1, math.ceil(cells.toDouble / ksuper).toInt)
+      val train = sampled.withColumn("fv", array_to_vector(col("v")))
+      val superModel = new KMeans().setK(ksuper).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("sup")
+        .fit(train)
+      // the SAMPLE (bounded ≤ MaxTrainVectors) comes to the driver
+      // once, partitioned by super — the corpus never does
+      val samplePts = superModel.transform(train)
+        .select(col("sup"), col("vec_id").cast("long").as("vec_id"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      val bySuper = samplePts.groupBy(_._1)
+      val centerRows = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Double], Int)]
+      var nextId = 0
+      (0 until ksuper).foreach { s =>
+        val pts = bySuper.getOrElse(s, Array.empty).sortBy(_._2).map(_._3)
+        if (pts.nonEmpty) {
+          localKMeans(pts, math.min(subPerSuper, pts.length), seed = 42L + s)
+            .foreach { c => centerRows += ((nextId, c.toSeq, s)); nextId += 1 }
+        }
+      }
+      val router = routerOf(centerRows.toArray)
+      val (frame, rcol) = attachRouter(all, router)
+      val assigned = frame
+        .select(col("vec_id"), col("v"), routeCellExpr(rcol).as("cell"))
+        .cache()
+      assigned.count()
+      all.unpersist()
+      (assigned,
+        spark.createDataFrame(centerRows.toSeq).toDF("cell", "center", "super"))
+    }
   }
 
   /** Per-label centroid components as exact integers: each float
@@ -654,14 +861,16 @@ object Ann {
     val cells = math.max(cellsMin, (n / 256L).toInt)
     val (assigned, centersDf) = ivfAssign(spark, dir, cells)
     val codebooks = pqCodebooksFor(spark, dir, cells, m, ksub)
-    val probeCells = graft.pipeline.Dedup.multiProbeCellsExpr(
-      centersDf.collect().map(r => (r.getInt(0), r.getSeq[Double](1))), nprobe)
+    val router = routerFromCenters(centersDf)
     // candidate relation: (vec_id, probe cell, 8 PQ codes) — the raw
     // vector NEVER enters the pair join; each row is ~8 B of codes vs
     // 512 B of doubles, so the cell shuffle (the operator's dominant
-    // movement) is ~64× narrower than the exact-candidates form
-    val probed = ivfPqEncodeOf(normalized(assigned.drop("cell")),
-      codebooks, m, explode(probeCells), literalBudget)
+    // movement) is ~64× narrower than the exact-candidates form.
+    // Probing routes two-level (supers first) — O(√cells) per vector.
+    val (rframe, rcol) = attachRouter(normalized(assigned.drop("cell")),
+      router, literalBudget)
+    val probed = ivfPqEncodeOf(rframe, codebooks, m,
+      explode(routeProbeExpr(rcol, router, nprobe)), literalBudget)
     // symmetric distance tables (SDC): per subspace the centroid ×
     // centroid dot-product grid — m·ksub² doubles, a flat plan
     // literal while under the budget and a one-row broadcast relation
@@ -723,10 +932,10 @@ object Ann {
       spark, s"$dir/embeddings.parquet")
     val cells = math.max(cellsMin, (n / 256L).toInt)
     val (assigned, centersDf) = ivfAssign(spark, dir, cells)
-    val probeCells = graft.pipeline.Dedup.multiProbeCellsExpr(
-      centersDf.collect().map(r => (r.getInt(0), r.getSeq[Double](1))), nprobe)
-    val probed = assigned.drop("cell")
-      .select(col("vec_id"), col("v"), explode(probeCells).as("cell"))
+    val router = routerFromCenters(centersDf)
+    val (rframe, rcol) = attachRouter(assigned.drop("cell"), router)
+    val probed = rframe.select(col("vec_id"), col("v"),
+      explode(routeProbeExpr(rcol, router, nprobe)).as("cell"))
     val cand = probed.as("a")
       .join(probed.as("b"), col("a.cell") === col("b.cell") &&
         col("a.vec_id") =!= col("b.vec_id"))
@@ -769,11 +978,10 @@ object Ann {
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outDir/assigned")
     centersDf.write.mode("overwrite").parquet(s"$outDir/centers")
-    val probeCells = graft.pipeline.Dedup.multiProbeCellsExpr(
-      centersDf.collect().map(r => (r.getInt(0), r.getSeq[Double](1))),
-      IndexNprobe)
-    assigned.drop("cell")
-      .select(col("vec_id"), col("v"), explode(probeCells).as("cell"))
+    val router = routerFromCenters(centersDf)
+    val (rframe, rcol) = attachRouter(assigned.drop("cell"), router)
+    rframe.select(col("vec_id"), col("v"),
+        explode(routeProbeExpr(rcol, router, IndexNprobe)).as("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outDir/probed")
   }
@@ -808,44 +1016,29 @@ object Ann {
     idx
   }
 
-  /** Euclidean-argmin cell of `v` over the persisted literal centers —
-    * the SAME rule the coarse quantiser's predict applies (ties to the
-    * lower cell id), as one loop-shaped expression (no model object,
-    * no MLlib at maintenance time). array_sort on (d2, cell) structs
-    * gives d2-asc-then-cell-asc ordering.
-    */
-  private def euclidArgminExpr(centers: Array[(Int, Seq[Double])]): Column = {
-    val cents = typedLit(centers.sortBy(_._1).toSeq)
-    val scored = transform(cents, c =>
-      struct(
-        aggregate(zip_with(col("v"), c.getField("_2"),
-          (x, w) => (x - w) * (x - w)), lit(0.0), (a, y) => a + y).as("d2"),
-        c.getField("_1").as("cell")))
-    element_at(transform(array_sort(scored), x => x.getField("cell")), 1)
-  }
-
   /** Nightly IVF index maintenance: append a vector batch to the
     * persisted index WITHOUT retraining and WITHOUT touching any
     * existing file — new part files land under the batch's cell
     * directories, everything already committed stays byte-identical
-    * (spec-asserted). Assignment is euclidean argmin over the
-    * persisted centers ([[euclidArgminExpr]] — the quantiser's own
-    * rule, so an appended vector lands exactly where an index rebuild
-    * would put it); `probed/` membership uses the same multi-probe
-    * cosine ranking the index was built with. Centers drift as the
-    * corpus grows is the operator's known debt — production re-trains
-    * on a cadence and rebuilds, exactly like any IVF deployment.
+    * (spec-asserted). Assignment routes through the persisted centers'
+    * router ([[routeCellExpr]] — the quantiser's own euclidean-argmin
+    * rule, two-level when the index is, so an appended vector lands
+    * exactly where an index rebuild would put it); `probed/`
+    * membership uses the same multi-probe cosine ranking the index was
+    * built with. Centers drift as the corpus grows is the operator's
+    * known debt — production re-trains on a cadence and rebuilds,
+    * exactly like any IVF deployment.
     */
   def ivfIndexAppend(spark: SparkSession, idx: String,
                      batch: DataFrame): Unit = {
-    val centers = spark.read.parquet(s"$idx/centers").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-    batch.select(col("vec_id"), col("v"),
-        euclidArgminExpr(centers).as("cell"))
+    val router = routerFromCenters(spark.read.parquet(s"$idx/centers"))
+    val (af, ac) = attachRouter(batch, router)
+    af.select(col("vec_id"), col("v"), routeCellExpr(ac).as("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$idx/assigned")
-    val probeCells = graft.pipeline.Dedup.multiProbeCellsExpr(centers, IndexNprobe)
-    batch.select(col("vec_id"), col("v"), explode(probeCells).as("cell"))
+    val (pf, pc) = attachRouter(batch, router)
+    pf.select(col("vec_id"), col("v"),
+        explode(routeProbeExpr(pc, router, IndexNprobe)).as("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$idx/probed")
   }

@@ -616,46 +616,20 @@ object Dedup {
     * *Rows-only* (KMeans cell boundaries are engine-specific); recall
     * vs the exact blocked operator is gated in PipelineSpec.
     */
-  /** The `nprobe` nearest cells of column `v` as ONE expression over
-    * the literal centers (cells × dim doubles ≈ 8 KB of plan
-    * literals): ranking by dot(v, c)/|c| orders cells exactly like
-    * cosine (|v| is a positive per-row constant); the struct's
-    * negated score makes array_sort yield (score desc, cell asc).
-    *
-    * The dot products are higher-order-function LOOPS over one nested
-    * center literal, not unrolled polynomial terms — the same
-    * generated-code-size discipline as the PQ encode ([[Ann]]):
-    * cells × dim inline terms blow the 64 KB Janino method limit long
-    * before production index sizes (4096 cells), and a failed compile
-    * is retried on every execution before the interpreted fallback.
-    */
-  private[graft] def multiProbeCellsExpr(centers: Array[(Int, Seq[Double])],
-                                  nprobe: Int): Column = {
-    // (cell, weights, |c|) as one array<struct> literal
-    val cents = typedLit(centers.map { case (cell, w) =>
-      (cell, w, math.max(math.sqrt(w.map(x => x * x).sum), 1e-12))
-    }.toSeq)
-    val scored = transform(cents, c =>
-      struct(
-        (-aggregate(zip_with(col("v"), c.getField("_2"), (x, w) => x * w),
-          lit(0.0), (a, y) => a + y) / c.getField("_3")).as("ns"),
-        c.getField("_1").as("cell")))
-    transform(slice(array_sort(scored), lit(1), lit(nprobe)),
-      x => x.getField("cell"))
-  }
-
   def embeddingPairsIvf(spark: SparkSession, dir: String,
                         threshold: Double = 0.8, cells: Int = 16,
                         nprobe: Int = 2): DataFrame = {
     val (assigned, centersDf) = graft.pipeline.Ann.ivfAssign(spark, dir, cells)
-    // literal-centers assignment — the previous explode-to-N×cells +
-    // vector-carrying window shuffled the whole corpus `cells` times
-    // just to rank 16 numbers per row
-    val probeCells =
-      multiProbeCellsExpr(centersDf.collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))), nprobe)
-    val probed = assigned.drop("cell")
-      .select(col("vec_id"), col("v"), explode(probeCells).as("cell"))
+    // probe routing goes through the shared two-level router
+    // ([[Ann.routeProbeExpr]] — O(√cells) loops per vector once the
+    // cell count scales with the corpus); pure per-row compute, no
+    // window, no model state
+    val router = graft.pipeline.Ann.routerFromCenters(centersDf)
+    val (rframe, rcol) =
+      graft.pipeline.Ann.attachRouter(assigned.drop("cell"), router)
+    val probed = rframe.select(col("vec_id"), col("v"),
+      explode(graft.pipeline.Ann.routeProbeExpr(rcol, router, nprobe))
+        .as("cell"))
     val a = probed.as("a")
     val b = probed.as("b")
     a.join(b, col("a.cell") === col("b.cell") &&
@@ -689,14 +663,15 @@ object Dedup {
                            threshold: Double = 0.8, cells: Int = 16,
                            nprobe: Int = 4): DataFrame = {
     val idx = graft.pipeline.Ann.ivfIndexFor(spark, dir, cells)
-    val probeCells =
-      multiProbeCellsExpr(spark.read.parquet(s"$idx/centers").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))), nprobe)
+    val router = graft.pipeline.Ann.routerFromCenters(
+      spark.read.parquet(s"$idx/centers"))
     val isNew = col("vec_id") % 7 === 0
-    val batch = spark.read.parquet(s"$idx/assigned").filter(isNew)
-      .drop("cell")
+    val (bframe, bcol) = graft.pipeline.Ann.attachRouter(
+      spark.read.parquet(s"$idx/assigned").filter(isNew).drop("cell"), router)
+    val batch = bframe
       .select(col("vec_id").as("new_id"), col("v").as("bv"),
-        explode(probeCells).as("cell"))
+        explode(graft.pipeline.Ann.routeProbeExpr(bcol, router, nprobe))
+          .as("cell"))
     spark.read.parquet(s"$idx/probed").filter(!isNew)
       .join(broadcast(batch), Seq("cell"))
       .select(col("new_id"), col("vec_id").as("dup_of"),

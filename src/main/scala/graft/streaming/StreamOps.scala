@@ -201,16 +201,20 @@ object StreamOps {
                 cells: Int = 16, nprobe: Int = 4): DataFrame = {
     val idx = graft.pipeline.Ann.ivfIndexFor(spark, dir, cells)
     val assigned = spark.read.parquet(s"$idx/assigned")
-    val centersArr = spark.read.parquet(s"$idx/centers")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val router = graft.pipeline.Ann.routerFromCenters(
+      spark.read.parquet(s"$idx/centers"))
+    // router rides as a LITERAL here (streaming-legal per-row compute;
+    // the broadcast fallback would be a stream-static cross join and
+    // the query side is a handful of rows anyway)
+    val routerCol = graft.pipeline.Ann.routerLit(router)
     val agg = drain(spark, dir, "embeddings", "graft_ann_stream", "complete") {
       stream =>
         val q = stream.filter(col("vec_id") < nQueries)
           .select(col("vec_id").as("q_id"),
             expr("transform(embedding, x -> cast(x as double))").as("v"))
         q.select(col("q_id"), col("v").as("qv"),
-            explode(graft.pipeline.Dedup.multiProbeCellsExpr(
-              centersArr, nprobe)).as("cell"))
+            explode(graft.pipeline.Ann.routeProbeExpr(
+              routerCol, router, nprobe)).as("cell"))
           .join(assigned, Seq("cell"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"),

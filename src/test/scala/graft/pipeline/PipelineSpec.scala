@@ -118,6 +118,78 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"knn_join recall@$k = $recall")
   }
 
+  test("router: one-super (flat/legacy) probe matches driver-side " +
+       "cosine ranking exactly — the old single-level semantics") {
+    val (assigned, centersDf) = Ann.ivfAssign(spark, sf01, 16)
+    val centers = centersDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val flat = Ann.routerOf(centers.map { case (c, w) => (c, w, 0) })
+    assert(flat.size == 1)
+    val slice = assigned.filter(col("vec_id") < 50).select("vec_id", "v")
+    val (frame, rcol) = Ann.attachRouter(slice, flat)
+    val got = frame
+      .select(col("vec_id"), Ann.routeProbeExpr(rcol, flat, 3).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    slice.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .foreach { case (id, v) =>
+        val want = centers.map { case (c, w) =>
+          val dot = v.zip(w).map { case (x, y) => x * y }.sum
+          val nc = math.max(math.sqrt(w.map(x => x * x).sum), 1e-12)
+          (-dot / nc, c)
+        }.sorted.take(3).map(_._2).toSeq
+        assert(got(id) == want, s"vec $id probe mismatch")
+      }
+  }
+
+  test("hierarchical quantiser (cells > FlatCellsMax): multiple supers " +
+       "train, assignment routes super-then-cell exactly") {
+    val vecs = Tables.embeddings(spark, sf01)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val (assigned, centersDf) = Ann.trainAssignOf(vecs, 96)
+    try {
+      val centers = centersDf.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1), r.getInt(2)))
+      assert(centers.map(_._3).distinct.length > 1, "no supers trained")
+      assert(centers.map(_._1).distinct.length == centers.length)
+      val router = Ann.routerOf(centers)
+      def l2(v: Seq[Double], w: Seq[Double]): Double =
+        v.zip(w).map { case (x, y) => (x - y) * (x - y) }.sum
+      // the expression's two-level argmin reproduced on the driver:
+      // nearest super (by the mean-of-cells routing center, ties to
+      // the lower super), then nearest cell within it (ties to the
+      // lower cell id)
+      assigned.filter(col("vec_id") < 100).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+        .foreach { case (id, v, cell) =>
+          val sIdx = router.indices.minBy(i => (l2(v, router(i)._1), i))
+          val want = router(sIdx)._3
+            .minBy { case (c, w, _) => (l2(v, w), c) }._1
+          assert(cell == want, s"vec $id: assigned $cell, routed $want")
+        }
+      // every cell id the corpus carries exists in the centers relation
+      val cellIds = centers.map(_._1).toSet
+      assert(assigned.select("cell").distinct().collect()
+        .forall(r => cellIds(r.getInt(0))))
+    } finally assigned.unpersist()
+  }
+
+  test("knn_join through the hierarchical router keeps recall") {
+    val k = 5
+    val rows = Ann.knnJoin(spark, sf01, k = k, cellsMin = 96, nprobe = 4)
+      .collect()
+    val n = Tables.embeddings(spark, sf01).count()
+    assert(rows.map(_.getLong(0)).distinct.length == n,
+      "a vector lost its probe cells through the two-level router")
+    val brute = Ann.bruteTopK(spark, sf01, nQueries = 50, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.filter(_.getLong(0) < 50)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"hierarchical knn_join recall@$k = $recall")
+  }
+
   test("knn_join PQ frontier reproduces exact-cosine candidate ranking") {
     // with a frontier wide enough to hold a query's whole candidate
     // set, SDC-candidates + exact re-rank must equal exact cosine
