@@ -1232,6 +1232,18 @@ object SparkEntry {
       (s: SparkSession, d: String) => Dedup.lshJaccardPairs(s, d, minBp = 6500),
       Some("WITH " + ngramPairsCteBody() +
         " SELECT doc_a, doc_b, jac_bp FROM p ORDER BY doc_a, doc_b")),
+    // band-bucket occupancy histogram: the persisted band index is
+    // counted by BOTH engines (the storage_stats same-files
+    // discipline), so hot-bucket telemetry hash-gates even though the
+    // band hashes themselves are engine-specific
+    ("dedup_band_stats",
+      (s: SparkSession, d: String) => Dedup.dedupBandStats(s, d),
+      Some("WITH o AS (SELECT bh, CAST(count(*) AS BIGINT) AS occ " +
+        s"FROM read_parquet('${Dedup.BandStatsGatePath}/index/*.parquet') " +
+        "GROUP BY bh) " +
+        "SELECT occ, CAST(count(*) AS BIGINT) AS n_buckets, " +
+        "CAST(count(*) * occ * (occ - 1) // 2 AS BIGINT) AS cand_pairs " +
+        "FROM o GROUP BY occ ORDER BY occ")),
     // exact duplicated-substring spans via the strided k-gram grid
     // (suffix-array-free ExactSubstr) — pure substring/window algebra,
     // fully engine-portable, so the span arithmetic is hash-gated
@@ -2091,4 +2103,27 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     all.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Queries whose FIRST invocation builds a session-memoized
+    * artifact (a versioned snapshot fixture, a persisted index, the
+    * BPE model, the cluster-labels relation…) that later invocations
+    * — theirs or other queries' — reuse. Bench warms these FIRST
+    * regardless of their standing baseline row: their warm marginal
+    * cost is small (which is what the baseline stamps), so ordering
+    * the warmup by baseline would leave their expensive first build
+    * to land inside a timed pass and masquerade as a regression
+    * (r10's `snapshot_changes_follow` 11.1 s cold row vs its 0.34 s
+    * warm stamp was exactly this).
+    */
+  val fixtureBacked: Set[String] = Set(
+    "snapshot_upsert", "snapshot_time_travel", "snapshot_changes",
+    "snapshot_compact", "snapshot_ingest_stream",
+    "snapshot_changes_follow", "corpus_nightly_build",
+    "dedup_clusters", "dedup_keep", "split_assign",
+    "q_bucket_join", "follow",
+    "dedup_incremental_indexed", "dedup_incremental_stream",
+    "dedup_embedding_incremental", "dedup_band_stats",
+    "ann_ivf_indexed", "ann_ivf_pq_indexed", "ann_index_append",
+    "ann_index_rebuild", "ann_stream",
+    "bpe_learn", "bpe_encode", "tokenize_ids_bpe", "export_shards_bpe")
 }

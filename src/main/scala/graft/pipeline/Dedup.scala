@@ -425,6 +425,60 @@ object Dedup {
       .orderBy("new_id", "dup_of")
   }
 
+  /** Fixed gate location for the band-stats index (NOT TmpDir-scoped:
+    * the oracle runs in a separate process after the Spark session
+    * exits and must name the same files — the same discipline as
+    * [[graft.sources.StorageStats.GatePath]], per-user for the same
+    * predictable-path reasons).
+    */
+  val BandStatsGatePath: String = new java.io.File(
+    sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+    "graft_band_stats_gate_" +
+      sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_.-]", "_")
+  ).getPath
+
+  private val bandStatsBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Band-bucket occupancy telemetry over the full-corpus MinHash band
+    * index — the observability SURVEY §4's pair-cost bound needs: LSH
+    * dedup's candidate cost is Σ_buckets C(occ, 2), quadratic in the
+    * occupancy of each HOT bucket (a cluster of n near-identical docs
+    * is n²/2 real pairs by definition), and this histogram makes that
+    * bound measurable per corpus — one groupBy over the persisted
+    * index, no text, no pairs. Emits (occ, n_buckets, cand_pairs)
+    * with cand_pairs = n_buckets · occ·(occ−1)/2, so the candidate
+    * volume a `dedup_lsh_verify` run will generate is the column sum,
+    * readable BEFORE committing to the pair join; at 100 TB a
+    * production pass caps or streams the histogram's tail buckets.
+    *
+    * Oracle-exact: the index is persisted at the fixed gate path and
+    * the oracle counts the SAME parquet keys — the hashes themselves
+    * are engine-specific, but both engines histogram identical files
+    * (the `storage_stats` discipline).
+    */
+  def dedupBandStats(spark: SparkSession, dir: String,
+                     numPerm: Int = 64, bands: Int = 32): DataFrame = {
+    if (bandStatsBuilt.add((spark.sparkContext.applicationId, dir)))
+      bandKeyed(signedDocs(normed(spark, dir), numPerm), numPerm, bands)
+        .write.mode("overwrite").parquet(s"$BandStatsGatePath/index")
+    spark.read.parquet(s"$BandStatsGatePath/index")
+      .groupBy("bh").agg(count(lit(1)).as("occ"))
+      .groupBy("occ")
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("count(*) * occ * (occ - 1) div 2").as("cand_pairs"))
+      .orderBy("occ")
+  }
+
+  /** The exploded full-corpus band keys — instrumentation surface for
+    * [[graft.tools.DedupMetrics]] (candidate-volume accounting per
+    * scale decade).
+    */
+  private[graft] def bandKeysOf(spark: SparkSession, dir: String,
+                                numPerm: Int = 64,
+                                bands: Int = 32): DataFrame =
+    bandKeyed(signedDocs(normed(spark, dir), numPerm), numPerm, bands)
+
   /** Persist the corpus side of [[incrementalDedup]] as a reusable
     * MinHash band index: `index/` = the exploded (doc_id, band-bucket
     * hash) keys, `slim/` = the (doc_id, lang, source, shingles, size)

@@ -48,13 +48,21 @@ import org.apache.spark.sql.functions._
   * every table format charges — so snapshot reads are a plain
   * explicit-file-list parquet scan with no partition-inference games.
   *
-  * 100 TB shape: the manifest is metadata (one line per file, ~100 B;
-  * a million-file table is a ~100 MB manifest read once per job on
-  * the driver — the scale at which real formats shard manifests, the
-  * one structural simplification taken here). Mutations stay
-  * partition-local copy-on-write; commit cost is O(manifest), not
-  * O(data); readers plan from the manifest without listing a single
-  * directory.
+  * 100 TB shape: the manifest is SHARDED BY PARTITION — the version
+  * root (`vNNNNNNNN.manifest`) holds one pointer line per partition
+  * into immutable per-partition shard files
+  * (`_graft_snapshots/shards/…`), and a commit re-writes shards ONLY
+  * for partitions whose file set changed, re-pointing the rest at the
+  * previous version's shards. So commit IO is O(churn + partitions),
+  * not O(files): a million-file table with a thousand partitions
+  * commits a ~100 KB root plus the touched partitions' shards, where
+  * the earlier flat manifest rewrote ~100 MB per commit. Readers
+  * resolve the root once and can PRUNE shard reads to the partitions
+  * a query touches (the manifest-level analogue of partition
+  * pruning); legacy flat manifests (bare file lines) stay readable.
+  * Mutations stay partition-local copy-on-write; commit cost is
+  * O(churn), not O(data); readers plan from the manifest without
+  * listing a single directory.
   */
 object Snapshot {
 
@@ -90,9 +98,60 @@ object Snapshot {
     finally in.close()
   }
 
-  /** The file list (relative paths) of one committed version. */
+  private def shardsDir(root: Path) = new Path(metaPath(root), "shards")
+
+  /** Root-line format: `#…` = tag; `>\t<part>\t<shard>` = pointer to
+    * an immutable per-partition shard file under `shards/`; anything
+    * else = a direct file path (legacy flat manifest — still
+    * readable, migrated to shards by the next commit).
+    */
+  private def isShardRef(l: String) = l.startsWith(">")
+
+  private def readShard(fs: FileSystem, root: Path,
+                        shard: String): Seq[String] = {
+    val in = fs.open(new Path(shardsDir(root), shard))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** The (partition, shard-file) pointers of a version's root —
+    * empty for legacy flat manifests. This is the planning surface a
+    * reader prunes on: a query touching k partitions resolves the
+    * root (O(partitions)) and reads exactly k shard files.
+    */
+  private[graft] def shardRefsOf(fs: FileSystem, root: Path,
+                                 v: Long): Seq[(String, String)] =
+    manifestLines(fs, root, v).filter(isShardRef).map { l =>
+      val parts = l.split('\t')
+      (parts(1), parts(2))
+    }
+
+  /** The file list (relative paths) of one committed version: direct
+    * lines plus the contents of every referenced shard, in root-line
+    * order (partitions sorted at commit time, file order stable
+    * within a partition).
+    */
   def filesOf(fs: FileSystem, root: Path, v: Long): Seq[String] =
-    manifestLines(fs, root, v).filterNot(_.startsWith("#"))
+    manifestLines(fs, root, v).filterNot(_.startsWith("#")).flatMap { l =>
+      if (isShardRef(l)) readShard(fs, root, l.split('\t')(2))
+      else Seq(l)
+    }
+
+  /** Shard-pruned file list: only partitions satisfying `keep` are
+    * resolved — O(root + selected shards) manifest IO, the
+    * manifest-level partition pruning a 100 TB reader plans with.
+    * Legacy direct lines are filtered by their path prefix.
+    */
+  def filesOfPruned(fs: FileSystem, root: Path, v: Long)
+                   (keep: String => Boolean): Seq[String] =
+    manifestLines(fs, root, v).filterNot(_.startsWith("#")).flatMap { l =>
+      if (isShardRef(l)) {
+        val parts = l.split('\t')
+        if (keep(parts(1))) readShard(fs, root, parts(2)) else Seq.empty
+      } else if (keep(l.takeWhile(_ != '/'))) Seq(l)
+      else Seq.empty
+    }
 
   /** The idempotency tags a version carries (`#`-prefixed manifest
     * lines — e.g. the ingest batch ids [[SnapshotOps.append]] records
@@ -155,22 +214,62 @@ object Snapshot {
   def read(spark: SparkSession, dir: String): DataFrame =
     readPin(spark, dir, pin(spark, dir))
 
+  /** Stable per-partition grouping: partitions sorted, file order
+    * preserved within each — so re-committing an already-grouped list
+    * round-trips to the identical sequence.
+    */
+  private def groupByPart(files: Seq[String]): Seq[(String, Seq[String])] =
+    files.groupBy(f => f.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+
   /** Commit `files` (relative paths — the complete live set of the
-    * new version) as `base + 1`. Returns the committed version. The
-    * staged tmp manifest is hidden (dot-prefixed) so a concurrent
-    * [[versions]] listing never sees it; the rename is the commit
-    * point and fails (never overwrites) if the version already
-    * exists.
+    * new version) as `base + 1`. Returns the committed version.
+    *
+    * The file list is written SHARDED: one immutable shard file per
+    * partition under `shards/` (writer-unique names — concurrent
+    * writers can never collide), one `>`-pointer line per partition
+    * in the version root. When `baseFiles` (the base version's pinned
+    * list, which every mutation already holds) is supplied, shards of
+    * UNCHANGED partitions are not rewritten — their pointers are
+    * copied from the base root — so commit IO is O(churn +
+    * partitions) instead of O(files). The root's atomic
+    * rename-without-overwrite remains the ONLY commit point: shards
+    * are invisible until a root references them, a dead writer's
+    * shards are unreferenced orphans for [[vacuum]], and a lost
+    * rename race still surfaces as [[CommitConflict]], never as
+    * corruption. The staged tmp root is hidden (dot-prefixed) so a
+    * concurrent [[versions]] listing never sees it.
     */
   def commit(fs: FileSystem, root: Path, files: Seq[String],
-             base: Long, tags: Seq[String] = Nil): Long = {
+             base: Long, tags: Seq[String] = Nil,
+             baseFiles: Option[Seq[String]] = None): Long = {
     val v = base + 1
     val meta = metaPath(root)
     fs.mkdirs(meta)
+    val sdir = shardsDir(root)
+    fs.mkdirs(sdir)
+    val baseByPart: Map[String, Seq[String]] =
+      baseFiles.map(groupByPart(_).toMap).getOrElse(Map.empty)
+    val baseRefs: Map[String, String] =
+      if (baseFiles.isDefined && base > 0)
+        shardRefsOf(fs, root, base).toMap
+      else Map.empty
+    val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val refLines = groupByPart(files).map { case (part, fls) =>
+      val reusable = baseRefs.get(part)
+        .filter(_ => baseByPart.get(part).contains(fls))
+      val shard = reusable.getOrElse {
+        val name = f"p${math.abs(part.hashCode)}%08x_v$v%08d_$token.shard"
+        val out = fs.create(new Path(sdir, name), false)
+        try out.write((fls.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        name
+      }
+      s">\t$part\t$shard"
+    }
     val tmp = new Path(meta,
       s".tmp.${manifestName(v)}.${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
-    try out.write(((tags ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((tags ++ refLines).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(meta, manifestName(v))
     if (!fs.rename(tmp, fin)) {
@@ -258,6 +357,21 @@ object Snapshot {
       }
     vs.dropRight(keep).foreach { v =>
       fs.delete(new Path(metaPath(root), manifestName(v)), false)
+    }
+    // manifest shards referenced by no kept root are expired-version
+    // metadata (or a dead writer's never-committed shards) — reaped
+    // under the same modtime grace as stage dirs, because a LIVE
+    // writer's shards are legitimately unreferenced until its root
+    // rename lands
+    val sdir = shardsDir(root)
+    if (fs.exists(sdir)) {
+      val keptShards = kept.flatMap(v => shardRefsOf(fs, root, v))
+        .map(_._2).toSet
+      fs.listStatus(sdir).filter(_.isFile).foreach { st =>
+        if (!keptShards(st.getPath.getName) &&
+            now - st.getModificationTime > stageGraceMs)
+          fs.delete(st.getPath, false)
+      }
     }
   }
 

@@ -349,6 +349,71 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotFollow.followChanges(spark, dir, cursor, out) == 1)
   }
 
+  test("sharded manifests: a commit rewrites shards only for changed " +
+       "partitions, readers can prune shard reads, vacuum reaps " +
+       "expired shards, and legacy flat manifests stay readable") {
+    val (dir, events) = freshTable()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = Snapshot.pin(spark, dir)
+    val refs1 = Snapshot.shardRefsOf(fs, root, v1.version).toMap
+    assert(refs1.nonEmpty, "convert committed no shard pointers")
+    // mutate ONE partition: delete a single row
+    val victim = events.orderBy("event_id").limit(1)
+      .select(col("event_id"), col("date").cast("string").as("date")).head()
+    import spark.implicits._
+    SnapshotOps.delete(spark, dir,
+      Seq(victim.getLong(0)).toDF("event_id"), "event_id")
+    val v2 = Snapshot.pin(spark, dir)
+    val refs2 = Snapshot.shardRefsOf(fs, root, v2.version).toMap
+    val touchedPart = refs2.keys.filter(p =>
+      refs1.get(p) != refs2.get(p)).toSeq
+    assert(touchedPart.nonEmpty, "no shard changed across a mutation")
+    // commit IO is O(churn): every untouched partition's pointer is
+    // the SAME shard file as the base version's — not a rewrite
+    refs2.foreach { case (part, shard) =>
+      if (!touchedPart.contains(part))
+        assert(refs1.get(part).contains(shard),
+          s"unchanged partition $part had its shard rewritten")
+    }
+    // pruned planning: resolving only the touched partition reads
+    // exactly that partition's files
+    val pruned = Snapshot.filesOfPruned(fs, root, v2.version)(
+      touchedPart.toSet)
+    assert(pruned.nonEmpty)
+    assert(pruned.toSet ==
+      v2.files.filter(f => touchedPart.contains(f.takeWhile(_ != '/'))).toSet)
+    // vacuum (grace forced to 0) reaps shards no kept root references,
+    // keeps every referenced one
+    SnapshotOps.delete(spark, dir,
+      events.filter(pmod(col("user_id"), lit(50)) === 9).select("event_id"),
+      "event_id")
+    Snapshot.vacuum(fs, root, keep = 1, stageGraceMs = 0L)
+    val keptRefs = Snapshot.shardRefsOf(fs, root,
+      Snapshot.currentVersion(fs, root).get).map(_._2).toSet
+    val onDisk = fs.listStatus(
+      new Path(new Path(root, Snapshot.MetaDir), "shards"))
+      .filter(_.isFile).map(_.getPath.getName).toSet
+    assert(onDisk == keptRefs,
+      s"shard dir diverged: extra=${(onDisk -- keptRefs).size} " +
+        s"missing=${(keptRefs -- onDisk).size}")
+    // legacy flat manifest (bare file lines) written by an old writer:
+    // still resolvable, and the NEXT commit migrates it to shards
+    val cur = Snapshot.pin(spark, dir)
+    val legacyV = cur.version + 1
+    val meta = new Path(root, Snapshot.MetaDir)
+    val out = fs.create(new Path(meta, f"v$legacyV%08d.manifest"), false)
+    out.write((cur.files.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
+    assert(Snapshot.filesOf(fs, root, legacyV) == cur.files)
+    assert(state(Snapshot.readAt(spark, dir, legacyV)) ==
+      state(Snapshot.readPin(spark, dir, cur)))
+    val v4 = Snapshot.commit(fs, root, cur.files, legacyV,
+      baseFiles = Some(Snapshot.filesOf(fs, root, legacyV)))
+    assert(Snapshot.shardRefsOf(fs, root, v4).nonEmpty,
+      "commit over a legacy flat manifest did not migrate to shards")
+    assert(Snapshot.filesOf(fs, root, v4).sorted == cur.files.sorted)
+  }
+
   test("time travel: an explicit old version reads its exact " +
        "pre-mutation state after later commits; an expired version " +
        "fails loudly") {
