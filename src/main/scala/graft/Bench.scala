@@ -62,7 +62,7 @@ object Bench {
     * (timed_coverage == queries_run) is worth more than 45 s of
     * extra tail-warming.
     */
-  val WarmupBudgetFrac = 0.45
+  val WarmupBudgetFrac = 0.42
 
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()

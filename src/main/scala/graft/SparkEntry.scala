@@ -2120,7 +2120,7 @@ object SparkEntry {
     "snapshot_compact", "snapshot_ingest_stream",
     "snapshot_changes_follow", "corpus_nightly_build",
     "dedup_clusters", "dedup_keep", "split_assign",
-    "q_bucket_join", "follow",
+    "q_bucket_join", "follow", "clone_backfill",
     "dedup_incremental_indexed", "dedup_incremental_stream",
     "dedup_embedding_incremental", "dedup_band_stats",
     "ann_ivf_indexed", "ann_ivf_pq_indexed", "ann_index_append",

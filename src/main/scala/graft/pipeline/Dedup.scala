@@ -251,10 +251,26 @@ object Dedup {
     * arrays for SURVIVING candidates only — the wide arrays never
     * ride the bucket shuffle). The two rehydration exchanges are
     * identical, so the second is a ReusedExchange.
+    *
+    * `bucketCap` (production knob, default off — the gate stays the
+    * exact pair set): buckets whose occupancy exceeds the cap emit a
+    * STAR (every member paired with the bucket's min doc_id) instead
+    * of the full clique — n−1 candidates instead of n(n−1)/2. The
+    * r11 decade metrics (tools.DedupMetrics) showed candidate volume
+    * growing 22× for 10× data once duplicate clusters densify (a
+    * cluster of n near-identical docs is n²/2 pairs by definition);
+    * the cap bounds LISTING cost per hot bucket while preserving
+    * what dedup actually consumes — CONNECTIVITY (components via the
+    * hub; spec-asserted label equality on the gate corpus). Recall
+    * shape: a true pair suppressed in one over-cap bucket is still
+    * listed by any of its other `bands−1` band buckets that stay
+    * under cap, and near-identical docs collide on most bands. Size
+    * the cap from the `dedup_band_stats` histogram.
     */
   def lshJaccardPairs(spark: SparkSession, dir: String,
                       minBp: Long = 6500, numPerm: Int = 64,
-                      bands: Int = 32): DataFrame = {
+                      bands: Int = 32,
+                      bucketCap: Option[Int] = None): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rows = numPerm / bands
     // the guarantee this operator sells is "the exact pair set at LSH
@@ -277,11 +293,29 @@ object Dedup {
       expr(s"xxhash64(lang, source, $bnd, $slice)")
     }
     val keyed = g.select(col("doc_id"), explode(array(bandKeys: _*)).as("bh"))
-    val cand = keyed.as("ka")
-      .join(keyed.as("kb").hint("shuffle_hash"),
-        col("ka.bh") === col("kb.bh") && col("ka.doc_id") < col("kb.doc_id"))
-      .select(col("ka.doc_id").as("doc_a"), col("kb.doc_id").as("doc_b"))
-      .distinct()
+    val cand0 = bucketCap match {
+      case None =>
+        keyed.as("ka")
+          .join(keyed.as("kb").hint("shuffle_hash"),
+            col("ka.bh") === col("kb.bh") && col("ka.doc_id") < col("kb.doc_id"))
+          .select(col("ka.doc_id").as("doc_a"), col("kb.doc_id").as("doc_b"))
+      case Some(cap) =>
+        // per-bucket occupancy + hub in one bh-shuffled aggregate
+        // (same key as the pair join); under-cap buckets keep the
+        // clique, over-cap buckets emit the star only
+        val occ = keyed.groupBy("bh")
+          .agg(count(lit(1)).as("occ"), min("doc_id").as("hub"))
+        val kc = keyed.join(occ.hint("shuffle_hash"), Seq("bh"))
+        val small = kc.filter(col("occ") <= cap)
+        val clique = small.as("ka")
+          .join(small.as("kb").hint("shuffle_hash"),
+            col("ka.bh") === col("kb.bh") && col("ka.doc_id") < col("kb.doc_id"))
+          .select(col("ka.doc_id").as("doc_a"), col("kb.doc_id").as("doc_b"))
+        val star = kc.filter(col("occ") > cap && col("doc_id") =!= col("hub"))
+          .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+        clique.unionByName(star)
+    }
+    val cand = cand0.distinct()
     val slim = g.select(col("doc_id"), col("lang"), col("source"),
       col("sh"), col("nsh"))
     val a = slim.as("a")

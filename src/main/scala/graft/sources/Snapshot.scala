@@ -104,8 +104,17 @@ object Snapshot {
     * an immutable per-partition shard file under `shards/`; anything
     * else = a direct file path (legacy flat manifest — still
     * readable, migrated to shards by the next commit).
+    *
+    * Shard-line format: the relative file path, optionally followed by
+    * tab-separated per-column zone-map fields (`col:type:min:max`,
+    * values URL-encoded — see [[SnapshotStats]]). [[filesOf]] and
+    * every path consumer strip the suffix; only the skipping planner
+    * parses it.
     */
   private def isShardRef(l: String) = l.startsWith(">")
+
+  private[sources] def pathOfLine(l: String): String =
+    l.takeWhile(_ != '\t')
 
   private def readShard(fs: FileSystem, root: Path,
                         shard: String): Seq[String] = {

@@ -178,9 +178,9 @@ object StreamOps {
     * ([[graft.pipeline.Ann.ivfIndexWrite]]) — the online-retrieval
     * shape (a query service, not a batch sweep). Per micro-batch:
     *
-    *  1. cell routing is the literal-centers multi-probe expression
-    *     (pure per-row compute — no window, no model state, streaming-
-    *     legal);
+    *  1. cell routing is the shared two-level router expression
+    *     ([[graft.pipeline.Ann.routeProbeExpr]] — pure per-row
+    *     compute, no window, no model state, streaming-legal);
     *  2. candidates come from a stream-static join against the
     *     cell-partitioned index (the static side prunes to probed
     *     cells);

@@ -37,6 +37,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("occupancy-capped LSH bounds hot-bucket listing and preserves " +
+       "dedup components (the production knob for densifying clusters)") {
+    val exact = Dedup.lshJaccardPairs(spark, sf01, minBp = 6500).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.lshJaccardPairs(spark, sf01, minBp = 6500,
+        bucketCap = Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star pairs are a subset of the clique's — precision is exact
+    // either way (every candidate is verified)
+    assert(capped.subsetOf(exact))
+    // the cap actually engaged on this corpus (over-cap buckets exist
+    // and their non-hub pairs were suppressed)
+    assert(capped.size < exact.size,
+      s"cap=2 never engaged: ${capped.size} == ${exact.size}")
+    // what dedup consumes is CONNECTIVITY, and the hub preserves it:
+    // the component labelling over capped edges equals the exact one
+    val nodes = Tables.documents(spark, sf01).select(col("doc_id").as("node"))
+    def labels(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      import spark.implicits._
+      val edges = pairs.toSeq.toDF("a", "b")
+      graft.operators.Components.connectedComponents(nodes, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    assert(labels(capped) == labels(exact),
+      "capping changed the dedup components")
+  }
+
   test("incremental dedup equals the symmetric detector's cross-split pairs") {
     // ground truth: the symmetric exact-verified pair relation,
     // restricted to pairs with exactly one endpoint in the batch
