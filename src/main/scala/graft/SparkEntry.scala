@@ -471,6 +471,22 @@ object SparkEntry {
         "CAST(1 AS BIGINT) AS n_files " +
         "FROM events WHERE day(CAST(ts AS DATE)) <= 7 " +
         "GROUP BY 1 ORDER BY 1")),
+    // manifest-embedded zone maps (per-file min/max in the shard
+    // lines — Delta/Iceberg file stats reduced to their core): a
+    // selective rollup through the data-skipping read over a
+    // range-clustered ingest; the maps prune ~3/4 of the files
+    // before the scan opens anything (SnapshotSpec asserts the plan
+    // and the post-statsify maintenance path), the hash gate proves
+    // pruning never drops a qualifying row
+    ("snapshot_skipping",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotStats.snapshotSkippingRollup(s, d),
+      Some("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_uid " +
+        "FROM events WHERE user_id <= (SELECT max(user_id) // 5 FROM events) " +
+        "GROUP BY 1 ORDER BY 1")),
     // server-to-server backfill (the `clone` verb, reference
     // doc/index.rst:385-400, src/Clone.cxx): day-partitioned copy
     // driven to an empty manifest diff; the oracle's per-day counts
@@ -2119,6 +2135,7 @@ object SparkEntry {
     "snapshot_upsert", "snapshot_time_travel", "snapshot_changes",
     "snapshot_compact", "snapshot_ingest_stream",
     "snapshot_changes_follow", "corpus_nightly_build",
+    "snapshot_skipping",
     "dedup_clusters", "dedup_keep", "split_assign",
     "q_bucket_join", "follow", "clone_backfill",
     "dedup_incremental_indexed", "dedup_incremental_stream",

@@ -139,9 +139,18 @@ object Snapshot {
   /** The file list (relative paths) of one committed version: direct
     * lines plus the contents of every referenced shard, in root-line
     * order (partitions sorted at commit time, file order stable
-    * within a partition).
+    * within a partition). Zone-map suffixes are stripped — use
+    * [[linesOf]] for the raw stats-bearing lines.
     */
   def filesOf(fs: FileSystem, root: Path, v: Long): Seq[String] =
+    linesOf(fs, root, v).map(pathOfLine)
+
+  /** The raw manifest file lines of one committed version — each a
+    * relative path plus any zone-map suffix. The skipping planner
+    * ([[SnapshotStats]]) consumes these; everything else goes through
+    * [[filesOf]].
+    */
+  def linesOf(fs: FileSystem, root: Path, v: Long): Seq[String] =
     manifestLines(fs, root, v).filterNot(_.startsWith("#")).flatMap { l =>
       if (isShardRef(l)) readShard(fs, root, l.split('\t')(2))
       else Seq(l)
@@ -157,8 +166,10 @@ object Snapshot {
     manifestLines(fs, root, v).filterNot(_.startsWith("#")).flatMap { l =>
       if (isShardRef(l)) {
         val parts = l.split('\t')
-        if (keep(parts(1))) readShard(fs, root, parts(2)) else Seq.empty
-      } else if (keep(l.takeWhile(_ != '/'))) Seq(l)
+        if (keep(parts(1))) readShard(fs, root, parts(2)).map(pathOfLine)
+        else Seq.empty
+      } else if (keep(l.takeWhile(c => c != '/' && c != '\t')))
+        Seq(pathOfLine(l))
       else Seq.empty
     }
 
@@ -247,10 +258,18 @@ object Snapshot {
     * rename race still surfaces as [[CommitConflict]], never as
     * corruption. The staged tmp root is hidden (dot-prefixed) so a
     * concurrent [[versions]] listing never sees it.
+    *
+    * `stats` maps relative file paths to encoded zone-map suffixes
+    * ([[SnapshotStats]]); a file without an entry CARRIES FORWARD its
+    * base shard line (reused shards keep their stats for free; a
+    * rewritten partition's base shard is re-read — O(churn
+    * partitions), never O(files) — so stats survive every mutation
+    * without the mutation recomputing them for untouched files).
     */
   def commit(fs: FileSystem, root: Path, files: Seq[String],
              base: Long, tags: Seq[String] = Nil,
-             baseFiles: Option[Seq[String]] = None): Long = {
+             baseFiles: Option[Seq[String]] = None,
+             stats: Map[String, String] = Map.empty): Long = {
     val v = base + 1
     val meta = metaPath(root)
     fs.mkdirs(meta)
@@ -265,11 +284,23 @@ object Snapshot {
     val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val refLines = groupByPart(files).map { case (part, fls) =>
       val reusable = baseRefs.get(part)
-        .filter(_ => baseByPart.get(part).contains(fls))
+        .filter(_ => baseByPart.get(part).contains(fls) &&
+          !fls.exists(stats.contains))
       val shard = reusable.getOrElse {
+        // stats precedence: fresh entry > base shard's line (stats
+        // carried forward for files that persist) > bare path
+        val baseLines: Map[String, String] = baseRefs.get(part)
+          .map(s => readShard(fs, root, s)
+            .map(l => pathOfLine(l) -> l).toMap)
+          .getOrElse(Map.empty)
+        val lines = fls.map { f =>
+          stats.get(f).map(s => s"$f\t$s")
+            .orElse(baseLines.get(f))
+            .getOrElse(f)
+        }
         val name = f"p${math.abs(part.hashCode)}%08x_v$v%08d_$token.shard"
         val out = fs.create(new Path(sdir, name), false)
-        try out.write((fls.mkString("\n") + "\n").getBytes("UTF-8"))
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
         finally out.close()
         name
       }

@@ -238,10 +238,13 @@ object SnapshotOps {
         (part, df.withColumn(StageTag, lit(part)))
       }, newVersion, onePerPart = false)
     val manifest = p.files.filterNot(hitRels) ++ newFiles
+    val baseTags = Snapshot.tagsOf(fs, root, p.version)
+    val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
+      SnapshotStats.statsColsOf(baseTags))
     beforeCommit()
     val v = Snapshot.commit(fs, root, manifest, p.version,
-      expireTags(Snapshot.tagsOf(fs, root, p.version), newVersion),
-      baseFiles = Some(p.files))
+      expireTags(baseTags, newVersion),
+      baseFiles = Some(p.files), stats = newStats)
     Snapshot.vacuum(fs, root)
     MutationStats(v, affected, hitRels.size.toLong, newFiles.size.toLong)
   }
@@ -341,10 +344,13 @@ object SnapshotOps {
       newVersion, onePerPart = true)
     val retired = affected.flatMap(byPart).toSet
     val manifest = p.files.filterNot(retired) ++ newFiles
+    val baseTags = Snapshot.tagsOf(fs, root, p.version)
+    val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
+      SnapshotStats.statsColsOf(baseTags))
     beforeCommit()
     val v = Snapshot.commit(fs, root, manifest, p.version,
-      expireTags(Snapshot.tagsOf(fs, root, p.version), newVersion),
-      baseFiles = Some(p.files))
+      expireTags(baseTags, newVersion),
+      baseFiles = Some(p.files), stats = newStats)
     Snapshot.vacuum(fs, root)
     MutationStats(v, affected, retired.size.toLong, newFiles.size.toLong)
   }
@@ -401,10 +407,13 @@ object SnapshotOps {
     val newVersion = p.version + 1
     val newFiles = stageAndPlace(spark, fs, root, dir, tagged,
       newVersion, onePerPart = false)
+    val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
+      SnapshotStats.statsColsOf(tags))
     beforeCommit()
     val newTag = idempotencyKey.map(k => mkTag(newVersion, k))
     val v = Snapshot.commit(fs, root, p.files ++ newFiles, p.version,
-      expireTags(tags, newVersion) ++ newTag, baseFiles = Some(p.files))
+      expireTags(tags, newVersion) ++ newTag, baseFiles = Some(p.files),
+      stats = newStats)
     Snapshot.vacuum(fs, root)
     MutationStats(v, tagged.map(_._1), 0L, newFiles.size.toLong)
   }

@@ -1,0 +1,273 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Per-file zone maps (column min/max) in the snapshot manifest, and
+  * the data-skipping reads they enable — the file-level analogue of
+  * the manifest's partition pruning, and the mechanism every table
+  * format (Delta file stats, Iceberg manifests-with-bounds) uses to
+  * keep a 100 TB selective scan from opening 100 TB of files.
+  *
+  * Design:
+  *
+  *  - **Stats live in the manifest shard lines** (`path\tcol:T:min:max…`,
+  *    values URL-encoded), so the planning surface stays ONE root read
+  *    plus the touched partitions' shards — no sidecar files, no
+  *    second commit protocol, and [[Snapshot.commit]]'s shard reuse
+  *    carries stats of untouched partitions forward for free.
+  *  - **Collection is one distributed job**, not per-file driver
+  *    loops: scan the target files column-pruned to the stat columns
+  *    plus `input_file_name()`, `groupBy(file).agg(min, max)` — the
+  *    result is one row per file (metadata-sized collect), and the
+  *    scan reads ONLY the stat columns (columnar parquet makes this
+  *    ~free relative to the data).
+  *  - **Maintenance is automatic**: [[statsify]] records the stat
+  *    columns as a `#statscols=` manifest tag; every subsequent
+  *    mutation ([[SnapshotOps.append]]/upsert/delete/compact) sees the
+  *    tag and runs the churn-sized stats job over just ITS new files,
+  *    so zone maps never go stale. Files without stats are always
+  *    KEPT by the planner — absence degrades to a full scan, never to
+  *    a wrong answer.
+  *  - **Skipping is conservative**: a file is pruned only when its
+  *    recorded [min, max] provably cannot intersect the predicate
+  *    range. All-null columns record no bounds (kept). The skipping
+  *    read applies the real filter after pruning, so the result
+  *    equals the unpruned filtered read by construction — which is
+  *    exactly what the spec and the hash gate assert.
+  *
+  * Zone maps only pay when files are clustered on the stat column —
+  * ingest batches naturally are (time, monotone ids), and
+  * [[graft.sources.ZOrder]]-style layouts make multi-column ranges
+  * tight. The gate fixture uses range-clustered ingest batches, the
+  * realistic shape.
+  */
+object SnapshotStats {
+
+  /** The manifest tag recording which columns every mutation must
+    * maintain zone maps for. Carried forward (and never expired) by
+    * [[SnapshotOps.expireTags]]'s unknown-tag passthrough.
+    */
+  private[sources] val StatsColsTag = "#statscols="
+
+  private[sources] def statsColsOf(tags: Seq[String]): Seq[String] =
+    tags.collectFirst { case t if t.startsWith(StatsColsTag) =>
+      t.stripPrefix(StatsColsTag).split(',').toSeq.filter(_.nonEmpty)
+    }.getOrElse(Nil)
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** One column's zone map: type code L (integral), D (floating),
+    * S (string/date — ordered lexicographically, ISO dates sort
+    * right); `None` bounds = all-null or uncollected (never prunes).
+    */
+  case class ColStats(tpe: String, min: Option[String], max: Option[String])
+
+  /** Encode one file's stats as the tab-separated shard-line suffix. */
+  private[sources] def encodeSuffix(stats: Seq[(String, ColStats)]): String =
+    stats.map { case (c, s) =>
+      s"${enc(c)}:${s.tpe}:${s.min.map(enc).getOrElse("")}:" +
+        s.max.map(enc).getOrElse("")
+    }.mkString("\t")
+
+  /** Parse a raw shard line into (path, per-column stats). Unknown or
+    * malformed fields are ignored (kept files, never a crash — a
+    * forward-compatible reader).
+    */
+  private[sources] def parseLine(line: String): (String, Map[String, ColStats]) = {
+    val fields = line.split('\t')
+    val stats = fields.drop(1).flatMap { f =>
+      f.split(':') match {
+        case Array(c, t, mn, mx) =>
+          Some(dec(c) -> ColStats(t,
+            if (mn.isEmpty) None else Some(dec(mn)),
+            if (mx.isEmpty) None else Some(dec(mx))))
+        case Array(c, t, mn) => // empty max split away
+          Some(dec(c) -> ColStats(t,
+            if (mn.isEmpty) None else Some(dec(mn)), None))
+        case Array(c, t) =>
+          Some(dec(c) -> ColStats(t, None, None))
+        case _ => None
+      }
+    }.toMap
+    (fields.head, stats)
+  }
+
+  private def typeCodeOf(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "L"
+    case FloatType | DoubleType => "D"
+    case StringType | DateType => "S"
+    case other => throw new IllegalArgumentException(
+      s"zone maps unsupported for column type $other")
+  }
+
+  /** Collect per-file min/max for `cols` over `files` (relative
+    * paths) in ONE column-pruned distributed job. Returns the encoded
+    * shard-line suffix per relative path — the `stats` argument
+    * [[Snapshot.commit]] takes.
+    */
+  def collectStats(spark: SparkSession, dir: String, files: Seq[String],
+                   cols: Seq[String]): Map[String, String] = {
+    if (files.isEmpty || cols.isEmpty) return Map.empty
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootUri = fs.makeQualified(root).toUri.getPath
+    val sch = spark.read.parquet(s"$dir/${files.head}").schema
+    val codes = cols.map(c => c -> typeCodeOf(sch(c).dataType)).toMap
+    // stringify bounds in-plan (dates → ISO, numerics → exact
+    // literals via the same cast both engines print), so the collect
+    // is rows of strings regardless of column type
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val rows = spark.read.schema(sch)
+      .parquet(files.map(f => s"$dir/$f"): _*)
+      .select(cols.map(col) :+ input_file_name().as("__f"): _*)
+      .groupBy("__f").agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val rel = new Path(r.getString(0)).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+      val suffix = encodeSuffix(cols.zipWithIndex.map { case (c, i) =>
+        c -> ColStats(codes(c),
+          Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))
+      })
+      rel -> suffix
+    }.toMap
+  }
+
+  /** Turn zone maps ON for a snapshot table: collect stats for every
+    * live file (one full-table job over the stat columns only — the
+    * one-time cost), commit them as version `current + 1` with the
+    * `#statscols=` maintenance tag, vacuum. Subsequent mutations keep
+    * the maps fresh on churn ([[SnapshotOps]] reads the tag). Returns
+    * the committed version.
+    */
+  def statsify(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "statsify needs at least one column")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Snapshot.recoverMeta(fs, root)
+    val p = Snapshot.pin(spark, dir)
+    val stats = collectStats(spark, dir, p.files, cols)
+    val oldTags = Snapshot.tagsOf(fs, root, p.version)
+      .filterNot(_.startsWith(StatsColsTag))
+    val v = Snapshot.commit(fs, root, p.files, p.version,
+      oldTags :+ (StatsColsTag + cols.mkString(",")),
+      baseFiles = Some(p.files), stats = stats)
+    Snapshot.vacuum(fs, root)
+    v
+  }
+
+  /** The skipping plan for a closed-range predicate
+    * `lo <= colName <= hi` on the CURRENT version: (kept files, total
+    * files). A file survives when it has no recorded bounds for the
+    * column (conservative) or its [min, max] intersects [lo, hi] —
+    * bounds compared in the column's own domain (integral / floating
+    * / lexicographic), both predicate ends optional.
+    */
+  def skipPlan(spark: SparkSession, dir: String, colName: String,
+               lo: Option[String], hi: Option[String]): (Seq[String], Int) = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = Snapshot.currentVersion(fs, root).getOrElse(
+      throw new IllegalStateException(s"$dir is not snapshot-managed"))
+    val lines = Snapshot.linesOf(fs, root, v)
+    def leq(t: String)(a: String, b: String): Boolean = t match {
+      case "L" => a.toLong <= b.toLong
+      case "D" => a.toDouble <= b.toDouble
+      case _ => a <= b
+    }
+    val kept = lines.map(parseLine).collect {
+      case (path, stats) if stats.get(colName).forall { s =>
+        (s.min, s.max) match {
+          case (Some(mn), Some(mx)) =>
+            lo.forall(l => leq(s.tpe)(l, mx)) &&
+              hi.forall(h => leq(s.tpe)(mn, h))
+          case _ => true // no bounds recorded — keep
+        }
+      } => path
+    }
+    (kept, lines.size)
+  }
+
+  /** Data-skipping read: prune files by zone map, scan the survivors,
+    * apply the REAL predicate (pruning is planning-only, so the
+    * result is exactly the unpruned filtered read). An all-pruned
+    * plan returns an empty frame with the table schema.
+    */
+  private val skipFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** The gate fixture: a snapshot table built the way a real ingest
+    * clusters data — FOUR range-disjoint `user_id` batches appended in
+    * order (each append's files span one quartile, whatever Spark's
+    * file splits do), zone maps turned on after the third, so the
+    * fourth batch's stats come from the MAINTENANCE path (the
+    * `#statscols=` tag driving append's churn-sized stats job), not
+    * from statsify. Memoized per (session, input dir); the final row
+    * set is exactly `events` once, so the oracle stays relational.
+    */
+  private def skippingFixture(spark: SparkSession, dir: String): String =
+    skipFixtureCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        val tmp = TmpDir.scoped("snapskip",
+          spark.sparkContext.applicationId, dir)
+        val root = new Path(tmp)
+        root.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(root, true)
+        val events = Tables.events(spark, dir)
+          .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+        val m = events.agg(max("user_id")).head().getLong(0)
+        val bounds = Seq(0L, m / 4, m / 2, 3 * m / 4, m + 1)
+        def batch(i: Int) = events.filter(
+          col("user_id") >= bounds(i) && col("user_id") < bounds(i + 1))
+        (0 until 3).foreach { i =>
+          SnapshotOps.append(spark, tmp, batch(i), "date",
+            Some(s"skipseed-$i"))
+        }
+        statsify(spark, tmp, Seq("user_id"))
+        SnapshotOps.append(spark, tmp, batch(3), "date", Some("skipseed-3"))
+        tmp
+      })
+
+  /** Gate query: a selective rollup (`user_id ≤ max/5`) through the
+    * data-skipping read over the range-clustered fixture — the zone
+    * maps prune roughly three quarters of the files before the scan
+    * opens anything (spec-asserted via [[skipPlan]]); the hash gate
+    * proves pruning never drops a qualifying row (the oracle is the
+    * plain relational filter over `events`).
+    */
+  def snapshotSkippingRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = skippingFixture(spark, dir)
+    val m = Tables.events(spark, dir).agg(max("user_id")).head().getLong(0)
+    readSkipping(spark, tmp, "user_id", Some("0"), Some((m / 5).toString))
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"),
+        sum("user_id").as("sum_uid"))
+      .orderBy("date")
+  }
+
+  def readSkipping(spark: SparkSession, dir: String, colName: String,
+                   lo: Option[String], hi: Option[String]): DataFrame = {
+    val (kept, _) = skipPlan(spark, dir, colName, lo, hi)
+    val p = Snapshot.pin(spark, dir)
+    val sch = spark.read.parquet(s"$dir/${p.files.head}").schema
+    val base =
+      if (kept.isEmpty) spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+      else spark.read.schema(sch).parquet(kept.map(f => s"$dir/$f"): _*)
+    val dt = sch(colName).dataType
+    val conj = lo.map(l => col(colName) >= lit(l).cast(dt)).toSeq ++
+      hi.map(h => col(colName) <= lit(h).cast(dt))
+    if (conj.isEmpty) base else base.filter(conj.reduce(_ && _))
+  }
+}

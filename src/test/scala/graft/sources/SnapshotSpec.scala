@@ -612,4 +612,64 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.versions(fs, root) ==
       Seq(v1.version + 1, v1.version + 2))
   }
+
+  test("zone maps: statsify records per-file min/max in the shard " +
+       "lines, mutations maintain them on churn via the #statscols " +
+       "tag, and the skipping read prunes files without changing the " +
+       "answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapstats")
+      .toString
+    val events = graft.Tables.events(spark, sf)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+    val m = events.agg(max("user_id")).head().getLong(0)
+    val bounds = Seq(0L, m / 4, m / 2, 3 * m / 4, m + 1)
+    def batch(i: Int) = events.filter(
+      col("user_id") >= bounds(i) && col("user_id") < bounds(i + 1))
+    (0 until 3).foreach { i =>
+      SnapshotOps.append(spark, dir, batch(i), "date", Some(s"s-$i"))
+    }
+    SnapshotStats.statsify(spark, dir, Seq("user_id"))
+    // the fourth batch lands AFTER statsify — its stats must come
+    // from append's maintenance path (the #statscols tag driving the
+    // churn-sized stats job), not from statsify
+    SnapshotOps.append(spark, dir, batch(3), "date", Some("s-3"))
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def allLines() = Snapshot.linesOf(fs, root,
+      Snapshot.currentVersion(fs, root).get)
+    def assertAllHaveStats(when: String): Unit = allLines().foreach { l =>
+      val (p, st) = SnapshotStats.parseLine(l)
+      assert(st.get("user_id").exists(s => s.min.isDefined && s.max.isDefined),
+        s"no user_id bounds on $p $when")
+    }
+    assertAllHaveStats("after statsify + maintained append")
+    // pruning engages: a first-quartile range keeps a strict,
+    // non-empty subset of the files
+    val hi = (m / 5).toString
+    val (kept, total) =
+      SnapshotStats.skipPlan(spark, dir, "user_id", Some("0"), Some(hi))
+    assert(kept.nonEmpty && kept.size < total,
+      s"skip plan kept ${kept.size} of $total files")
+    def ids(df: DataFrame): Set[Long] =
+      df.select("event_id").collect().map(_.getLong(0)).toSet
+    def skipped() = SnapshotStats.readSkipping(
+      spark, dir, "user_id", Some("0"), Some(hi))
+    // planning-only: the skipping read equals the unpruned filtered
+    // read exactly
+    assert(ids(skipped()) ==
+      ids(Snapshot.read(spark, dir).filter(col("user_id") <= m / 5)))
+    // an impossible range prunes everything and still returns a
+    // schema-correct empty frame
+    val none = SnapshotStats.readSkipping(spark, dir, "user_id",
+      Some((m + 10).toString), Some((m + 20).toString))
+    assert(none.isEmpty && none.columns.contains("event_id"))
+    // COW delete rewrites the hit files: rewritten files get FRESH
+    // stats (maintenance), untouched files carry theirs forward
+    // (commit's base-shard carry-forward / shard reuse)
+    SnapshotOps.delete(spark, dir,
+      events.filter(col("user_id") === 1L).select("event_id"), "event_id")
+    assertAllHaveStats("after a COW delete")
+    assert(ids(skipped()) ==
+      ids(Snapshot.read(spark, dir).filter(col("user_id") <= m / 5)))
+  }
 }
