@@ -55,14 +55,15 @@ object Bench {
 
   /** Warmup may consume at most this fraction of the budget — the
     * rest is reserved for timed passes (see the cap note at the
-    * warmup call site). 0.45: measured r11 at 181 queries/load 7.5 —
-    * a 0.55 cap left the timed pass ~35 s short of full coverage;
-    * with fixture-backed queries warmed first, the cheap unwarmed
-    * tail costs little extra in pass 1, and a complete timed pass
-    * (timed_coverage == queries_run) is worth more than 45 s of
-    * extra tail-warming.
+    * warmup call site). Measured r11 at load 7.5–9.3: 0.55 left the
+    * timed pass ~35 s short of full coverage, 0.42 still ~5 s short
+    * (6 cheap tail queries cut); 0.38 reserves 279 s of timed budget
+    * against a measured 244 s full pass at 183 queries. With
+    * fixture-backed queries warmed first, the cheap unwarmed tail
+    * costs little extra in pass 1, and a complete timed pass
+    * (timed_coverage == queries_run) is worth more than tail-warming.
     */
-  val WarmupBudgetFrac = 0.42
+  val WarmupBudgetFrac = 0.38
 
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()

@@ -487,6 +487,23 @@ object SparkEntry {
         "CAST(sum(user_id) AS BIGINT) AS sum_uid " +
         "FROM events WHERE user_id <= (SELECT max(user_id) // 5 FROM events) " +
         "GROUP BY 1 ORDER BY 1")),
+    // OPTIMIZE ZORDER reduced to its core: one clustering rewrite
+    // lays the table out along z(user_id, event_id) (each file = a
+    // tight rectangle in that space, stats maintained through the
+    // #statscols tag), then a conjunctive 2-D predicate reads only
+    // the intersecting tiles — both dimensions prune
+    // (SnapshotSpec-asserted); the hash gate proves tile selection
+    // drops no qualifying row
+    ("snapshot_cluster",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotStats.snapshotClusterRollup(s, d),
+      Some("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_uid " +
+        "FROM events WHERE user_id <= (SELECT max(user_id) // 3 FROM events) " +
+        "AND event_id <= (SELECT max(event_id) // 3 FROM events) " +
+        "GROUP BY 1 ORDER BY 1")),
     // server-to-server backfill (the `clone` verb, reference
     // doc/index.rst:385-400, src/Clone.cxx): day-partitioned copy
     // driven to an empty manifest diff; the oracle's per-day counts
@@ -2135,7 +2152,7 @@ object SparkEntry {
     "snapshot_upsert", "snapshot_time_travel", "snapshot_changes",
     "snapshot_compact", "snapshot_ingest_stream",
     "snapshot_changes_follow", "corpus_nightly_build",
-    "snapshot_skipping",
+    "snapshot_skipping", "snapshot_cluster",
     "dedup_clusters", "dedup_keep", "split_assign",
     "q_bucket_join", "follow", "clone_backfill",
     "dedup_incremental_indexed", "dedup_incremental_stream",

@@ -236,7 +236,7 @@ object SnapshotOps {
     val newFiles = stageAndPlace(spark, fs, root, dir,
       parts.collect { case (part, Some(df)) =>
         (part, df.withColumn(StageTag, lit(part)))
-      }, newVersion, onePerPart = false)
+      }, newVersion)
     val manifest = p.files.filterNot(hitRels) ++ newFiles
     val baseTags = Snapshot.tagsOf(fs, root, p.version)
     val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
@@ -271,15 +271,14 @@ object SnapshotOps {
                             root: Path, dir: String,
                             tagged: Seq[(String, DataFrame)],
                             newVersion: Long,
-                            onePerPart: Boolean): Seq[String] = {
+                            layout: DataFrame => DataFrame = identity)
+      : Seq[String] = {
     val newFiles = scala.collection.mutable.ArrayBuffer.empty[String]
     if (tagged.isEmpty) return newFiles.toSeq
     val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val stage = f".snap_stage_v$newVersion%08d_$token"
     val union = tagged.map(_._2).reduce(_ unionByName _)
-    val staged =
-      if (onePerPart) union.repartition(tagged.size, col(StageTag))
-      else union
+    val staged = layout(union)
     staged.write.mode("overwrite").partitionBy(StageTag)
       .parquet(s"$dir/$stage")
     tagged.foreach { case (part, _) =>
@@ -341,7 +340,8 @@ object SnapshotOps {
         .withColumn(StageTag, lit(part)))
     }
     val newFiles = stageAndPlace(spark, fs, root, dir, tagged,
-      newVersion, onePerPart = true)
+      newVersion,
+      layout = df => df.repartition(tagged.size, col(StageTag)))
     val retired = affected.flatMap(byPart).toSet
     val manifest = p.files.filterNot(retired) ++ newFiles
     val baseTags = Snapshot.tagsOf(fs, root, p.version)
@@ -353,6 +353,69 @@ object SnapshotOps {
       baseFiles = Some(p.files), stats = newStats)
     Snapshot.vacuum(fs, root)
     MutationStats(v, affected, retired.size.toLong, newFiles.size.toLong)
+  }
+
+  /** Clustering rewrite (OPTIMIZE ZORDER reduced to its core): lay
+    * the whole table out along the Morton interleave of two columns —
+    * every partition staged in ONE `repartitionByRange` write job over
+    * (partition, z), sorted within tasks, so each produced file covers
+    * a contiguous z-range = a tight RECTANGLE in (colA, colB) space.
+    * With zone maps on ([[SnapshotStats.statsify]] on the same
+    * columns — the rewritten files' stats land through the
+    * `#statscols` maintenance path automatically), a conjunctive
+    * range predicate on either or both columns prunes to the
+    * intersecting tiles — the layout step that makes file skipping
+    * SELECTIVE instead of lucky, which is the difference between
+    * opening 4 files and 4,000 at 100 TB. Commit is the same single
+    * conflict-retried manifest rename as every mutation.
+    *
+    * `filesPerPartition` sizes the z-granularity (range partitions =
+    * partitions × filesPerPartition); production sizes it so files
+    * land near the target file size. `bits` bounds the per-column
+    * Morton resolution ([[ZOrder.interleave]] clamps larger values —
+    * clustering degrades gracefully above 2^bits, correctness never
+    * depends on it).
+    */
+  def cluster(spark: SparkSession, dir: String, zCols: (String, String),
+              filesPerPartition: Int = 4, bits: Int = 21): MutationStats =
+    retryConflicts(3) {
+      attemptCluster(spark, dir, zCols, filesPerPartition, bits)
+    }
+
+  private def attemptCluster(spark: SparkSession, dir: String,
+                             zCols: (String, String),
+                             filesPerPartition: Int,
+                             bits: Int): MutationStats = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Snapshot.recoverMeta(fs, root)
+    val p = Snapshot.pin(spark, dir)
+    beforeStage()
+    val byPart = p.files.groupBy(f => f.substring(0, f.indexOf('/')))
+    val affected = byPart.keys.toSeq.sorted
+    val newVersion = p.version + 1
+    val sch = spark.read.parquet(s"$dir/${p.files.head}").schema
+    val tagged = affected.map { part =>
+      (part, spark.read.schema(sch)
+        .parquet(byPart(part).map(f => s"$dir/$f"): _*)
+        .withColumn(StageTag, lit(part)))
+    }
+    val z = ZOrder.interleave(col(zCols._1), col(zCols._2), bits)
+    val nRanges = math.max(1, affected.size * filesPerPartition)
+    val newFiles = stageAndPlace(spark, fs, root, dir, tagged, newVersion,
+      layout = df => df.withColumn("__z", z)
+        .repartitionByRange(nRanges, col(StageTag), col("__z"))
+        .sortWithinPartitions(col(StageTag), col("__z"))
+        .drop("__z"))
+    val baseTags = Snapshot.tagsOf(fs, root, p.version)
+    val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
+      SnapshotStats.statsColsOf(baseTags))
+    beforeCommit()
+    val v = Snapshot.commit(fs, root, newFiles, p.version,
+      expireTags(baseTags, newVersion),
+      baseFiles = Some(p.files), stats = newStats)
+    Snapshot.vacuum(fs, root)
+    MutationStats(v, affected, p.files.size.toLong, newFiles.size.toLong)
   }
 
   /** Append-only ingest commit — the primitive continuous ingestion
@@ -406,7 +469,7 @@ object SnapshotOps {
     }
     val newVersion = p.version + 1
     val newFiles = stageAndPlace(spark, fs, root, dir, tagged,
-      newVersion, onePerPart = false)
+      newVersion)
     val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
       SnapshotStats.statsColsOf(tags))
     beforeCommit()

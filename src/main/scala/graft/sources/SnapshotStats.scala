@@ -175,7 +175,18 @@ object SnapshotStats {
     * / lexicographic), both predicate ends optional.
     */
   def skipPlan(spark: SparkSession, dir: String, colName: String,
-               lo: Option[String], hi: Option[String]): (Seq[String], Int) = {
+               lo: Option[String], hi: Option[String]): (Seq[String], Int) =
+    skipPlanMulti(spark, dir, Seq((colName, lo, hi)))
+
+  /** Multi-dimension skipping plan: a file survives only when EVERY
+    * predicate's zone-map check passes — the conjunctive pruning a
+    * z-ordered layout turns into 2-D tile selection (each file's
+    * (colA, colB) bounds form a rectangle; a conjunctive range query
+    * keeps only intersecting rectangles).
+    */
+  def skipPlanMulti(spark: SparkSession, dir: String,
+                    preds: Seq[(String, Option[String], Option[String])])
+      : (Seq[String], Int) = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val v = Snapshot.currentVersion(fs, root).getOrElse(
@@ -187,12 +198,14 @@ object SnapshotStats {
       case _ => a <= b
     }
     val kept = lines.map(parseLine).collect {
-      case (path, stats) if stats.get(colName).forall { s =>
-        (s.min, s.max) match {
-          case (Some(mn), Some(mx)) =>
-            lo.forall(l => leq(s.tpe)(l, mx)) &&
-              hi.forall(h => leq(s.tpe)(mn, h))
-          case _ => true // no bounds recorded — keep
+      case (path, stats) if preds.forall { case (colName, lo, hi) =>
+        stats.get(colName).forall { s =>
+          (s.min, s.max) match {
+            case (Some(mn), Some(mx)) =>
+              lo.forall(l => leq(s.tpe)(l, mx)) &&
+                hi.forall(h => leq(s.tpe)(mn, h))
+            case _ => true // no bounds recorded — keep
+          }
         }
       } => path
     }
@@ -256,18 +269,83 @@ object SnapshotStats {
       .orderBy("date")
   }
 
+  private val clusterFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** The cluster-gate fixture: ingest arrives clustered by EVENT TIME
+    * order (event_id range batches — the natural arrival order), which
+    * leaves `user_id` scattered across every file, so a user-keyed
+    * predicate prunes nothing. Zone maps on, then ONE
+    * [[SnapshotOps.cluster]] rewrite along z(user_id, event_id) —
+    * whose new files pick up their stats through the `#statscols`
+    * maintenance path, not statsify. Memoized per (session, dir);
+    * final row set = `events` exactly once.
+    */
+  private def clusteredFixture(spark: SparkSession, dir: String): String =
+    clusterFixtureCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        val tmp = TmpDir.scoped("snapcluster",
+          spark.sparkContext.applicationId, dir)
+        val root = new Path(tmp)
+        root.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(root, true)
+        val events = Tables.events(spark, dir)
+          .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+        val mE = events.agg(max("event_id")).head().getLong(0)
+        val eb = Seq(0L, mE / 4, mE / 2, 3 * mE / 4, mE + 1)
+        (0 until 4).foreach { i =>
+          SnapshotOps.append(spark, tmp,
+            events.filter(col("event_id") >= eb(i) &&
+              col("event_id") < eb(i + 1)),
+            "date", Some(s"clseed-$i"))
+        }
+        statsify(spark, tmp, Seq("user_id", "event_id"))
+        SnapshotOps.cluster(spark, tmp, ("user_id", "event_id"))
+        tmp
+      })
+
+  /** Gate query: a conjunctive 2-D selective rollup
+    * (`user_id ≤ maxU/3 AND event_id ≤ maxE/3`) through the
+    * multi-dimension skipping read over the z-clustered table — the
+    * tiles intersecting the query rectangle are the only files opened
+    * (spec asserts both dimensions prune and the 2-D plan is no wider
+    * than either 1-D plan); the hash gate proves tile selection never
+    * drops a qualifying row.
+    */
+  def snapshotClusterRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = clusteredFixture(spark, dir)
+    val bounds = Tables.events(spark, dir)
+      .agg(max("user_id"), max("event_id")).head()
+    val (hU, hE) = (bounds.getLong(0) / 3, bounds.getLong(1) / 3)
+    readSkippingMulti(spark, tmp, Seq(
+      ("user_id", Some("0"), Some(hU.toString)),
+      ("event_id", Some("0"), Some(hE.toString))))
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"),
+        sum("user_id").as("sum_uid"))
+      .orderBy("date")
+  }
+
   def readSkipping(spark: SparkSession, dir: String, colName: String,
-                   lo: Option[String], hi: Option[String]): DataFrame = {
-    val (kept, _) = skipPlan(spark, dir, colName, lo, hi)
+                   lo: Option[String], hi: Option[String]): DataFrame =
+    readSkippingMulti(spark, dir, Seq((colName, lo, hi)))
+
+  /** Multi-dimension data-skipping read — see [[skipPlanMulti]]. */
+  def readSkippingMulti(spark: SparkSession, dir: String,
+                        preds: Seq[(String, Option[String], Option[String])])
+      : DataFrame = {
+    val (kept, _) = skipPlanMulti(spark, dir, preds)
     val p = Snapshot.pin(spark, dir)
     val sch = spark.read.parquet(s"$dir/${p.files.head}").schema
     val base =
       if (kept.isEmpty) spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
       else spark.read.schema(sch).parquet(kept.map(f => s"$dir/$f"): _*)
-    val dt = sch(colName).dataType
-    val conj = lo.map(l => col(colName) >= lit(l).cast(dt)).toSeq ++
-      hi.map(h => col(colName) <= lit(h).cast(dt))
+    val conj = preds.flatMap { case (colName, lo, hi) =>
+      val dt = sch(colName).dataType
+      lo.map(l => col(colName) >= lit(l).cast(dt)).toSeq ++
+        hi.map(h => col(colName) <= lit(h).cast(dt))
+    }
     if (conj.isEmpty) base else base.filter(conj.reduce(_ && _))
   }
 }

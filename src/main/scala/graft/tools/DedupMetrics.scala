@@ -24,12 +24,18 @@ import graft.GraftSession
   * super-linearly, the banding needs an occupancy cap. Output: JSON
   * lines, one per phase + one summary.
   *
-  * Usage: `runMain graft.tools.DedupMetrics <sfDir>`
+  * Usage: `runMain graft.tools.DedupMetrics <sfDir> [bucketCap]` —
+  * with a cap, a third phase runs the occupancy-capped listing
+  * (hub stars for over-cap buckets) and reports the capped analytic
+  * candidate volume Σ (occ ≤ cap ? C(occ,2) : occ−1) next to the
+  * uncapped bound, so the knob's listing-cost reduction is measured,
+  * not asserted.
   */
 object DedupMetrics {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    val cap = args.drop(1).headOption.map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -79,19 +85,33 @@ object DedupMetrics {
       graft.pipeline.Dedup.keepDrop(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
+    cap.foreach { c =>
+      phase(s"lsh_verify_cap$c") {
+        graft.pipeline.Dedup
+          .lshJaccardPairs(spark, dir, minBp = 6500, bucketCap = Some(c))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
 
     // analytic candidate volume — the work bound the banding promises
+    val capExpr = cap match {
+      case Some(c) => expr(
+        s"sum(if(occ <= $c, occ * (occ - 1) div 2, occ - 1))")
+      case None => expr("cast(null as bigint)")
+    }
     val occ = graft.pipeline.Dedup.bandKeysOf(spark, dir)
       .groupBy("bh").agg(count(lit(1)).as("occ"))
       .agg(count(lit(1)).as("buckets"),
         sum(expr("occ * (occ - 1) div 2")).as("cand_pairs"),
-        max("occ").as("max_occ"))
+        max("occ").as("max_occ"),
+        capExpr.as("cand_pairs_capped"))
       .head()
     val verified = graft.pipeline.Dedup
       .lshJaccardPairs(spark, dir, minBp = 6500).count()
     val edges = graft.pipeline.Dedup.unionEdges(spark, dir).count()
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    println(s"""{"metric":"dedup_work","sf":"$dir","band_buckets":${occ.getLong(0)},"candidate_pairs":${occ.getLong(1)},"max_bucket_occupancy":${occ.getLong(2)},"verified_pairs":$verified,"union_edges":$edges,"load_avg":${os.getSystemLoadAverage},"cpus":$cpus}""")
+    val capped = if (occ.isNullAt(3)) "null" else occ.getLong(3).toString
+    println(s"""{"metric":"dedup_work","sf":"$dir","band_buckets":${occ.getLong(0)},"candidate_pairs":${occ.getLong(1)},"max_bucket_occupancy":${occ.getLong(2)},"candidate_pairs_capped":$capped,"bucket_cap":${cap.getOrElse("null")},"verified_pairs":$verified,"union_edges":$edges,"load_avg":${os.getSystemLoadAverage},"cpus":$cpus}""")
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
   }

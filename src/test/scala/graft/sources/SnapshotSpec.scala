@@ -672,4 +672,54 @@ class SnapshotSpec extends SparkSpec {
     assert(ids(skipped()) ==
       ids(Snapshot.read(spark, dir).filter(col("user_id") <= m / 5)))
   }
+
+  test("cluster: the z-order rewrite preserves content exactly, its " +
+       "new files get stats through the maintenance tag, and a 2-D " +
+       "predicate prunes on BOTH dimensions afterwards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapclust")
+      .toString
+    // sf0.01: a wide enough user_id domain that pruning statements
+    // are statistically safe, not luck
+    val events = graft.Tables.events(spark, sf01)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+    val b = events.agg(max("user_id"), max("event_id")).head()
+    val (mU, mE) = (b.getLong(0), b.getLong(1))
+    val eb = Seq(0L, mE / 4, mE / 2, 3 * mE / 4, mE + 1)
+    (0 until 4).foreach { i =>
+      SnapshotOps.append(spark, dir,
+        events.filter(col("event_id") >= eb(i) &&
+          col("event_id") < eb(i + 1)), "date", Some(s"c-$i"))
+    }
+    SnapshotStats.statsify(spark, dir, Seq("user_id", "event_id"))
+    // arrival order clusters event_id, scatters user_id: a user-keyed
+    // range keeps (essentially) every file
+    val uPred = ("user_id", Some("0"), Some((mU / 3).toString))
+    val ePred = ("event_id", Some("0"), Some((mE / 3).toString))
+    val (keptU0, total0) = SnapshotStats.skipPlanMulti(spark, dir, Seq(uPred))
+    assert(keptU0.size == total0,
+      s"user_id pruned before clustering (${keptU0.size}/$total0)?")
+    def ids(df: DataFrame): Set[Long] =
+      df.select("event_id").collect().map(_.getLong(0)).toSet
+    val before = ids(Snapshot.read(spark, dir))
+    val stats = SnapshotOps.cluster(spark, dir, ("user_id", "event_id"))
+    // a full-table rewrite: every old file retired, content identical
+    assert(ids(Snapshot.read(spark, dir)) == before,
+      "cluster changed the row set")
+    assert(stats.retiredFiles > 0 && stats.newFiles > 0)
+    // both dimensions now prune, and the 2-D plan is no wider than
+    // either 1-D plan (conjunctive tile selection)
+    val (keptU, total) = SnapshotStats.skipPlanMulti(spark, dir, Seq(uPred))
+    val (keptE, _) = SnapshotStats.skipPlanMulti(spark, dir, Seq(ePred))
+    val (kept2, _) =
+      SnapshotStats.skipPlanMulti(spark, dir, Seq(uPred, ePred))
+    assert(keptU.size < total, s"user_id did not prune (${keptU.size}/$total)")
+    assert(keptE.size < total, s"event_id did not prune (${keptE.size}/$total)")
+    assert(kept2.size <= math.min(keptU.size, keptE.size))
+    assert(kept2.nonEmpty)
+    // and the skipping read is still planning-only
+    assert(ids(SnapshotStats.readSkippingMulti(spark, dir,
+        Seq(uPred, ePred))) ==
+      ids(Snapshot.read(spark, dir)
+        .filter(col("user_id") <= mU / 3 && col("event_id") <= mE / 3)))
+  }
 }
