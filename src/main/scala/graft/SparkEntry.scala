@@ -487,6 +487,20 @@ object SparkEntry {
         "CAST(sum(user_id) AS BIGINT) AS sum_uid " +
         "FROM events WHERE user_id <= (SELECT max(user_id) // 5 FROM events) " +
         "GROUP BY 1 ORDER BY 1")),
+    // metadata-only aggregates: the per-day corpus census (count,
+    // min, max) answered from the MANIFEST stats alone — zero data
+    // files opened (spec proves it by corrupting every data file and
+    // re-running); min-of-mins / max-of-maxes over exact per-file
+    // bounds + the __rows pseudo-column, the manifest-read-time
+    // answer every table format serves at 100 TB
+    ("snapshot_agg_pushdown",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotStats.snapshotAggPushdown(s, d),
+      Some("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(min(user_id) AS BIGINT) AS min_user_id, " +
+        "CAST(max(user_id) AS BIGINT) AS max_user_id " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
     // OPTIMIZE ZORDER reduced to its core: one clustering rewrite
     // lays the table out along z(user_id, event_id) (each file = a
     // tight rectangle in that space, stats maintained through the
@@ -2152,7 +2166,7 @@ object SparkEntry {
     "snapshot_upsert", "snapshot_time_travel", "snapshot_changes",
     "snapshot_compact", "snapshot_ingest_stream",
     "snapshot_changes_follow", "corpus_nightly_build",
-    "snapshot_skipping", "snapshot_cluster",
+    "snapshot_skipping", "snapshot_cluster", "snapshot_agg_pushdown",
     "dedup_clusters", "dedup_keep", "split_assign",
     "q_bucket_join", "follow", "clone_backfill",
     "dedup_incremental_indexed", "dedup_incremental_stream",

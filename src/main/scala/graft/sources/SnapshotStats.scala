@@ -108,10 +108,19 @@ object SnapshotStats {
       s"zone maps unsupported for column type $other")
   }
 
-  /** Collect per-file min/max for `cols` over `files` (relative
-    * paths) in ONE column-pruned distributed job. Returns the encoded
-    * shard-line suffix per relative path — the `stats` argument
-    * [[Snapshot.commit]] takes.
+  /** The pseudo-column carrying each file's exact ROW COUNT in the
+    * stats suffix (`__rows:N:<count>:`) — what makes per-partition
+    * `count(*)` (and min-of-mins / max-of-maxes) answerable from the
+    * MANIFEST alone, zero data IO ([[countsFromManifest]] /
+    * [[aggFromManifest]]) — the metadata-only aggregate every table
+    * format serves at 100 TB.
+    */
+  private[sources] val RowsField = "__rows"
+
+  /** Collect per-file min/max for `cols` (plus the exact row count)
+    * over `files` (relative paths) in ONE column-pruned distributed
+    * job. Returns the encoded shard-line suffix per relative path —
+    * the `stats` argument [[Snapshot.commit]] takes.
     */
   def collectStats(spark: SparkSession, dir: String, files: Seq[String],
                    cols: Seq[String]): Map[String, String] = {
@@ -127,7 +136,7 @@ object SnapshotStats {
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
-    }
+    } :+ count(lit(1)).cast("string").as("__nrows")
     val rows = spark.read.schema(sch)
       .parquet(files.map(f => s"$dir/$f"): _*)
       .select(cols.map(col) :+ input_file_name().as("__f"): _*)
@@ -139,7 +148,8 @@ object SnapshotStats {
       val suffix = encodeSuffix(cols.zipWithIndex.map { case (c, i) =>
         c -> ColStats(codes(c),
           Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))
-      })
+      } :+ (RowsField -> ColStats("N",
+        Some(r.getString(1 + 2 * cols.size)), None)))
       rel -> suffix
     }.toMap
   }
@@ -267,6 +277,83 @@ object SnapshotStats {
       .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"),
         sum("user_id").as("sum_uid"))
       .orderBy("date")
+  }
+
+  /** Metadata-only aggregates: per-partition `count(*)`, `min(col)`
+    * and `max(col)` computed from the MANIFEST stats alone — no data
+    * file is opened (min-of-mins / max-of-maxes over exact per-file
+    * bounds is exact; the row count rides the [[RowsField]] pseudo
+    * column). This is the 100 TB "how big is the corpus per day"
+    * query answered in manifest-read time. Fails loudly when any
+    * live file lacks a row count — a metadata aggregate must never
+    * silently undercount a partially-statsified table.
+    */
+  def aggFromManifest(spark: SparkSession, dir: String,
+                      cols: Seq[String]): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = Snapshot.currentVersion(fs, root).getOrElse(
+      throw new IllegalStateException(s"$dir is not snapshot-managed"))
+    val parsed = Snapshot.linesOf(fs, root, v).map(parseLine)
+    parsed.foreach { case (p, st) =>
+      require(st.get(RowsField).exists(_.min.isDefined),
+        s"no row-count stats on $p — statsify before metadata aggregates")
+      cols.foreach(c => require(st.contains(c),
+        s"no $c stats on $p — statsify before metadata aggregates"))
+    }
+    val partCol = parsed.head._1.takeWhile(_ != '=')
+    def unesc(p: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(
+          p.substring(p.indexOf('=') + 1, p.indexOf('/')))
+    val codes: Map[String, String] =
+      cols.map(c => c -> parsed.head._2(c).tpe).toMap
+    def typed(code: String, s: String): Any = code match {
+      case "L" => s.toLong
+      case "D" => s.toDouble
+      case _ => s
+    }
+    val rows = parsed.groupBy { case (p, _) => unesc(p) }.toSeq
+      .sortBy(_._1)
+      .map { case (part, files) =>
+        val n = files.map(_._2(RowsField).min.get.toLong).sum
+        val vals: Seq[Any] = cols.flatMap { c =>
+          val mins = files.flatMap(_._2(c).min).map(typed(codes(c), _))
+          val maxs = files.flatMap(_._2(c).max).map(typed(codes(c), _))
+          def ord(a: Any, b: Any, lt: Boolean): Any = (a, b) match {
+            case (x: Long, y: Long) => if ((x < y) == lt) x else y
+            case (x: Double, y: Double) => if ((x < y) == lt) x else y
+            case (x: String, y: String) => if ((x < y) == lt) x else y
+            case _ => a
+          }
+          Seq(if (mins.isEmpty) null else mins.reduce(ord(_, _, lt = true)),
+            if (maxs.isEmpty) null else maxs.reduce(ord(_, _, lt = false)))
+        }
+        org.apache.spark.sql.Row.fromSeq(part +: n +: vals)
+      }
+    def sqlType(code: String): DataType = code match {
+      case "L" => LongType
+      case "D" => DoubleType
+      case _ => StringType
+    }
+    val schema = StructType(
+      StructField(partCol, StringType) :: StructField("n", LongType) ::
+        cols.toList.flatMap(c => Seq(
+          StructField(s"min_$c", sqlType(codes(c))),
+          StructField(s"max_$c", sqlType(codes(c))))))
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+  }
+
+  /** Gate query: the per-day corpus census (`count, min, max`)
+    * answered entirely from the manifest of the statsified fixture —
+    * the spec proves zero data IO by corrupting every data file and
+    * re-running; the hash gate proves the metadata numbers equal the
+    * relational scan's.
+    */
+  def snapshotAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = skippingFixture(spark, dir)
+    aggFromManifest(spark, tmp, Seq("user_id")).orderBy("date")
   }
 
   private val clusterFixtureCache =

@@ -673,6 +673,41 @@ class SnapshotSpec extends SparkSpec {
       ids(Snapshot.read(spark, dir).filter(col("user_id") <= m / 5)))
   }
 
+  test("metadata-only aggregates come from the manifest alone: exact " +
+       "per-partition count/min/max, proven zero-data-IO by corrupting " +
+       "every data file, and loud on a table without row counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapagg")
+      .toString
+    val events = graft.Tables.events(spark, sf)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+    SnapshotOps.append(spark, dir, events, "date", Some("agg-0"))
+    // before statsify: no row counts — the metadata aggregate must
+    // refuse, never undercount
+    intercept[IllegalArgumentException] {
+      SnapshotStats.aggFromManifest(spark, dir, Seq("user_id"))
+    }
+    SnapshotStats.statsify(spark, dir, Seq("user_id"))
+    val expect = Snapshot.read(spark, dir)
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n"), min("user_id").as("min_user_id"),
+        max("user_id").as("max_user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def metaAgg() = SnapshotStats.aggFromManifest(spark, dir, Seq("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(metaAgg() == expect)
+    // corrupt every data file: a scan would now fail, the metadata
+    // aggregate must not notice (it never opens one)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Snapshot.pin(spark, dir).files.foreach { f =>
+      val out = fs.create(new Path(root, f), true)
+      try out.write("garbage".getBytes("UTF-8")) finally out.close()
+    }
+    assert(metaAgg() == expect, "metadata aggregate touched a data file")
+  }
+
   test("cluster: the z-order rewrite preserves content exactly, its " +
        "new files get stats through the maintenance tag, and a 2-D " +
        "predicate prunes on BOTH dimensions afterwards") {
