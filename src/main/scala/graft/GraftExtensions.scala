@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeEncodeExpr, CdcChunks, CosineSimilarity, HyperplaneBuckets, MinHashSignature, MisraGriesAgg, RollingHash, SimHashAgg, SortedIntersectCount, WinnowFps}
+import graft.functions.{BloomAgg, BpeEncodeExpr, CdcChunks, CosineSimilarity, HyperplaneBuckets, MinHashSignature, MisraGriesAgg, RollingHash, SimHashAgg, SortedIntersectCount, WinnowFps}
 
 /** SparkSessionExtensions hook registering graft's native expressions
   * as SQL functions, so `spark.sql("SELECT rolling_hash(text) ...")`
@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
       (children: Seq[Expression]) => MisraGriesAgg(children(0),
         children(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (children: Seq[Expression]) => BloomAgg(children(0),
+        children(1).eval().asInstanceOf[Int],
+        children(2).eval().asInstanceOf[Int]).toAggregateExpression()))
     ext.injectFunction((
       new FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncodeExpr].getName, "bpe_encode"),

@@ -487,6 +487,22 @@ object SparkEntry {
         "CAST(sum(user_id) AS BIGINT) AS sum_uid " +
         "FROM events WHERE user_id <= (SELECT max(user_id) // 5 FROM events) " +
         "GROUP BY 1 ORDER BY 1")),
+    // per-file Bloom filters in the manifest (the graft bloom_agg
+    // aggregate builds one per file in a single grouped scan): the
+    // point-lookup skipping zone maps can't serve — event_id is
+    // high-cardinality and unclustered in this layout, so every
+    // file's [min,max] spans the domain and range pruning keeps all;
+    // membership pruning keeps only the files that MAY hold one of
+    // the 24 keys. The hash gate proves pruning never drops a row
+    ("snapshot_point_lookup",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotStats.snapshotPointLookup(s, d),
+      Some("SELECT event_id, user_id, event_type, " +
+        "CAST(CAST(ts AS DATE) AS VARCHAR) AS date " +
+        "FROM events WHERE event_id IN (" +
+        "SELECT (SELECT max(event_id) FROM events) // 29 * i + 7 " +
+        "FROM generate_series(0, 23) AS t(i)) " +
+        "ORDER BY event_id")),
     // metadata-only aggregates: the per-day corpus census (count,
     // min, max) answered from the MANIFEST stats alone — zero data
     // files opened (spec proves it by corrupting every data file and
@@ -1602,6 +1618,48 @@ object SparkEntry {
         "PARTITION BY lang, source " +
         "ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
         "FROM documents) WHERE rn <= 10 ORDER BY doc_id")),
+    // Gini–Simpson diversity: entropy's ln is libm-divergent across
+    // engines, so the rational Simpson index gates exactly instead
+    ("token_diversity",
+      (s: SparkSession, d: String) => TextAnalysis.tokenDiversity(s, d),
+      Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
+        "t AS (SELECT doc_id, unnest(regexp_split_to_array(txt, ' ')) AS term " +
+        "FROM nd), " +
+        "f AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM t GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl, " +
+        "CAST(count(*) AS BIGINT) AS n_distinct, " +
+        "CAST((sum(tf) * sum(tf) - sum(tf * tf)) * 1000000 // " +
+        "(sum(tf) * sum(tf)) AS BIGINT) AS gini_simpson_micro, " +
+        "CAST(sum(tf) * sum(tf) * 1000000 // sum(tf * tf) AS BIGINT) " +
+        "AS eff_vocab_micro " +
+        "FROM f GROUP BY doc_id ORDER BY doc_id")),
+    // DSIR importance weights: the shared micro-ratio expression is
+    // built by Curation.dsirMicroSql for BOTH engines (Spark inlines
+    // the corpus scalars; the oracle computes them in the `s` CTE)
+    ("dsir_weights",
+      (s: SparkSession, d: String) => Curation.dsirWeights(s, d),
+      Some("WITH nd AS (SELECT doc_id, lang, " + normSql +
+        " AS txt FROM documents), " +
+        "t AS (SELECT doc_id, lang, " +
+        "unnest(regexp_split_to_array(txt, ' ')) AS term FROM nd), " +
+        "dtf AS (SELECT doc_id, lang, term, " +
+        "CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2, 3), " +
+        "ts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS fc, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS ft " +
+        "FROM dtf GROUP BY 1), " +
+        "sc AS (SELECT CAST(sum(fc) AS BIGINT) + CAST(count(*) AS BIGINT) AS ncv, " +
+        "CAST(sum(ft) AS BIGINT) + CAST(count(*) AS BIGINT) AS ntv FROM ts), " +
+        "r AS (SELECT term, " + Curation.dsirMicroSql("ncv", "ntv") +
+        " AS r_micro FROM ts CROSS JOIN sc) " +
+        "SELECT doc_id, lang, " +
+        "CAST(sum(tf * r_micro) AS BIGINT) AS w_micro, " +
+        "CAST(sum(tf) AS BIGINT) AS n_toks, " +
+        "CAST(sum(tf * r_micro) // sum(tf) AS BIGINT) AS w_per_tok_micro, " +
+        "CAST(CASE WHEN sum(tf * r_micro) // sum(tf) >= 1000000 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS target_like " +
+        "FROM dtf JOIN r USING (term) GROUP BY doc_id, lang " +
+        "ORDER BY doc_id")),
     ("token_df_score",
       (s: SparkSession, d: String) => TextAnalysis.tokenDfScore(s, d),
       Some("WITH nd AS (SELECT doc_id, " + normSql + " AS txt FROM documents), " +
@@ -2167,6 +2225,7 @@ object SparkEntry {
     "snapshot_compact", "snapshot_ingest_stream",
     "snapshot_changes_follow", "corpus_nightly_build",
     "snapshot_skipping", "snapshot_cluster", "snapshot_agg_pushdown",
+    "snapshot_point_lookup",
     "dedup_clusters", "dedup_keep", "split_assign",
     "q_bucket_join", "follow", "clone_backfill",
     "dedup_incremental_indexed", "dedup_incremental_stream",

@@ -59,6 +59,12 @@ package object functions {
     call_function("bpe_encode", text,
       org.apache.spark.sql.functions.lit(BpeEncodeExpr.serializeMerges(merges)))
 
+  /** [[graft.functions.BloomAgg]] as an aggregate Column function. */
+  def bloom_agg(key: Column, numBits: Int, numHashes: Int): Column =
+    call_function("bloom_agg", key,
+      org.apache.spark.sql.functions.lit(numBits),
+      org.apache.spark.sql.functions.lit(numHashes))
+
   /** [[graft.functions.MinHashSignature]] as a Column function. */
   def minhash_signature(sh: Column, numPerm: Int): Column =
     call_function("minhash_signature", sh,

@@ -654,6 +654,75 @@ object Curation {
         countDistinct(col("th")).as("n_unique_texts"))
       .orderBy("source", "lang")
 
+  /** The DSIR per-term importance ratio in exactly-reproducible
+    * micro-unit algebra, built ONCE for both engines (the
+    * [[graft.pipeline.TextAnalysis.bm25MicroSql]] discipline):
+    * add-one-smoothed unigram likelihood ratio
+    * `((ft+1)/(Nt+V)) / ((fc+1)/(Nc+V))` — the log is deliberately
+    * NOT taken (libm-divergent); the per-doc score sums `tf · ratio`
+    * instead of `tf · log ratio`, which ranks identically for the
+    * one-sided "more target-like than corpus-average" selection this
+    * feeds. All products run in double (overflow-free at any corpus
+    * size) with one shared association order, so both engines produce
+    * the same bits; `round(1e6·x)` quantizes to BIGINT so the
+    * per-document SUM is integer — order-free under Spark's
+    * nondeterministic aggregation order.
+    */
+  def dsirMicroSql(ncv: String, ntv: String): String =
+    s"CAST(round((1000000.0 * (ft + 1) * $ncv) / " +
+      s"((fc + 1) * ($ntv * 1.0))) AS BIGINT)"
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under a TARGET
+    * domain's unigram model than under the full-corpus model, so a
+    * high-quality target slice (here: the `lang = targetLang` docs)
+    * can pull stylistically-similar documents out of the whole
+    * corpus. The shipped score is the smoothed likelihood-ratio sum
+    * in exact micro-units (see [[dsirMicroSql]]).
+    *
+    * Plan shape — the inverted-index discipline, no all-pairs, no
+    * model state: one explode → per-(doc, term) tf (partial-merged
+    * map-side) → per-TERM stats (fc, ft — the only vocabulary-wide
+    * shuffle) → three corpus scalars collected driver-side (Nc, Nt,
+    * V — 24 bytes, inlined as literals) → ratio joined back on term
+    * (vocab-sized relation; at 100 TB this is a shuffle join on term,
+    * the same width tokenDfScore already pays) → per-doc integer sum.
+    * Everything is linear in corpus tokens; nothing is ever
+    * quadratic in documents.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  targetLang: String = "en"): DataFrame =
+    dsirWeightsOf(Tables.documents(spark, dir), targetLang)
+
+  /** [[dsirWeights]] over any (doc_id, lang, text) DataFrame. */
+  def dsirWeightsOf(docs: DataFrame, targetLang: String): DataFrame = {
+    val docTf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(TextAnalysis.normText(col("text")), " ")).as("term"))
+      .groupBy("doc_id", "lang", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val termStats = docTf
+      .groupBy("term")
+      .agg(sum("tf").as("fc"),
+        sum(when(col("lang") === targetLang, col("tf")).otherwise(0L))
+          .as("ft"))
+    val s = termStats
+      .agg(sum("fc").cast("long"), sum("ft").cast("long"),
+        count(lit(1)).cast("long")).head()
+    val (nc, nt, v) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    val ratios = termStats.withColumn("r_micro",
+      expr(dsirMicroSql((nc + v).toString, (nt + v).toString)))
+    docTf.join(ratios.select("term", "r_micro"), "term")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("tf") * col("r_micro")).as("w_micro"),
+        sum("tf").as("n_toks"))
+      .withColumn("w_per_tok_micro", expr("w_micro div n_toks"))
+      .withColumn("target_like",
+        when(col("w_per_tok_micro") >= 1000000L, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-based language rebalancing (the standard α-sampling
     * used to flatten a skewed language mix before multilingual
     * training): expected kept volume per language ∝ n_l^α with

@@ -199,6 +199,41 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("re_tokens"))
       .orderBy("doc_id")
 
+  /** Per-document token diversity as the Gini–Simpson index
+    * `1 − Σ_t (tf/dl)²` — the rational cousin of unigram entropy
+    * (entropy's `ln` is libm-divergent across engines; Simpson is a
+    * pure integer rational, so the gate is exact). High values =
+    * diverse vocabulary; low values = a few tokens dominate —
+    * template/spam pages score low even when [[repetitionScore]]'s
+    * max-based signals look fine, because Simpson weighs the WHOLE
+    * frequency distribution, not just the top item. The companion
+    * `eff_vocab_micro` (inverse Simpson, `dl²/Σtf²`) reads as the
+    * "effective vocabulary size" in micro-units.
+    *
+    * Plan: one explode → per-(doc, term) count → per-doc sum. Both
+    * aggregations partial-merge map-side; no joins, no transcendental
+    * — linear in corpus tokens at any scale.
+    */
+  def tokenDiversity(spark: SparkSession, dir: String): DataFrame =
+    tokenDiversityOf(Tables.documents(spark, dir))
+
+  /** [[tokenDiversity]] over any (doc_id, text) DataFrame. */
+  def tokenDiversityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("dl"),
+        sum(col("tf") * col("tf")).as("s2"),
+        count(lit(1)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("dl"), col("n_distinct"),
+        expr("(dl * dl - s2) * 1000000L div (dl * dl)")
+          .as("gini_simpson_micro"),
+        expr("dl * dl * 1000000L div s2").as("eff_vocab_micro"))
+      .orderBy("doc_id")
+
   /** Intra-document repetition signals — the pretraining quality rule
     * family that [[qualityScore]]'s surface ratios don't cover:
     * duplicate-word fraction and top-bigram fraction (a document

@@ -240,7 +240,8 @@ object SnapshotOps {
     val manifest = p.files.filterNot(hitRels) ++ newFiles
     val baseTags = Snapshot.tagsOf(fs, root, p.version)
     val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
-      SnapshotStats.statsColsOf(baseTags))
+      SnapshotStats.statsColsOf(baseTags),
+      SnapshotStats.bloomColsOf(baseTags))
     beforeCommit()
     val v = Snapshot.commit(fs, root, manifest, p.version,
       expireTags(baseTags, newVersion),
@@ -346,7 +347,8 @@ object SnapshotOps {
     val manifest = p.files.filterNot(retired) ++ newFiles
     val baseTags = Snapshot.tagsOf(fs, root, p.version)
     val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
-      SnapshotStats.statsColsOf(baseTags))
+      SnapshotStats.statsColsOf(baseTags),
+      SnapshotStats.bloomColsOf(baseTags))
     beforeCommit()
     val v = Snapshot.commit(fs, root, manifest, p.version,
       expireTags(baseTags, newVersion),
@@ -409,7 +411,8 @@ object SnapshotOps {
         .drop("__z"))
     val baseTags = Snapshot.tagsOf(fs, root, p.version)
     val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
-      SnapshotStats.statsColsOf(baseTags))
+      SnapshotStats.statsColsOf(baseTags),
+      SnapshotStats.bloomColsOf(baseTags))
     beforeCommit()
     val v = Snapshot.commit(fs, root, newFiles, p.version,
       expireTags(baseTags, newVersion),
@@ -471,7 +474,8 @@ object SnapshotOps {
     val newFiles = stageAndPlace(spark, fs, root, dir, tagged,
       newVersion)
     val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
-      SnapshotStats.statsColsOf(tags))
+      SnapshotStats.statsColsOf(tags),
+      SnapshotStats.bloomColsOf(tags))
     beforeCommit()
     val newTag = idempotencyKey.map(k => mkTag(newVersion, k))
     val v = Snapshot.commit(fs, root, p.files ++ newFiles, p.version,

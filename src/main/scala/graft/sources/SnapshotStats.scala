@@ -59,6 +59,35 @@ object SnapshotStats {
       t.stripPrefix(StatsColsTag).split(',').toSeq.filter(_.nonEmpty)
     }.getOrElse(Nil)
 
+  /** The manifest tag recording which columns carry per-file Bloom
+    * filters, WITH their sizing (`#bloomcols=col:bits:hashes,…`) —
+    * the parameters must ride the table, not the caller, so the
+    * maintenance path builds new files' blooms bit-compatible with
+    * the old ones. Carried forward like [[StatsColsTag]].
+    */
+  private[sources] val BloomColsTag = "#bloomcols="
+
+  /** One bloom-indexed column's build parameters. */
+  case class BloomSpec(col: String, bits: Int, hashes: Int)
+
+  private[sources] def bloomColsOf(tags: Seq[String]): Seq[BloomSpec] =
+    tags.collectFirst { case t if t.startsWith(BloomColsTag) =>
+      t.stripPrefix(BloomColsTag).split(',').toSeq.filter(_.nonEmpty)
+        .map { s =>
+          val Array(c, b, h) = s.split(':')
+          BloomSpec(dec(c), b.toInt, h.toInt)
+        }
+    }.getOrElse(Nil)
+
+  private[sources] def bloomTagOf(specs: Seq[BloomSpec]): String =
+    BloomColsTag + specs.map(s => s"${enc(s.col)}:${s.bits}:${s.hashes}")
+      .mkString(",")
+
+  /** Suffix-field key carrying a column's bloom (distinct from its
+    * zone-map key, so one column can have both).
+    */
+  private def bloomKey(c: String): String = c + "#bloom"
+
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
@@ -123,8 +152,9 @@ object SnapshotStats {
     * the `stats` argument [[Snapshot.commit]] takes.
     */
   def collectStats(spark: SparkSession, dir: String, files: Seq[String],
-                   cols: Seq[String]): Map[String, String] = {
-    if (files.isEmpty || cols.isEmpty) return Map.empty
+                   cols: Seq[String],
+                   blooms: Seq[BloomSpec] = Nil): Map[String, String] = {
+    if (files.isEmpty || (cols.isEmpty && blooms.isEmpty)) return Map.empty
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val rootUri = fs.makeQualified(root).toUri.getPath
@@ -132,24 +162,38 @@ object SnapshotStats {
     val codes = cols.map(c => c -> typeCodeOf(sch(c).dataType)).toMap
     // stringify bounds in-plan (dates → ISO, numerics → exact
     // literals via the same cast both engines print), so the collect
-    // is rows of strings regardless of column type
-    val aggs = cols.flatMap { c =>
+    // is rows of strings regardless of column type; blooms ride the
+    // same grouped job as base64 (the graft bloom_agg aggregate —
+    // map-side partial OR, one filter per file, never a driver loop)
+    val aggs = (cols.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
-    } :+ count(lit(1)).cast("string").as("__nrows")
+    } :+ count(lit(1)).cast("string").as("__nrows")) ++
+      blooms.map(b => graft.functions.bloom_agg(
+        col(b.col), b.bits, b.hashes).as(s"__bl_${b.col}"))
+    val scanCols = (cols ++ blooms.map(_.col)).distinct
     val rows = spark.read.schema(sch)
       .parquet(files.map(f => s"$dir/$f"): _*)
-      .select(cols.map(col) :+ input_file_name().as("__f"): _*)
+      .select(scanCols.map(col) :+ input_file_name().as("__f"): _*)
       .groupBy("__f").agg(aggs.head, aggs.tail: _*)
       .collect()
+    val bloomBase = 2 + 2 * cols.size
     rows.map { r =>
       val rel = new Path(r.getString(0)).toUri.getPath
         .stripPrefix(rootUri).stripPrefix("/")
       val suffix = encodeSuffix(cols.zipWithIndex.map { case (c, i) =>
         c -> ColStats(codes(c),
           Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))
-      } :+ (RowsField -> ColStats("N",
-        Some(r.getString(1 + 2 * cols.size)), None)))
+      } ++ Seq(RowsField -> ColStats("N",
+        Some(r.getString(1 + 2 * cols.size)), None)) ++
+        blooms.zipWithIndex.map { case (b, i) =>
+          // bytes → base64 driver-side (the no-linebreak JDK encoder;
+          // Spark SQL's base64 is MIME-chunked, which would embed
+          // newlines in a one-line shard format)
+          bloomKey(b.col) -> ColStats("B",
+            Option(r.getAs[Array[Byte]](bloomBase + i))
+              .map(java.util.Base64.getEncoder.encodeToString), None)
+        })
       rel -> suffix
     }.toMap
   }
@@ -163,15 +207,47 @@ object SnapshotStats {
     */
   def statsify(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
     require(cols.nonEmpty, "statsify needs at least one column")
+    refreshMeta(spark, dir, newStatCols = Some(cols), newBlooms = None)
+  }
+
+  /** Turn per-file Bloom filters ON for a snapshot table (the
+    * point-lookup analogue of [[statsify]]): one full-table grouped
+    * `bloom_agg` job, committed with the `#bloomcols=col:bits:hashes`
+    * maintenance tag so every subsequent mutation builds
+    * bit-compatible blooms for ITS new files. Existing zone maps are
+    * recomputed into the same suffix (a fresh stats entry replaces
+    * the whole shard line); returns the committed version.
+    */
+  def bloomify(spark: SparkSession, dir: String,
+               specs: Seq[BloomSpec]): Long = {
+    require(specs.nonEmpty, "bloomify needs at least one column spec")
+    refreshMeta(spark, dir, newStatCols = None, newBlooms = Some(specs))
+  }
+
+  /** Shared [[statsify]]/[[bloomify]] core: recollect BOTH metadata
+    * families for every live file (whichever is being turned on plus
+    * whatever the table already maintains — a stats entry replaces
+    * the whole shard line, so partial recollection would silently
+    * drop the other family), commit with both maintenance tags,
+    * vacuum.
+    */
+  private def refreshMeta(spark: SparkSession, dir: String,
+                          newStatCols: Option[Seq[String]],
+                          newBlooms: Option[Seq[BloomSpec]]): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     Snapshot.recoverMeta(fs, root)
     val p = Snapshot.pin(spark, dir)
-    val stats = collectStats(spark, dir, p.files, cols)
     val oldTags = Snapshot.tagsOf(fs, root, p.version)
-      .filterNot(_.startsWith(StatsColsTag))
-    val v = Snapshot.commit(fs, root, p.files, p.version,
-      oldTags :+ (StatsColsTag + cols.mkString(",")),
+    val cols = newStatCols.getOrElse(statsColsOf(oldTags))
+    val blooms = newBlooms.getOrElse(bloomColsOf(oldTags))
+    val stats = collectStats(spark, dir, p.files, cols, blooms)
+    val kept = oldTags.filterNot(t =>
+      t.startsWith(StatsColsTag) || t.startsWith(BloomColsTag))
+    val tags = kept ++
+      (if (cols.nonEmpty) Seq(StatsColsTag + cols.mkString(",")) else Nil) ++
+      (if (blooms.nonEmpty) Seq(bloomTagOf(blooms)) else Nil)
+    val v = Snapshot.commit(fs, root, p.files, p.version, tags,
       baseFiles = Some(p.files), stats = stats)
     Snapshot.vacuum(fs, root)
     v
@@ -258,6 +334,15 @@ object SnapshotStats {
             Some(s"skipseed-$i"))
         }
         statsify(spark, tmp, Seq("user_id"))
+        // blooms on event_id (high-cardinality, unclustered in this
+        // layout — exactly where zone maps prune nothing); sized to
+        // ~10 bits per expected per-file key so the false-positive
+        // rate stays low at any gate sf. The 4th append's blooms come
+        // from the MAINTENANCE path like its zone maps.
+        val n = events.count()
+        val bits = math.max(65536L,
+          java.lang.Long.highestOneBit(n / 8)).toInt
+        bloomify(spark, tmp, Seq(BloomSpec("event_id", bits, 5)))
         SnapshotOps.append(spark, tmp, batch(3), "date", Some("skipseed-3"))
         tmp
       })
@@ -411,6 +496,76 @@ object SnapshotStats {
       .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"),
         sum("user_id").as("sum_uid"))
       .orderBy("date")
+  }
+
+  /** The point-lookup skipping plan: (kept files, total). A file
+    * survives when it has no bloom recorded for the column
+    * (conservative — absence degrades to a scan, never a wrong
+    * answer) or ANY of the keys may be in its filter. Bloom
+    * parameters come from the table's `#bloomcols` tag, so the probe
+    * is always bit-compatible with however the filters were built.
+    * Zone maps can't serve this query: a high-cardinality unclustered
+    * key has every file spanning ~the full domain, so range bounds
+    * keep everything — membership is the only prunable signal.
+    */
+  def lookupPlan(spark: SparkSession, dir: String, colName: String,
+                 keys: Seq[Any]): (Seq[String], Int) = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = Snapshot.currentVersion(fs, root).getOrElse(
+      throw new IllegalStateException(s"$dir is not snapshot-managed"))
+    val spec = bloomColsOf(Snapshot.tagsOf(fs, root, v))
+      .find(_.col == colName)
+    val lines = Snapshot.linesOf(fs, root, v)
+    val kept = lines.map(parseLine).collect {
+      case (path, stats) if spec.isEmpty ||
+        stats.get(bloomKey(colName)).flatMap(_.min).forall { b64 =>
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          keys.exists {
+            case l: Long =>
+              graft.functions.BloomAgg.mayContain(bytes, l, spec.get.hashes)
+            case s: String =>
+              graft.functions.BloomAgg.mayContain(bytes, s, spec.get.hashes)
+            case other => throw new IllegalArgumentException(
+              s"bloom lookup keys must be Long or String, got $other")
+          }
+        } => path
+    }
+    (kept, lines.size)
+  }
+
+  /** Point-lookup read: bloom-prune files, scan survivors, apply the
+    * real IN predicate (pruning is planning-only — false positives
+    * cost IO, never correctness).
+    */
+  def readLookup(spark: SparkSession, dir: String, colName: String,
+                 keys: Seq[Any]): DataFrame = {
+    val (kept, _) = lookupPlan(spark, dir, colName, keys)
+    val p = Snapshot.pin(spark, dir)
+    val sch = spark.read.parquet(s"$dir/${p.files.head}").schema
+    val base =
+      if (kept.isEmpty) spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+      else spark.read.schema(sch).parquet(kept.map(f => s"$dir/$f"): _*)
+    base.filter(col(colName).isin(keys: _*))
+  }
+
+  /** Gate query: a 24-key point lookup (`event_id` stride samples)
+    * through the bloom-pruned read over the shared fixture — blooms
+    * prune the files whose id ranges can't hold the keys (the fixture
+    * appends are event-time batches, so most files drop;
+    * spec-asserted via [[lookupPlan]]); the hash gate proves bloom
+    * pruning never drops a matching row (the oracle is the plain
+    * relational IN over `events`).
+    */
+  def snapshotPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = skippingFixture(spark, dir)
+    val maxE = Tables.events(spark, dir).agg(max("event_id")).head().getLong(0)
+    val keys: Seq[Any] = (0 until 24).map(i => maxE / 29 * i + 7)
+    readLookup(spark, tmp, "event_id", keys)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("date").cast("string").as("date"))
+      .orderBy("event_id")
   }
 
   def readSkipping(spark: SparkSession, dir: String, colName: String,

@@ -138,6 +138,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(nativeEdge == sqlEdge, s"$nativeEdge vs $sqlEdge")
   }
 
+  test("bloom_agg: no false negatives ever, false positives rare at " +
+       "10 bits/key, grouped build keys independent filters") {
+    import spark.implicits._
+    val n = 2000
+    val rows = (0 until n).map(i => (i.toLong % 4, i.toLong * 37 + 5))
+    val blooms = rows.toDF("g", "k")
+      .groupBy("g").agg(bloom_agg(col("k"), 8192, 5).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(blooms.size == 4)
+    // every inserted key may-contains in ITS group's filter
+    rows.foreach { case (g, k) =>
+      assert(BloomAgg.mayContain(blooms(g), k, 5), s"false negative $k")
+    }
+    // absent keys: false-positive rate stays near the analytic bound
+    // (~(1-e^{-kn/m})^k ≈ 0.9% at n=500/group, m=8192, k=5)
+    val fp = (0 until 5000).map(i => i.toLong * 37 + 6)
+      .count(k => BloomAgg.mayContain(blooms(0L), k, 5))
+    assert(fp < 250, s"$fp false positives of 5000")
+    // string keys route through fnv64 identically on both sides
+    val sb = Seq("alpha", "beta", "gamma").toDF("s")
+      .agg(bloom_agg(col("s"), 4096, 4)).head().getAs[Array[Byte]](0)
+    assert(BloomAgg.mayContain(sb, "alpha", 4))
+    assert(BloomAgg.mayContain(sb, "beta", 4))
+    assert(!BloomAgg.mayContain(sb, "delta-not-present-key", 4))
+  }
+
   test("expressions stay inside whole-stage codegen") {
     // a real file scan (LocalRelation would constant-fold away);
     // execute first so AQE finalises the plan, then look for the

@@ -1172,4 +1172,41 @@ class PipelineSpec extends SparkSpec {
     assert(img.getInt(2) == (bodyLen % 640 + 1 + Multimodal.WOff).toInt)
     assert(img.getInt(3) == (bodyLen * 7 % 480 + 1 + Multimodal.HOff).toInt)
   }
+
+  test("token_diversity: Simpson index 0 on a one-token doc, maximal " +
+       "on an all-distinct doc, ordered correctly between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),            // one token: gini = 0
+      (2L, "a b c d"),                        // all distinct: gini = 1 - 1/4
+      (3L, "a a b b"))                        // two tokens: gini = 1 - 1/2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDiversityOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == (0L, 1000000L))         // eff vocab = 1
+    assert(got(2L) == (750000L, 4000000L))    // eff vocab = 4
+    assert(got(3L) == (500000L, 2000000L))    // eff vocab = 2
+  }
+
+  test("dsir_weights: target-language documents score above the " +
+       "corpus-average ratio; the per-token weight separates domains") {
+    val w = Curation.dsirWeights(spark, sf01)
+    val byLang = w.groupBy("lang")
+      .agg(avg("w_per_tok_micro").as("avg_w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the en slice IS the target: its average smoothed likelihood
+    // ratio must exceed every other language's, and sit above 1.0
+    // (a target doc's tokens are by construction more target-like)
+    assert(byLang("en") > 1000000.0, s"en avg ${byLang("en")}")
+    byLang.filter(_._1 != "en").foreach { case (l, a) =>
+      assert(byLang("en") > a, s"en ${byLang("en")} !> $l $a")
+    }
+    // selection flag consistent with its definition
+    val bad = w.filter(
+      (col("target_like") === 1L && col("w_per_tok_micro") < 1000000L) ||
+      (col("target_like") === 0L && col("w_per_tok_micro") >= 1000000L))
+      .count()
+    assert(bad == 0L)
+  }
 }

@@ -673,6 +673,67 @@ class SnapshotSpec extends SparkSpec {
       ids(Snapshot.read(spark, dir).filter(col("user_id") <= m / 5)))
   }
 
+  test("bloom point-lookup: bloomify records per-file filters, " +
+       "mutations maintain them bit-compatibly via the #bloomcols tag, " +
+       "and the lookup read prunes files without changing the answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapbloom")
+      .toString
+    val events = graft.Tables.events(spark, sf)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+    val m = events.agg(max("user_id")).head().getLong(0)
+    val bounds = Seq(0L, m / 4, m / 2, 3 * m / 4, m + 1)
+    def batch(i: Int) = events.filter(
+      col("user_id") >= bounds(i) && col("user_id") < bounds(i + 1))
+    (0 until 2).foreach { i =>
+      SnapshotOps.append(spark, dir, batch(i), "date", Some(s"b-$i"))
+    }
+    SnapshotStats.bloomify(spark, dir,
+      Seq(SnapshotStats.BloomSpec("event_id", 65536, 5)))
+    // batches 3 and 4 land AFTER bloomify — their filters must come
+    // from the mutation maintenance path (the #bloomcols tag), built
+    // with the SAME (bits, hashes) so driver probes stay compatible
+    (2 until 4).foreach { i =>
+      SnapshotOps.append(spark, dir, batch(i), "date", Some(s"b-$i"))
+    }
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def allLines() = Snapshot.linesOf(fs, root,
+      Snapshot.currentVersion(fs, root).get)
+    def assertAllHaveBlooms(when: String): Unit = allLines().foreach { l =>
+      val (p, st) = SnapshotStats.parseLine(l)
+      assert(st.get("event_id#bloom").exists(_.min.exists(_.nonEmpty)),
+        s"no event_id bloom on $p $when")
+    }
+    assertAllHaveBlooms("after bloomify + maintained appends")
+    // present keys drawn from the MAINTAINED batches (proves the
+    // post-bloomify filters actually index their rows)
+    val present = batch(3).select("event_id").limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    val maxE = events.agg(max("event_id")).head().getLong(0)
+    val absent = (1 to 8).map(i => maxE + 1000L + i)
+    val keys: Seq[Any] = present ++ absent
+    val (kept, total) = SnapshotStats.lookupPlan(spark, dir,
+      "event_id", keys)
+    assert(kept.nonEmpty && kept.size < total,
+      s"bloom plan kept ${kept.size} of $total files")
+    def ids(df: DataFrame): Set[Long] =
+      df.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids(SnapshotStats.readLookup(spark, dir, "event_id", keys)) ==
+      present.toSet)
+    // all-absent keys: the read is empty (false positives may keep a
+    // file — they can never surface a row)
+    assert(SnapshotStats.readLookup(spark, dir, "event_id",
+      absent).isEmpty)
+    // COW delete rewrites hit files: rewritten files get FRESH blooms
+    // (maintenance), untouched files carry theirs forward
+    SnapshotOps.delete(spark, dir,
+      events.filter(col("event_id") === present.head).select("event_id"),
+      "event_id")
+    assertAllHaveBlooms("after a COW delete")
+    assert(ids(SnapshotStats.readLookup(spark, dir, "event_id", keys)) ==
+      present.toSet - present.head)
+  }
+
   test("metadata-only aggregates come from the manifest alone: exact " +
        "per-partition count/min/max, proven zero-data-IO by corrupting " +
        "every data file, and loud on a table without row counts") {
