@@ -445,6 +445,28 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM chg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
+    // the change feed consumed as a STREAM (the batch poll loop's
+    // Structured Streaming sibling): partitioned file source over the
+    // follower's version= delta dirs, streaming rollup, AvailableNow
+    // drain — hash-gated against the SAME oracle as the batch follow,
+    // so the two consumption paths can never drift apart silently
+    ("snapshot_cdc_stream",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.snapshotCdcStream(s, d),
+      Some("WITH e AS (SELECT event_id, CAST(ts AS DATE) AS date, " +
+        "user_id FROM events), " +
+        "chg AS (SELECT 2 AS version, 'remove' AS op, event_id, date FROM e " +
+        "WHERE user_id % 89 = 5 AND day(date) <= 7 " +
+        "UNION ALL SELECT 2 AS version, 'add' AS op, event_id, date FROM e " +
+        "WHERE user_id % 89 = 5 AND day(date) <= 7 " +
+        "UNION ALL SELECT 2 AS version, 'add' AS op, event_id + 1000000000 AS event_id, date FROM e " +
+        "WHERE user_id % 89 = 7 AND day(date) <= 7 " +
+        "UNION ALL SELECT 3 AS version, 'remove' AS op, event_id, date FROM e " +
+        "WHERE user_id % 97 = 3) " +
+        "SELECT version, op, CAST(date AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM chg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
     // continuous ingestion INTO the snapshot table: each micro-batch
     // is one append commit (new files only, live data never
     // rewritten) keyed by batch id for replay idempotence; the oracle
@@ -1523,6 +1545,14 @@ object SparkEntry {
     ("quality_gopher",
       (s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d),
       Some(gopherOracleSql)),
+    // the GPT-3-style model-based quality filter: hashed
+    // bag-of-tokens + distributed logistic regression, trained
+    // target-slice-vs-rest on a deterministic hash split, applied to
+    // every doc. L-BFGS coefficients aren't oracle-expressible →
+    // rows-only; CurationSpec pins held-out accuracy + row identity
+    ("quality_classifier",
+      (s: SparkSession, d: String) => Curation.qualityClassifier(s, d),
+      None),
     // the same rule verdicts at the ingest boundary: batch and stream
     // share one expression tree (TextAnalysis.gopherRulesOf) and ONE
     // oracle
@@ -2223,7 +2253,8 @@ object SparkEntry {
   val fixtureBacked: Set[String] = Set(
     "snapshot_upsert", "snapshot_time_travel", "snapshot_changes",
     "snapshot_compact", "snapshot_ingest_stream",
-    "snapshot_changes_follow", "corpus_nightly_build",
+    "snapshot_changes_follow", "snapshot_cdc_stream",
+    "corpus_nightly_build", "quality_classifier",
     "snapshot_skipping", "snapshot_cluster", "snapshot_agg_pushdown",
     "snapshot_point_lookup",
     "dedup_clusters", "dedup_keep", "split_assign",

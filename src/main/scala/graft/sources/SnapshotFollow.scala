@@ -134,7 +134,7 @@ object SnapshotFollow {
   private val fixtureCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  private def followFixture(spark: SparkSession, dir: String): String =
+  private[graft] def followFixture(spark: SparkSession, dir: String): String =
     fixtureCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir), {
         val appId = spark.sparkContext.applicationId

