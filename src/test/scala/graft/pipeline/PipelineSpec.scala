@@ -1187,6 +1187,11 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L) == (0L, 1000000L))         // eff vocab = 1
     assert(got(2L) == (750000L, 4000000L))    // eff vocab = 4
     assert(got(3L) == (500000L, 2000000L))    // eff vocab = 2
+    // plan shape: a pure aggregation chain — no join anywhere (the
+    // scale argument: linear in corpus tokens, two partial-merged aggs)
+    val plan = TextAnalysis.tokenDiversity(spark, sf01)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan)
   }
 
   test("dsir_weights: target-language documents score above the " +
@@ -1208,5 +1213,9 @@ class PipelineSpec extends SparkSpec {
       (col("target_like") === 0L && col("w_per_tok_micro") >= 1000000L))
       .count()
     assert(bad == 0L)
+    // plan shape: exactly ONE join (doc-term tf ⋈ term ratios — the
+    // inverted-index width), never a cartesian of documents
+    val plan = w.queryExecution.optimizedPlan.toString
+    assert(plan.split("Join", -1).length - 1 == 1, plan)
   }
 }
