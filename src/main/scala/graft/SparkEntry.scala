@@ -445,6 +445,26 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM chg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
+    // write–audit–publish: the nightly-build staging workflow —
+    // stage = ordinary commit carrying a #wap tag main readers skip,
+    // audit = real queries on the staged read, publish/reject =
+    // metadata-only commits; the gate runs the full lifecycle (bad
+    // wave rejected, good wave published) and hashes the published
+    // state against an oracle that never saw the bad wave — rejected
+    // rows provably never surfaced
+    ("snapshot_wap",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotWap.snapshotWap(s, d),
+      Some("WITH e AS (SELECT event_id, CAST(ts AS DATE) AS date, " +
+        "user_id, event_type FROM events), " +
+        "pub AS (SELECT event_type, date, event_id FROM e " +
+        "UNION ALL SELECT 'appended' AS event_type, date, " +
+        "event_id + 3000000000 AS event_id FROM e " +
+        "WHERE user_id % 103 = 13) " +
+        "SELECT event_type, CAST(date AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM pub GROUP BY 1, 2 ORDER BY 1, 2")),
     // the change feed consumed as a STREAM (the batch poll loop's
     // Structured Streaming sibling): partitioned file source over the
     // follower's version= delta dirs, streaming rollup, AvailableNow
@@ -2253,7 +2273,7 @@ object SparkEntry {
   val fixtureBacked: Set[String] = Set(
     "snapshot_upsert", "snapshot_time_travel", "snapshot_changes",
     "snapshot_compact", "snapshot_ingest_stream",
-    "snapshot_changes_follow", "snapshot_cdc_stream",
+    "snapshot_changes_follow", "snapshot_cdc_stream", "snapshot_wap",
     "corpus_nightly_build", "quality_classifier",
     "snapshot_skipping", "snapshot_cluster", "snapshot_agg_pushdown",
     "snapshot_point_lookup",

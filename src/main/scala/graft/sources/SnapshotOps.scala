@@ -441,12 +441,16 @@ object SnapshotOps {
     */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              partCol: String,
-             idempotencyKey: Option[String] = None): MutationStats =
-    retryConflicts(3) { attemptAppend(spark, dir, batch, partCol, idempotencyKey) }
+             idempotencyKey: Option[String] = None,
+             extraTags: Seq[String] = Nil): MutationStats =
+    retryConflicts(3) {
+      attemptAppend(spark, dir, batch, partCol, idempotencyKey, extraTags)
+    }
 
   private def attemptAppend(spark: SparkSession, dir: String,
                             batch: DataFrame, partCol: String,
-                            idempotencyKey: Option[String]): MutationStats = {
+                            idempotencyKey: Option[String],
+                            extraTags: Seq[String]): MutationStats = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     Snapshot.recoverMeta(fs, root)
@@ -479,8 +483,8 @@ object SnapshotOps {
     beforeCommit()
     val newTag = idempotencyKey.map(k => mkTag(newVersion, k))
     val v = Snapshot.commit(fs, root, p.files ++ newFiles, p.version,
-      expireTags(tags, newVersion) ++ newTag, baseFiles = Some(p.files),
-      stats = newStats)
+      expireTags(tags, newVersion) ++ newTag ++ extraTags,
+      baseFiles = Some(p.files), stats = newStats)
     Snapshot.vacuum(fs, root)
     MutationStats(v, tagged.map(_._1), 0L, newFiles.size.toLong)
   }

@@ -734,6 +734,57 @@ class SnapshotSpec extends SparkSpec {
       present.toSet - present.head)
   }
 
+  test("write-audit-publish: staged commits are invisible to published " +
+       "readers, publish reuses the staged files verbatim, reject " +
+       "reverts and leaves a time-travel post-mortem window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapwap")
+      .toString
+    val events = graft.Tables.events(spark, sf)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+    SnapshotOps.append(spark, dir, events, "date", Some("wap-spec-base"))
+    val base = events.count()
+    def pubIds(): Set[Long] = SnapshotWap.readPublished(spark, dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val baseIds = pubIds()
+    assert(baseIds.size == base)
+
+    val bad = events.filter(col("event_id") < 50)
+      .withColumn("event_id", col("event_id") + lit(7000000L))
+    val stagedV = SnapshotWap.stage(spark, dir, bad, "date", "w1")
+    // the staged state is a real commit (current readers see it)…
+    assert(Snapshot.read(spark, dir).count() == base + bad.count())
+    // …but published readers do not
+    assert(pubIds() == baseIds)
+    // finalizing someone else's stage fails loudly
+    intercept[IllegalArgumentException] {
+      SnapshotWap.publish(spark, dir, "not-w1")
+    }
+    SnapshotWap.reject(spark, dir, "w1")
+    assert(pubIds() == baseIds)
+    assert(Snapshot.read(spark, dir).count() == base)
+    // post-mortem: the rejected stage stays time-travel-readable
+    // inside the retention window
+    assert(Snapshot.readAt(spark, dir, stagedV).count() == base + bad.count())
+    // rejecting twice fails loudly (current is no longer staged)
+    intercept[IllegalArgumentException] {
+      SnapshotWap.reject(spark, dir, "w1")
+    }
+
+    val good = events.filter(col("event_id") < 30)
+      .withColumn("event_id", col("event_id") + lit(8000000L))
+    val goodV = SnapshotWap.stage(spark, dir, good, "date", "w2")
+    assert(pubIds() == baseIds)
+    val pubV = SnapshotWap.publish(spark, dir, "w2")
+    // publish is metadata-only: the published manifest references the
+    // staged files VERBATIM (no rewrite, no new data files)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(Snapshot.filesOf(fs, root, pubV).toSet ==
+      Snapshot.filesOf(fs, root, goodV).toSet)
+    assert(pubIds() == baseIds ++
+      good.select("event_id").collect().map(_.getLong(0)))
+  }
+
   test("metadata-only aggregates come from the manifest alone: exact " +
        "per-partition count/min/max, proven zero-data-IO by corrupting " +
        "every data file, and loud on a table without row counts") {
