@@ -542,8 +542,8 @@ object SparkEntry {
       Some("SELECT event_id, user_id, event_type, " +
         "CAST(CAST(ts AS DATE) AS VARCHAR) AS date " +
         "FROM events WHERE event_id IN (" +
-        "SELECT (SELECT max(event_id) FROM events) // 29 * i + 7 " +
-        "FROM generate_series(0, 23) AS t(i)) " +
+        "SELECT min(event_id) FROM events GROUP BY event_id // " +
+        "((SELECT max(event_id) FROM events) // 24 + 1)) " +
         "ORDER BY event_id")),
     // metadata-only aggregates: the per-day corpus census (count,
     // min, max) answered from the MANIFEST stats alone — zero data

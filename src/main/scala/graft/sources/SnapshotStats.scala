@@ -560,8 +560,16 @@ object SnapshotStats {
     */
   def snapshotPointLookup(spark: SparkSession, dir: String): DataFrame = {
     val tmp = skippingFixture(spark, dir)
-    val maxE = Tables.events(spark, dir).agg(max("event_id")).head().getLong(0)
-    val keys: Seq[Any] = (0 until 24).map(i => maxE / 29 * i + 7)
+    // 24 keys GUARANTEED to exist at any id density: the smallest
+    // event_id of each of 24 equal-width id buckets (one tiny
+    // column-pruned agg; the oracle derives the identical set)
+    val events = Tables.events(spark, dir)
+    val maxE = events.agg(max("event_id")).head().getLong(0)
+    val step = maxE / 24 + 1
+    val keys: Seq[Any] = events
+      .groupBy(expr(s"event_id div ${step}L"))
+      .agg(min("event_id").as("k"))
+      .collect().map(_.getLong(1)).toSeq.sorted
     readLookup(spark, tmp, "event_id", keys)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("date").cast("string").as("date"))
