@@ -554,7 +554,8 @@ object SparkEntry {
     ("snapshot_agg_pushdown",
       (s: SparkSession, d: String) =>
         graft.sources.SnapshotStats.snapshotAggPushdown(s, d),
-      Some("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, " +
+      Some("SELECT strftime(CAST(ts AS DATE), '%Y-%m') || '-w' || " +
+        "CAST((day(CAST(ts AS DATE)) - 1) // 7 AS VARCHAR) AS wk, " +
         "CAST(count(*) AS BIGINT) AS n, " +
         "CAST(min(user_id) AS BIGINT) AS min_user_id, " +
         "CAST(max(user_id) AS BIGINT) AS max_user_id " +

@@ -147,11 +147,16 @@ object SnapshotFollow {
           .getFileSystem(spark.sessionState.newHadoopConf())
         fs.delete(new Path(out), true)
 
+        // month-partitioned: the follow loop reads manifest diffs,
+        // which are orthogonal to partition count — the 30-dir day
+        // layout only multiplied staging/stats tasks (date stays a
+        // content column; the gate rollup uses it unchanged)
         val events = Tables.events(spark, dir)
           .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
-        events.repartition(col("date"))
-          .write.mode("overwrite").partitionBy("date").parquet(tmp)
-        Snapshot.convert(spark, tmp, "date")
+          .withColumn("ym", date_format(col("date"), "yyyy-MM"))
+        events.repartition(col("ym"))
+          .write.mode("overwrite").partitionBy("ym").parquet(tmp)
+        Snapshot.convert(spark, tmp, "ym")
         followChanges(spark, tmp, cursor, out) // bootstrap: 0 pending
 
         val inWindow = dayofmonth(col("date")) <= 7
@@ -163,7 +168,7 @@ object SnapshotFollow {
           .withColumn("event_id", col("event_id") + lit(1000000000L))
           .withColumn("event_type", lit("inserted"))
         SnapshotOps.upsert(spark, tmp,
-          updates.unionByName(inserts), "event_id", "date")
+          updates.unionByName(inserts), "event_id", "ym")
         followChanges(spark, tmp, cursor, out) // emits 1→2
 
         val doomed = events

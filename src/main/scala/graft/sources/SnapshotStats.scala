@@ -314,6 +314,16 @@ object SnapshotStats {
     * `#statscols=` tag driving append's churn-sized stats job), not
     * from statsify. Memoized per (session, input dir); the final row
     * set is exactly `events` once, so the oracle stays relational.
+    *
+    * Partitioned by WEEK bucket, not day: file-level skipping is
+    * orthogonal to partition count, and the 30-dir day layout made
+    * every append and stats job pay ~30 tiny tasks — the fixture
+    * build was eating the bench warmup window. ~5 week dirs keep the
+    * metadata census gate multi-row while cutting the build ~6×
+    * (`date` stays a CONTENT column; the other gates group and
+    * filter on it unchanged). The bucket arithmetic
+    * (`(day-1) div 7`) is engine-portable — no locale-dependent week
+    * numbering.
     */
   private def skippingFixture(spark: SparkSession, dir: String): String =
     skipFixtureCache.getOrElseUpdate(
@@ -325,12 +335,14 @@ object SnapshotStats {
           .delete(root, true)
         val events = Tables.events(spark, dir)
           .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+          .withColumn("wk", expr("concat(date_format(date, 'yyyy-MM'), " +
+            "'-w', cast((day(date) - 1) div 7 as string))"))
         val m = events.agg(max("user_id")).head().getLong(0)
         val bounds = Seq(0L, m / 4, m / 2, 3 * m / 4, m + 1)
         def batch(i: Int) = events.filter(
           col("user_id") >= bounds(i) && col("user_id") < bounds(i + 1))
         (0 until 3).foreach { i =>
-          SnapshotOps.append(spark, tmp, batch(i), "date",
+          SnapshotOps.append(spark, tmp, batch(i), "wk",
             Some(s"skipseed-$i"))
         }
         statsify(spark, tmp, Seq("user_id"))
@@ -343,7 +355,7 @@ object SnapshotStats {
         val bits = math.max(65536L,
           java.lang.Long.highestOneBit(n / 8)).toInt
         bloomify(spark, tmp, Seq(BloomSpec("event_id", bits, 5)))
-        SnapshotOps.append(spark, tmp, batch(3), "date", Some("skipseed-3"))
+        SnapshotOps.append(spark, tmp, batch(3), "wk", Some("skipseed-3"))
         tmp
       })
 
@@ -430,7 +442,7 @@ object SnapshotStats {
       new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
   }
 
-  /** Gate query: the per-day corpus census (`count, min, max`)
+  /** Gate query: the per-week corpus census (`count, min, max`)
     * answered entirely from the manifest of the statsified fixture —
     * the spec proves zero data IO by corrupting every data file and
     * re-running; the hash gate proves the metadata numbers equal the
@@ -438,7 +450,7 @@ object SnapshotStats {
     */
   def snapshotAggPushdown(spark: SparkSession, dir: String): DataFrame = {
     val tmp = skippingFixture(spark, dir)
-    aggFromManifest(spark, tmp, Seq("user_id")).orderBy("date")
+    aggFromManifest(spark, tmp, Seq("user_id")).orderBy("wk")
   }
 
   private val clusterFixtureCache =
@@ -463,13 +475,14 @@ object SnapshotStats {
           .delete(root, true)
         val events = Tables.events(spark, dir)
           .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+          .withColumn("ym", date_format(col("date"), "yyyy-MM"))
         val mE = events.agg(max("event_id")).head().getLong(0)
         val eb = Seq(0L, mE / 4, mE / 2, 3 * mE / 4, mE + 1)
         (0 until 4).foreach { i =>
           SnapshotOps.append(spark, tmp,
             events.filter(col("event_id") >= eb(i) &&
               col("event_id") < eb(i + 1)),
-            "date", Some(s"clseed-$i"))
+            "ym", Some(s"clseed-$i"))
         }
         statsify(spark, tmp, Seq("user_id", "event_id"))
         SnapshotOps.cluster(spark, tmp, ("user_id", "event_id"))

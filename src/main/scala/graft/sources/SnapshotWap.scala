@@ -155,9 +155,13 @@ object SnapshotWap {
         val root = new Path(tmp)
         root.getFileSystem(spark.sessionState.newHadoopConf())
           .delete(root, true)
+        // month-partitioned: WAP exercises manifest machinery, which
+        // is orthogonal to partition count — the 30-dir day layout
+        // only multiplied staging/stats tasks (date stays in content)
         val events = Tables.events(spark, dir)
           .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
-        SnapshotOps.append(spark, tmp, events, "date", Some("wap-base"))
+          .withColumn("ym", date_format(col("date"), "yyyy-MM"))
+        SnapshotOps.append(spark, tmp, events, "ym", Some("wap-base"))
 
         def audit(): Boolean =
           Snapshot.read(spark, tmp)
@@ -168,7 +172,7 @@ object SnapshotWap {
           .filter(pmod(col("user_id"), lit(101)) === 11)
           .withColumn("event_id", col("event_id") + lit(2000000000L))
           .withColumn("event_type", lit("corrupt"))
-        stage(spark, tmp, bad, "date", "wave-bad")
+        stage(spark, tmp, bad, "ym", "wave-bad")
         require(!audit(), "audit failed to flag the bad wave")
         reject(spark, tmp, "wave-bad")
 
@@ -177,7 +181,7 @@ object SnapshotWap {
           .filter(pmod(col("user_id"), lit(103)) === 13)
           .withColumn("event_id", col("event_id") + lit(3000000000L))
           .withColumn("event_type", lit("appended"))
-        stage(spark, tmp, good, "date", "wave-good")
+        stage(spark, tmp, good, "ym", "wave-good")
         require(audit(), "audit rejected the good wave")
         publish(spark, tmp, "wave-good")
         tmp

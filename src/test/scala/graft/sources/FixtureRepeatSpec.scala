@@ -58,4 +58,27 @@ class FixtureRepeatSpec extends SparkSpec {
     thrice("corpus_nightly_build")(
       graft.pipeline.Curation.corpusNightlyBuild(spark, sf))
   }
+
+  test("snapshot_wap is invocation-stable (warm reads roll up the " +
+       "memoized published state)") {
+    thrice("snapshot_wap")(SnapshotWap.snapshotWap(spark, sf))
+  }
+
+  test("snapshot_point_lookup is invocation-stable (same derived keys, " +
+       "same bloom plan, same rows)") {
+    thrice("snapshot_point_lookup")(
+      SnapshotStats.snapshotPointLookup(spark, sf))
+  }
+
+  test("snapshot_cdc_stream is invocation-stable (each drain gets a " +
+       "fresh checkpoint over the same committed feed)") {
+    thrice("snapshot_cdc_stream")(
+      graft.streaming.StreamOps.snapshotCdcStream(spark, sf))
+  }
+
+  test("quality_classifier is invocation-stable (memoized model, " +
+       "deterministic scoring)") {
+    thrice("quality_classifier")(
+      graft.pipeline.Curation.qualityClassifier(spark, sf))
+  }
 }
