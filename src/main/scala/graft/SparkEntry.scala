@@ -445,6 +445,20 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM chg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
+    // RESTORE: roll the table back to a retained version as a NEW
+    // metadata-only commit (no data copied or deleted; the undone
+    // versions stay time-travel-readable until retention). Gate
+    // lifecycle: build → bad delete wave → restore; the oracle is the
+    // ORIGINAL table — a hash match proves the restore brought back
+    // every deleted row exactly
+    ("snapshot_restore",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotOps.snapshotRestore(s, d),
+      Some("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_uid " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
     // write–audit–publish: the nightly-build staging workflow —
     // stage = ordinary commit carrying a #wap tag main readers skip,
     // audit = real queries on the staged read, publish/reject =
@@ -2275,6 +2289,7 @@ object SparkEntry {
     "snapshot_upsert", "snapshot_time_travel", "snapshot_changes",
     "snapshot_compact", "snapshot_ingest_stream",
     "snapshot_changes_follow", "snapshot_cdc_stream", "snapshot_wap",
+    "snapshot_restore",
     "corpus_nightly_build", "quality_classifier",
     "snapshot_skipping", "snapshot_cluster", "snapshot_agg_pushdown",
     "snapshot_point_lookup",

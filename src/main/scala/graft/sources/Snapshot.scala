@@ -269,7 +269,8 @@ object Snapshot {
   def commit(fs: FileSystem, root: Path, files: Seq[String],
              base: Long, tags: Seq[String] = Nil,
              baseFiles: Option[Seq[String]] = None,
-             stats: Map[String, String] = Map.empty): Long = {
+             stats: Map[String, String] = Map.empty,
+             refsFrom: Option[Long] = None): Long = {
     val v = base + 1
     val meta = metaPath(root)
     fs.mkdirs(meta)
@@ -277,9 +278,16 @@ object Snapshot {
     fs.mkdirs(sdir)
     val baseByPart: Map[String, Seq[String]] =
       baseFiles.map(groupByPart(_).toMap).getOrElse(Map.empty)
+    // refsFrom: which committed version's shard pointers carry-forward
+    // resolves against — `base` (the default, every in-place mutation)
+    // or an EARLIER version whose exact file set is being re-committed
+    // (RESTORE: baseFiles must describe the same version the shards
+    // belong to, or partitions rewritten since would silently reuse
+    // the WRONG shard)
+    val refsV = refsFrom.getOrElse(base)
     val baseRefs: Map[String, String] =
-      if (baseFiles.isDefined && base > 0)
-        shardRefsOf(fs, root, base).toMap
+      if (baseFiles.isDefined && refsV > 0)
+        shardRefsOf(fs, root, refsV).toMap
       else Map.empty
     val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val refLines = groupByPart(files).map { case (part, fls) =>

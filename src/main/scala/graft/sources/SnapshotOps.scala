@@ -421,6 +421,84 @@ object SnapshotOps {
     MutationStats(v, affected, p.files.size.toLong, newFiles.size.toLong)
   }
 
+  /** RESTORE — roll the table back to a retained earlier version as
+    * a NEW commit (Delta `RESTORE` / Iceberg rollback): the new
+    * manifest references the target version's files verbatim, so the
+    * operation is METADATA-ONLY — no data is copied, rewritten or
+    * deleted, and history stays intact (the undone versions remain
+    * time-travel-readable until vacuum retention reaps them, so a
+    * restore is itself restorable). The target must still be retained
+    * — [[Snapshot.pinAt]] fails loudly past retention, never serving
+    * a partially-reaped file set. A restore to the CURRENT file set
+    * is a no-op (no empty commit), which also makes warm gate
+    * invocations stable. Tags are taken from the target version
+    * (stats/bloom maintenance columns travel with the state being
+    * restored); conflict-checked like every commit.
+    */
+  def restore(spark: SparkSession, dir: String, version: Long): Long =
+    retryConflicts(3) {
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      Snapshot.recoverMeta(fs, root)
+      val target = Snapshot.pinAt(spark, dir, version)
+      val p = Snapshot.pin(spark, dir)
+      if (p.files == target.files) MutationStats(p.version, Nil, 0L, 0L)
+      else {
+        // shard pointers carry from the TARGET version (its file
+        // lists are what we re-commit — stats travel with them)
+        val v = Snapshot.commit(fs, root, target.files, p.version,
+          Snapshot.tagsOf(fs, root, target.version),
+          baseFiles = Some(target.files),
+          refsFrom = Some(target.version))
+        Snapshot.vacuum(fs, root)
+        MutationStats(v, Nil, 0L, 0L)
+      }
+    }.version
+
+  /** Gate fixture + query: build (v1) → a compliance-style delete
+    * wave lands (v2, drops `user_id % 7 = 3`) → operator realizes the
+    * wave was wrong and RESTOREs v1 (v3, metadata-only) — then the
+    * rollup of the restored table. The oracle is the plain relational
+    * rollup of the ORIGINAL events: a hash match proves the restore
+    * brought back every deleted row exactly and the delete left no
+    * residue. The lifecycle is memoized per (session, input dir) —
+    * the restore target leaves retention once the restore commits, so
+    * warm invocations price the consumer read of the restored state
+    * (re-issuing a restore whose target is vacuumed fails loudly by
+    * design — that contract is SnapshotSpec's to pin).
+    */
+  def snapshotRestore(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = restoreFixture(spark, dir)
+    Snapshot.read(spark, tmp)
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"),
+        sum("user_id").as("sum_uid"))
+      .orderBy("date")
+  }
+
+  private val restoreCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def restoreFixture(spark: SparkSession, dir: String): String =
+    restoreCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        val tmp = TmpDir.scoped("snaprestore",
+          spark.sparkContext.applicationId, dir)
+        val root = new Path(tmp)
+        root.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(root, true)
+        val events = Tables.events(spark, dir)
+          .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+          .withColumn("ym", date_format(col("date"), "yyyy-MM"))
+        val v1 = append(spark, tmp, events, "ym", Some("restore-base"))
+          .version
+        delete(spark, tmp,
+          events.filter(pmod(col("user_id"), lit(7)) === 3)
+            .select("event_id"), "event_id")
+        restore(spark, tmp, v1)
+        tmp
+      })
+
   /** Append-only ingest commit — the primitive continuous ingestion
     * needs: the batch's partitions stage as NEW files (no key
     * pruning, no rewrites, live files untouched — O(batch) work

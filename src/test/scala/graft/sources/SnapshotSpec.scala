@@ -734,6 +734,39 @@ class SnapshotSpec extends SparkSpec {
       present.toSet - present.head)
   }
 
+  test("restore rolls back to a retained version metadata-only: files " +
+       "referenced verbatim, history intact, no-op on identity, loud " +
+       "past retention") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snaprestore")
+      .toString
+    val events = graft.Tables.events(spark, sf)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+    val v1 = SnapshotOps.append(spark, dir, events, "date",
+      Some("restore-spec")).version
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v1Files = Snapshot.filesOf(fs, root, v1).toSet
+    def ids(): Set[Long] = Snapshot.read(spark, dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val baseIds = ids()
+    SnapshotOps.delete(spark, dir,
+      events.filter(col("event_id") < 100).select("event_id"), "event_id")
+    assert(ids() != baseIds)
+    val v3 = SnapshotOps.restore(spark, dir, v1)
+    // the restored table IS v1 — same rows, same FILES (metadata-only)
+    assert(ids() == baseIds)
+    assert(Snapshot.filesOf(fs, root, v3).toSet == v1Files)
+    // the undone delete version stays time-travel-readable (history
+    // intact — a restore is itself restorable)
+    assert(Snapshot.readAt(spark, dir, v3 - 1).count() < baseIds.size)
+    // restoring to the current file set is a no-op, not an empty commit
+    assert(SnapshotOps.restore(spark, dir, v3) == v3)
+    // a vacuumed target fails loudly, never a partial file set
+    intercept[IllegalArgumentException] {
+      SnapshotOps.restore(spark, dir, v1)
+    }
+  }
+
   test("write-audit-publish: staged commits are invisible to published " +
        "readers, publish reuses the staged files verbatim, reject " +
        "reverts and leaves a time-travel post-mortem window") {
