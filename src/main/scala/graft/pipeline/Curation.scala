@@ -752,15 +752,24 @@ object Curation {
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
     val feat = classifierInputs(spark, dir)
-    // the trained model is a session-memoized ARTIFACT (like the IVF
-    // index or the BPE merges): warm invocations price SCORING — the
-    // pure-map pass a new ingest batch pays — not teacher + L-BFGS
+    // the trained model is a persisted ARTIFACT (the BPE/IVF-index
+    // discipline): the first invocation trains, SAVES the model to
+    // disk and scores with the LOADED copy — so the artifact
+    // round-trip (what a production pipeline ships between the
+    // training run and every later scoring run) is load-bearing in
+    // the gate, not a dead code path. Warm invocations price SCORING
+    // — the pure-map pass a new ingest batch pays — never
+    // teacher + L-BFGS.
     val model = classifierCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir), {
-        import org.apache.spark.ml.classification.LogisticRegression
+        import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+        val path = graft.sources.TmpDir.scoped("qclsmodel",
+          spark.sparkContext.applicationId, dir)
         new LogisticRegression()
           .setMaxIter(100).setRegParam(1e-3).setStandardization(false)
           .fit(feat.filter(col("is_train") === 1L))
+          .write.overwrite().save(path)
+        LogisticRegressionModel.load(path)
       })
     model.transform(feat)
       .select(col("doc_id"),
