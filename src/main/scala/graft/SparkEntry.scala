@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.Analytics
 import graft.logs.{Enrich, LogFilter, LogView, Shaping, TimeParse}
-import graft.pipeline.{Ann, Bpe, Curation, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Ann, Bpe, Curation, Dedup, Gate, Multimodal, TextAnalysis}
 import graft.streaming.Follow
 
 /** Driver contract: one `queries` entry (+ DuckDB `oracleSql` where
@@ -1329,9 +1329,29 @@ object SparkEntry {
         graft.streaming.StreamOps.dedupExactStream(s, d),
       Some(s"SELECT DISTINCT md5($normSql) AS content_hash " +
         "FROM documents ORDER BY content_hash")),
-    // Spark-hash-based LSH → rows-only (recall vs exact checked in tests)
-    ("dedup_minhash", (s: SparkSession, d: String) => Dedup.minhashPairs(s, d), None),
-    ("dedup_simhash", (s: SparkSession, d: String) => Dedup.simhashPairs(s, d), None),
+    // Spark-hash LSH band keys persisted at the fixed gate path → the
+    // oracle re-derives the pair set with a band-bucket self-join over
+    // the SAME parquet keys (persisted-intermediate discipline; the
+    // hashes stay engine-specific, the search is hash-exact)
+    ("dedup_minhash",
+      (s: SparkSession, d: String) => Dedup.minhashPairsGate(s, d),
+      Some("WITH gk AS (SELECT doc_id, band, bh FROM " +
+        s"read_parquet('${Gate.path("dedup_minhash")}/keys/*.parquet')) " +
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM gk a JOIN gk b ON a.band = b.band AND a.bh = b.bh " +
+        "AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b")),
+    // the pair set is EXACTLY hamming<=3 over the persisted 64-bit
+    // signatures — the oracle brute-forces bit_count(xor(...)) over
+    // the same parquet (fine at oracle scale; the Spark plan stays
+    // the multi-index bucketed search)
+    ("dedup_simhash",
+      (s: SparkSession, d: String) => Dedup.simhashPairsGate(s, d),
+      Some("WITH gs AS (SELECT doc_id, sig FROM " +
+        s"read_parquet('${Gate.path("dedup_simhash")}/sigs/*.parquet')) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming " +
+        "FROM gs a JOIN gs b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY doc_a, doc_b")),
     // GATE SLICE: the calibration oracle's join is quadratic by
     // design, so the gate (and bench) run it on a deterministic md5
     // half-slice of the corpus — same predicate on both engines, ~4x
@@ -1473,9 +1493,19 @@ object SparkEntry {
         "SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep, " +
         "CAST(CASE WHEN min(b) = a THEN 1 ELSE 0 END AS INTEGER) AS keep " +
         "FROM r GROUP BY 1 ORDER BY 1")),
+    // CDC rolling-hash chunks persisted at the fixed gate path → the
+    // oracle re-derives the df guard, the inverted-index pair join and
+    // the minShared threshold from the same parquet keys
     ("dedup_cdc",
-      (s: SparkSession, d: String) => Dedup.cdcPairs(s, d, minShared = 1),
-      None),
+      (s: SparkSession, d: String) => Dedup.cdcPairsGate(s, d, minShared = 1),
+      Some("WITH ck AS (SELECT doc_id, chunk FROM " +
+        s"read_parquet('${Gate.path("dedup_cdc")}/chunks/*.parquet')), " +
+        "rare AS (SELECT chunk FROM ck GROUP BY chunk HAVING count(*) <= 1000), " +
+        "k AS (SELECT ck.doc_id, ck.chunk FROM ck JOIN rare USING (chunk)) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM k a JOIN k b ON a.chunk = b.chunk AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY doc_a, doc_b")),
     ("dedup_embedding",
       (s: SparkSession, d: String) => Dedup.embeddingPairs(s, d, threshold = 0.45),
       Some("WITH " + embeddingPairsCteBody +
@@ -2171,11 +2201,19 @@ object SparkEntry {
         "string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id) AS drop_docs " +
         "FROM g JOIN p ON p.h = g.h AND p.doc_id <> g.k " +
         "GROUP BY 1, 2, 3 ORDER BY payload_hash")),
-    // blockhash-style near-dup: signature layout is engine-specific →
-    // rows-only; MultimodalDedupSpec gates exactness vs brute force
+    // blockhash near-dup, hash-gated by the same persisted-signatures
+    // discipline as dedup_simhash: the pair set is exactly hamming<=3
+    // over the persisted 64-bit values, re-derived by the oracle with
+    // bit_count(xor(...)); MultimodalDedupSpec still gates the
+    // bucketed search vs brute force
     ("mm_dedup_near",
-      (s: SparkSession, d: String) => Multimodal.mmDedupNear(s, d),
-      None))
+      (s: SparkSession, d: String) => Multimodal.mmDedupNearGate(s, d),
+      Some("WITH gs AS (SELECT doc_id, sig FROM " +
+        s"read_parquet('${Gate.path("mm_dedup_near")}/sigs/*.parquet')) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming " +
+        "FROM gs a JOIN gs b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY doc_a, doc_b")))
 
   // ---- §2E subword (BPE) tokenization ----
 

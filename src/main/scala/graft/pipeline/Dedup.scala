@@ -44,7 +44,16 @@ object Dedup {
     * bounded by bucket collisions, never O(n²).
     */
   def minhashPairs(spark: SparkSession, dir: String,
-                   numPerm: Int = 32, bands: Int = 4): DataFrame = {
+                   numPerm: Int = 32, bands: Int = 4): DataFrame =
+    pairsFromBandKeys(minhashBandKeys(spark, dir, numPerm, bands))
+
+  /** The exploded (doc_id, band, bh) LSH key relation behind
+    * [[minhashPairs]] — also the gate artifact: persisted, it lets the
+    * oracle re-derive the pair set with a plain band-bucket self-join
+    * over the same parquet keys.
+    */
+  private def minhashBandKeys(spark: SparkSession, dir: String,
+                              numPerm: Int, bands: Int): DataFrame = {
     val rows = numPerm / bands
     val withSig = normed(spark, dir)
       .select(col("doc_id"),
@@ -54,9 +63,12 @@ object Dedup {
         .map(r => s"sig[${b * rows + r}]").mkString(", ")
       struct(lit(b).as("band"), expr(s"xxhash64($slice)").as("bh")).as(s"b$b")
     }
-    val exploded = withSig
+    withSig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  private def pairsFromBandKeys(exploded: DataFrame): DataFrame = {
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -64,6 +76,20 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** [[minhashPairs]] with the band keys PERSISTED at the fixed gate
+    * path: the Spark hashes stay engine-specific, but the pair set is
+    * a pure band-bucket self-join over the persisted keys, which the
+    * DuckDB oracle re-derives from the same parquet — flipping the
+    * gate from rows-only to hash-exact.
+    */
+  def minhashPairsGate(spark: SparkSession, dir: String,
+                       numPerm: Int = 32, bands: Int = 4): DataFrame = {
+    val p = Gate.once(spark, "dedup_minhash", dir)(g =>
+      minhashBandKeys(spark, dir, numPerm, bands)
+        .write.mode("overwrite").parquet(s"$g/keys"))
+    pairsFromBandKeys(spark.read.parquet(s"$p/keys"))
   }
 
   /** 64-bit SimHash per document: token-level xxhash64 folded by the
@@ -102,6 +128,22 @@ object Dedup {
     hammingPairs(simhash(spark, dir).withColumnRenamed("simhash", "sig"),
       maxHamming, blocks)
 
+  /** [[simhashPairs]] with the 64-bit signatures PERSISTED at the
+    * fixed gate path: the output is EXACTLY the hamming ≤ `maxHamming`
+    * pair set over those values, so the oracle re-derives it from the
+    * same parquet with `bit_count(xor(a.sig, b.sig))` — the signature
+    * fold stays engine-specific, the search becomes hash-exact. The
+    * production search stays the multi-index bucketed plan (never
+    * all-pairs); only the small-corpus oracle brute-forces.
+    */
+  def simhashPairsGate(spark: SparkSession, dir: String,
+                       maxHamming: Int = 3, blocks: Int = 5): DataFrame = {
+    val p = Gate.once(spark, "dedup_simhash", dir)(g =>
+      simhash(spark, dir).withColumnRenamed("simhash", "sig")
+        .write.mode("overwrite").parquet(s"$g/sigs"))
+    hammingPairs(spark.read.parquet(s"$p/sigs"), maxHamming, blocks)
+  }
+
   /** The multi-index Hamming search over ANY (doc_id, sig: long)
     * fingerprint table — shared by [[simhashPairs]] and the
     * multimodal payload signature ([[Multimodal.mmDedupNear]]).
@@ -128,7 +170,7 @@ object Dedup {
     val b = keyed.as("b")
     a.join(b, col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.sig ^ b.sig)").as("hamming"))
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
@@ -643,11 +685,35 @@ object Dedup {
     * shuffles on — co-partitioned, one cheap extra pass.
     */
   def cdcPairsOf(docs: DataFrame, minShared: Long = 3,
-                 maxDf: Long = 1000): DataFrame = {
-    val chunks = docs
+                 maxDf: Long = 1000): DataFrame =
+    cdcPairsFromChunks(cdcChunksOf(docs), minShared, maxDf)
+
+  /** The distinct (doc_id, chunk-hash) relation behind [[cdcPairs]] —
+    * also the gate artifact: persisted, the oracle re-derives the df
+    * filter, the inverted-index pair join and the `minShared`
+    * threshold from the same parquet keys.
+    */
+  private def cdcChunksOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(graft.functions.cdc_chunks(col("txt"))).as("chunk"))
       .distinct()
+
+  /** [[cdcPairs]] with the chunk hashes PERSISTED at the fixed gate
+    * path — the CDC rolling hash stays engine-specific, everything
+    * downstream (df guard, pair join, threshold) is re-derived by the
+    * oracle from the same parquet.
+    */
+  def cdcPairsGate(spark: SparkSession, dir: String,
+                   minShared: Long = 3, maxDf: Long = 1000): DataFrame = {
+    val p = Gate.once(spark, "dedup_cdc", dir)(g =>
+      cdcChunksOf(normed(spark, dir))
+        .write.mode("overwrite").parquet(s"$g/chunks"))
+    cdcPairsFromChunks(spark.read.parquet(s"$p/chunks"), minShared, maxDf)
+  }
+
+  private def cdcPairsFromChunks(chunks: DataFrame, minShared: Long,
+                                 maxDf: Long): DataFrame = {
     val rare = chunks.groupBy("chunk")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

@@ -413,11 +413,27 @@ object Multimodal {
     * near-clone pairs.
     */
   def mmDedupNear(spark: SparkSession, dir: String,
-                  maxHamming: Int = 3, blocks: Int = 5): DataFrame = {
+                  maxHamming: Int = 3, blocks: Int = 5): DataFrame =
+    Dedup.hammingPairs(mmSigs(spark, dir), maxHamming, blocks)
+
+  private def mmSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = mmDedupTable(spark, dir)
+    mmDedupTable(spark, dir)
       .map { case (id, p) => (id, blockSig(p)) }
       .toDF("doc_id", "sig")
-    Dedup.hammingPairs(sigs, maxHamming, blocks)
+  }
+
+  /** [[mmDedupNear]] with the payload signatures PERSISTED at the
+    * fixed gate path — the same hamming-from-persisted-sigs discipline
+    * as `dedup_simhash`: the blockhash fold stays engine-specific, the
+    * pair set is exactly hamming ≤ `maxHamming` over the persisted
+    * 64-bit values, which the oracle re-derives with
+    * `bit_count(xor(...))` from the same parquet.
+    */
+  def mmDedupNearGate(spark: SparkSession, dir: String,
+                      maxHamming: Int = 3, blocks: Int = 5): DataFrame = {
+    val p = Gate.once(spark, "mm_dedup_near", dir)(g =>
+      mmSigs(spark, dir).write.mode("overwrite").parquet(s"$g/sigs"))
+    Dedup.hammingPairs(spark.read.parquet(s"$p/sigs"), maxHamming, blocks)
   }
 }

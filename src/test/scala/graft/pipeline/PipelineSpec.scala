@@ -89,7 +89,7 @@ class PipelineSpec extends SparkSpec {
 
   test("simhash: near-identical docs collide, hamming bounded") {
     val rows = Dedup.simhashPairs(spark, sf01).collect()
-    assert(rows.forall(_.getInt(2) <= 3))
+    assert(rows.forall(_.getLong(2) <= 3L))
   }
 
   test("simhash multi-index finds EXACTLY the hamming<=3 pair set") {
