@@ -1317,6 +1317,42 @@ object SparkEntry {
       "FROM m ORDER BY doc_id"
   }
 
+  // ---- shared ANN oracle pieces (persisted-gate-artifact rows) ----
+
+  // the corpus vector relation, exactly as ann_brute's proven-portable
+  // cosine discipline reads it
+  private val annEmbCte =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  // the appended/rebuilt indexes' vector set: the fixture batch is
+  // vec_id % 11 = 0 shifted by 1e6 with identical vectors — derivable
+  // from the corpus parquet, so the oracle reconstructs it itself
+  private val annAppendedEmbCte =
+    "e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "e AS (SELECT vec_id, v FROM e0 " +
+      "UNION ALL SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 11 = 0)"
+
+  /** The IVF-search oracle over a persisted (assigned, probes) gate
+    * artifact: given the engine-specific cell structure as parquet,
+    * the search itself — exact cosine over probed cells, rank by
+    * (cos desc, n_id) — is re-derived entirely by DuckDB.
+    */
+  private def ivfOracleSql(op: String, eCte: String,
+                           k: Int = 10): String =
+    s"WITH $eCte, " +
+      s"ga AS (SELECT vec_id, cell FROM read_parquet('${Gate.path(op)}/assigned/*.parquet')), " +
+      s"gp AS (SELECT q_id, cell FROM read_parquet('${Gate.path(op)}/probes/*.parquet')), " +
+      "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5), " +
+      "s AS (SELECT gp.q_id, ga.vec_id AS n_id, " +
+      "list_cosine_similarity(q.qv, e.v) AS cos " +
+      "FROM gp JOIN ga ON ga.cell = gp.cell " +
+      "JOIN e ON e.vec_id = ga.vec_id JOIN q ON q.q_id = gp.q_id " +
+      "WHERE ga.vec_id <> gp.q_id), " +
+      "r AS (SELECT q_id, n_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s) " +
+      s"SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM r WHERE rn <= $k " +
+      "ORDER BY q_id, rank"
+
   private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_exact", (s: SparkSession, d: String) => TextAnalysis.dedupExact(s, d),
       Some(s"SELECT md5($normSql) AS content_hash, " +
@@ -1511,17 +1547,37 @@ object SparkEntry {
       Some("WITH " + embeddingPairsCteBody +
         " SELECT doc_a AS vec_a, doc_b AS vec_b FROM ep ORDER BY 1, 2")),
     // IVF-cell-blocked variant: the 100 TB blocking behind the label
-    // stand-in above; KMeans cells are engine-specific → rows-only,
-    // recall vs the exact operator gated in PipelineSpec
+    // stand-in above. The KMeans cells stay engine-specific, but the
+    // multi-probe (vec_id, cell) keys persist at the gate path and the
+    // oracle re-derives candidates + exact-cosine threshold from them
     ("dedup_embedding_ivf",
       (s: SparkSession, d: String) =>
-        Dedup.embeddingPairsIvf(s, d, threshold = 0.45), None),
+        Dedup.embeddingPairsIvfGate(s, d, threshold = 0.45),
+      Some(s"WITH $annEmbCte, gp AS (SELECT vec_id, cell FROM " +
+        s"read_parquet('${Gate.path("dedup_embedding_ivf")}/probed/*.parquet')), " +
+        "c AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM gp a JOIN gp b ON a.cell = b.cell AND a.vec_id < b.vec_id) " +
+        "SELECT vec_a, vec_b FROM c " +
+        "JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b " +
+        "WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45 " +
+        "ORDER BY vec_a, vec_b")),
     // batch-vs-corpus embedding near-dups off the persisted IVF index
-    // — the embedding twin of dedup_incremental (KMeans cells are
-    // engine-specific → rows-only; recall gated in spec)
+    // — the embedding twin of dedup_incremental; the batch probe keys
+    // and the corpus inverted-list keys persist, the oracle re-derives
+    // the cross-split join + threshold
     ("dedup_embedding_incremental",
       (s: SparkSession, d: String) =>
-        Dedup.embeddingIncremental(s, d, threshold = 0.45), None),
+        Dedup.embeddingIncrementalGate(s, d, threshold = 0.45),
+      Some(s"WITH $annEmbCte, gb AS (SELECT new_id, cell FROM " +
+        s"read_parquet('${Gate.path("dedup_embedding_incremental")}/batch/*.parquet')), " +
+        "gc AS (SELECT vec_id, cell FROM " +
+        s"read_parquet('${Gate.path("dedup_embedding_incremental")}/corpus/*.parquet')), " +
+        "c AS (SELECT DISTINCT gb.new_id, gc.vec_id AS dup_of " +
+        "FROM gb JOIN gc ON gb.cell = gc.cell) " +
+        "SELECT new_id, dup_of FROM c " +
+        "JOIN e eb ON eb.vec_id = c.new_id JOIN e ec ON ec.vec_id = c.dup_of " +
+        "WHERE list_cosine_similarity(eb.v, ec.v) >= 0.45 " +
+        "ORDER BY new_id, dup_of")),
     ("ann_brute", (s: SparkSession, d: String) => Ann.bruteTopK(s, d),
       Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5), " +
@@ -1531,44 +1587,105 @@ object SparkEntry {
         "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s) " +
         "SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM r WHERE rn <= 10 " +
         "ORDER BY q_id, rank")),
-    ("ann_lsh", (s: SparkSession, d: String) => Ann.lshTopK(s, d), None),
-    ("knn_join", (s: SparkSession, d: String) => Ann.knnJoin(s, d), None),
-    ("ann_ivf", (s: SparkSession, d: String) => Ann.ivfTopK(s, d), None),
+    // hyperplane-LSH buckets persisted at the gate path → candidates,
+    // exact cosine and ranking re-derived by the oracle
+    ("ann_lsh", (s: SparkSession, d: String) => Ann.lshTopKGate(s, d),
+      Some(s"WITH $annEmbCte, gb AS (SELECT vec_id, t, bucket FROM " +
+        s"read_parquet('${Gate.path("ann_lsh")}/buckets/*.parquet')), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "c AS (SELECT DISTINCT qb.vec_id AS q_id, nb.vec_id AS n_id " +
+        "FROM gb qb JOIN gb nb ON qb.t = nb.t AND qb.bucket = nb.bucket " +
+        "WHERE qb.vec_id < 5 AND nb.vec_id <> qb.vec_id), " +
+        "s AS (SELECT c.q_id, c.n_id, list_cosine_similarity(q.qv, e.v) AS cos " +
+        "FROM c JOIN e ON e.vec_id = c.n_id JOIN q ON q.q_id = c.q_id), " +
+        "r AS (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s) " +
+        "SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM r WHERE rn <= 10 " +
+        "ORDER BY q_id, rank")),
+    // full-corpus kNN join; the exact-candidates arm (selected at
+    // every gate/bench scale by the footer-derived corpus size)
+    // persists its symmetric multi-probe keys, and the oracle
+    // re-derives same-cell candidates + exact cosine + per-query rank
+    ("knn_join", (s: SparkSession, d: String) => Ann.knnJoinGate(s, d),
+      Some(s"WITH $annEmbCte, gp AS (SELECT vec_id, cell FROM " +
+        s"read_parquet('${Gate.path("knn_join")}/probed/*.parquet')), " +
+        "c AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id " +
+        "FROM gp a JOIN gp b ON a.cell = b.cell AND b.vec_id <> a.vec_id), " +
+        "s AS (SELECT c.q_id, c.n_id, list_cosine_similarity(qe.v, ne.v) AS cos " +
+        "FROM c JOIN e qe ON qe.vec_id = c.q_id JOIN e ne ON ne.vec_id = c.n_id), " +
+        "r AS (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s) " +
+        "SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM r WHERE rn <= 5 " +
+        "ORDER BY q_id, rank")),
+    // the KMeans cells stay engine-specific, but the (vec_id, cell)
+    // assignments + per-query probe lists persist at the gate path and
+    // the oracle re-derives the whole search (exact cosine over probed
+    // cells, rank by cos desc / n_id) from the corpus parquet
+    ("ann_ivf", (s: SparkSession, d: String) => Ann.ivfTopKGate(s, d),
+      Some(ivfOracleSql("ann_ivf", annEmbCte))),
     // the same search against the PERSISTED cell-partitioned index
     // (built once per session; written once at corpus layout in
-    // production) — output identical to ann_ivf, asserted in AnnSpec
+    // production) — output identical to ann_ivf, asserted in AnnSpec,
+    // so it shares ann_ivf's gate artifact and oracle
     ("ann_ivf_indexed",
-      (s: SparkSession, d: String) => Ann.ivfTopKIndexed(s, d), None),
+      (s: SparkSession, d: String) => Ann.ivfTopKIndexedGate(s, d),
+      Some(ivfOracleSql("ann_ivf", annEmbCte))),
     // online serving: query vectors arrive as a STREAM and probe the
     // persisted index (literal-centers routing + stream-static join +
     // complete-mode bounded top-k state) — rows IDENTICAL to
-    // ann_ivf_indexed, asserted in StreamingAggSpec; rows-only here
-    // (KMeans cells engine-specific)
+    // ann_ivf_indexed (StreamingAggSpec-asserted), so the streaming
+    // path shares the same gate artifact and oracle
     ("ann_stream",
-      (s: SparkSession, d: String) =>
-        graft.streaming.StreamOps.annStream(s, d), None),
+      (s: SparkSession, d: String) => {
+        Ann.annIvfGateArtifact(s, d)
+        graft.streaming.StreamOps.annStream(s, d)
+      },
+      Some(ivfOracleSql("ann_ivf", annEmbCte))),
     // nightly index maintenance: the same search after an append-only
     // batch lands in the persisted index (no retrain, no file
     // rewrites) — assignment identity + untouched-files + dup-found
-    // gated in PipelineSpec; rows-only (KMeans cells engine-specific)
+    // gated in PipelineSpec; the appended index's assignments + probe
+    // lists persist, and the oracle reconstructs the appended vector
+    // set itself (shifted % 11 clones are corpus-derivable)
     ("ann_index_append",
-      (s: SparkSession, d: String) => Ann.ivfTopKAppended(s, d), None),
+      (s: SparkSession, d: String) => Ann.ivfTopKAppendedGate(s, d),
+      Some(ivfOracleSql("ann_index_append", annAppendedEmbCte))),
     // the cadence rebuild retiring append's centers-drift debt:
     // retrain on the index's current corpus, re-assign, re-derive the
     // inverted list, commit by staged dir swap — search parity with a
     // from-scratch build + crash-window recovery gated in
-    // PipelineSpec; rows-only (KMeans cells engine-specific)
+    // PipelineSpec; gate artifact + oracle like the append row
     ("ann_index_rebuild",
-      (s: SparkSession, d: String) => Ann.ivfTopKRebuilt(s, d), None),
+      (s: SparkSession, d: String) => Ann.ivfTopKRebuiltGate(s, d),
+      Some(ivfOracleSql("ann_index_rebuild", annAppendedEmbCte))),
     // IVF + product quantization: the 8-bytes-per-vector ADC scan
-    // with exact re-rank — KMeans codebooks are engine-specific →
-    // rows-only, recall@10 vs brute gated in AnnSpec
-    ("ann_ivf_pq", (s: SparkSession, d: String) => Ann.ivfPqTopK(s, d), None),
+    // with exact re-rank. The (q_id, n_id) ADC frontier — the one
+    // engine-specific product — persists at the gate path; the exact
+    // re-rank over it is portable algebra the oracle re-derives
+    ("ann_ivf_pq", (s: SparkSession, d: String) => Ann.ivfPqTopKGate(s, d),
+      Some(s"WITH $annEmbCte, f AS (SELECT q_id, n_id FROM " +
+        s"read_parquet('${Gate.path("ann_ivf_pq")}/frontier/*.parquet')), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "s AS (SELECT f.q_id, f.n_id, list_cosine_similarity(q.qv, e.v) AS cos " +
+        "FROM f JOIN e ON e.vec_id = f.n_id JOIN q ON q.q_id = f.q_id), " +
+        "r AS (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s) " +
+        "SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM r WHERE rn <= 10 " +
+        "ORDER BY q_id, rank")),
     // the same IVFADC search against the PERSISTED index (codes/
     // cell-partitioned + codebooks/ + centers/) — output identical to
-    // ann_ivf_pq, asserted in PipelineSpec
+    // ann_ivf_pq, asserted in PipelineSpec → shares its oracle
     ("ann_ivf_pq_indexed",
-      (s: SparkSession, d: String) => Ann.ivfPqTopKIndexed(s, d), None),
+      (s: SparkSession, d: String) => Ann.ivfPqTopKIndexedGate(s, d),
+      Some(s"WITH $annEmbCte, f AS (SELECT q_id, n_id FROM " +
+        s"read_parquet('${Gate.path("ann_ivf_pq")}/frontier/*.parquet')), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "s AS (SELECT f.q_id, f.n_id, list_cosine_similarity(q.qv, e.v) AS cos " +
+        "FROM f JOIN e ON e.vec_id = f.n_id JOIN q ON q.q_id = f.q_id), " +
+        "r AS (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s) " +
+        "SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM r WHERE rn <= 10 " +
+        "ORDER BY q_id, rank")),
     ("lang_id", (s: SparkSession, d: String) => TextAnalysis.langId(s, d),
       Some(langIdSql)),
     // the C4-style cleanup chain, mirrored step-for-step (dehyphenate →

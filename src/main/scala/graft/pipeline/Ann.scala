@@ -58,10 +58,36 @@ object Ann {
     */
   def lshTopK(spark: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10,
-              tables: Int = 16, bits: Int = 6, dim: Int = 64): DataFrame = {
-    val all = vectors(spark, dir)
-    val buckets = all.select(col("vec_id"), col("v"),
+              tables: Int = 16, bits: Int = 6, dim: Int = 64): DataFrame =
+    lshTopKFrom(lshBuckets(spark, dir, tables, bits), nQueries, k)
+
+  /** The exploded (vec_id, v, t, bucket) hyperplane-LSH relation
+    * behind [[lshTopK]] — its (vec_id, t, bucket) projection is the
+    * gate artifact: persisted, the oracle re-derives the candidate
+    * set (bucket self-join), the exact cosine and the final ranking
+    * from the same parquet.
+    */
+  private def lshBuckets(spark: SparkSession, dir: String,
+                         tables: Int, bits: Int): DataFrame =
+    vectors(spark, dir).select(col("vec_id"), col("v"),
       posexplode(hyperplane_buckets(col("v"), tables, bits)).as(Seq("t", "bucket")))
+
+  /** [[lshTopK]] with the bucket keys PERSISTED at the fixed gate
+    * path — the hyperplane hashes stay engine-specific, everything
+    * downstream is hash-exact against the oracle's re-derivation.
+    */
+  def lshTopKGate(spark: SparkSession, dir: String,
+                  nQueries: Int = 5, k: Int = 10,
+                  tables: Int = 16, bits: Int = 6): DataFrame = {
+    val buckets = lshBuckets(spark, dir, tables, bits)
+    Gate.once(spark, "ann_lsh", dir)(g =>
+      buckets.select("vec_id", "t", "bucket")
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/buckets"))
+    lshTopKFrom(buckets, nQueries, k)
+  }
+
+  private def lshTopKFrom(buckets: DataFrame, nQueries: Int,
+                          k: Int): DataFrame = {
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("t"), col("bucket"))
@@ -550,6 +576,50 @@ object Ann {
       nQueries, k, nprobe, m, ksub, rerank, literalBudget)
   }
 
+  /** Persist the IVFADC (q_id, n_id) frontier — the search's one
+    * engine-specific product (PQ codebooks shape the approx scores
+    * that pick it) — at the `ann_ivf_pq` gate path, once per session.
+    * Given the frontier, the exact re-rank is pure portable algebra
+    * (exact cosine, rank by cos desc / n_id), which the DuckDB oracle
+    * re-derives from the corpus parquet.
+    */
+  private def ivfPqGateWrite(spark: SparkSession, dir: String,
+                             nQueries: Int, cells: Int, nprobe: Int,
+                             m: Int, ksub: Int, rerank: Int): Unit = {
+    Gate.once(spark, "ann_ivf_pq", dir) { g =>
+      val (assigned, centersDf) = ivfAssign(spark, dir, cells)
+      val codebooks = pqCodebooksFor(spark, dir, cells, m, ksub)
+      val encoded = ivfPqEncodeOf(normalized(assigned), codebooks, m)
+      ivfPqFrontier(encoded, centersDf,
+          assigned.select(col("vec_id"), col("v")), codebooks,
+          nQueries, nprobe, m, ksub, rerank)
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/frontier")
+    }
+    ()
+  }
+
+  /** [[ivfPqTopK]] + the `ann_ivf_pq` gate artifact. */
+  def ivfPqTopKGate(spark: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 10,
+                    cells: Int = 16, nprobe: Int = 4,
+                    m: Int = 8, ksub: Int = 16, rerank: Int = 40): DataFrame = {
+    ivfPqGateWrite(spark, dir, nQueries, cells, nprobe, m, ksub, rerank)
+    ivfPqTopK(spark, dir, nQueries, k, cells, nprobe, m, ksub, rerank)
+  }
+
+  /** [[ivfPqTopKIndexed]] + the shared `ann_ivf_pq` gate artifact
+    * (output identical to the in-memory form — same centers, same
+    * codebooks, same codes, PipelineSpec-asserted — so the indexed
+    * gate row shares ann_ivf_pq's oracle).
+    */
+  def ivfPqTopKIndexedGate(spark: SparkSession, dir: String,
+                           nQueries: Int = 5, k: Int = 10,
+                           cells: Int = 16, nprobe: Int = 4,
+                           m: Int = 8, ksub: Int = 16, rerank: Int = 40): DataFrame = {
+    ivfPqGateWrite(spark, dir, nQueries, cells, nprobe, m, ksub, rerank)
+    ivfPqTopKIndexed(spark, dir, nQueries, k, cells, nprobe, m, ksub, rerank)
+  }
+
   /** Plan-literal budget, in doubles: lookup grids at or under this
     * size ride the plan as `typedLit` arrays (zero-join, codegen'd
     * `element_at`); past it they switch to a one-row BROADCAST
@@ -704,7 +774,25 @@ object Ann {
                              codebooks: Array[Array[Array[Double]]],
                              nQueries: Int, k: Int, nprobe: Int,
                              m: Int, ksub: Int, rerank: Int,
-                             literalBudget: Int = MaxPlanLiteralDoubles): DataFrame = {
+                             literalBudget: Int = MaxPlanLiteralDoubles): DataFrame =
+    pqExactRerank(vecs,
+      ivfPqFrontier(encoded, centersDf, vecs, codebooks, nQueries, nprobe,
+        m, ksub, rerank, literalBudget),
+      nQueries, k)
+
+  /** The IVFADC candidate stage — everything up to (and including)
+    * the ADC top-`rerank` cut, emitting the (q_id, n_id) frontier the
+    * exact re-rank then scores. Split out so the gate path can
+    * PERSIST the frontier (the operator's one engine-specific
+    * product: PQ codebooks shape the approx scores) and re-rank from
+    * the read-back — which is exactly what the DuckDB oracle does.
+    */
+  private def ivfPqFrontier(encoded: DataFrame, centersDf: DataFrame,
+                            vecs: DataFrame,
+                            codebooks: Array[Array[Array[Double]]],
+                            nQueries: Int, nprobe: Int,
+                            m: Int, ksub: Int, rerank: Int,
+                            literalBudget: Int = MaxPlanLiteralDoubles): DataFrame = {
     val sub = 64 / m
     // queries: normalized view of the tiny query slice + flat ADC LUT
     // against every centroid — lut[s*ksub + c] = <qn_sub, centroid(s)(c)>
@@ -730,19 +818,30 @@ object Ann {
     val adc = (0 until m)
       .map(s => s"element_at(lut, $s * $ksub + code$s + 1)").mkString(" + ")
     val wAdc = Window.partitionBy("q_id").orderBy(col("approx").desc, col("n_id"))
-    val wExact = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    val winners = encoded.join(broadcast(probes), Seq("cell"))
+    encoded.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), expr(adc).as("approx"))
       .withColumn("ar", row_number().over(wAdc))
       .filter(col("ar") <= rerank)
       .select("q_id", "n_id")
-    // exact re-rank: ONLY the ~nQueries × rerank winners rehydrate
-    // raw vectors — the tiny winner set broadcasts into the vector
-    // relation, query vectors broadcast alongside
+  }
+
+  /** The exact re-rank stage of the IVFADC search: ONLY the
+    * ~nQueries × rerank frontier pairs rehydrate raw vectors — the
+    * tiny winner set broadcasts into the vector relation, query
+    * vectors broadcast alongside. Shared by [[ivfPqProbePlan]] and
+    * the gate path (re-rank over the PERSISTED frontier), so the
+    * persisted (q_id, n_id) relation is by construction the candidate
+    * set the answer was ranked from.
+    */
+  private def pqExactRerank(vecs: DataFrame, winners: DataFrame,
+                            nQueries: Int, k: Int): DataFrame = {
+    val wExact = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     vecs.select(col("vec_id").as("n_id"), col("v"))
       .join(broadcast(winners), Seq("n_id"))
-      .join(broadcast(queries.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         cosine_sim(col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(wExact))
@@ -758,6 +857,81 @@ object Ann {
     ivfProbePlan(assigned, centersDf, nQueries, k, nprobe)
   }
 
+  /** The per-query probe list: each query's `nprobe` nearest cells by
+    * center cosine (ties to the lower cell id) — shared by
+    * [[ivfProbePlan]] and the gate-artifact writers, so the persisted
+    * (q_id, cell) relation is BY CONSTRUCTION the probe set the
+    * search ran with.
+    */
+  private def probesOf(assigned: DataFrame, centersDf: DataFrame,
+                       nQueries: Int, nprobe: Int): DataFrame = {
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cell"))
+    queries.crossJoin(broadcast(centersDf))
+      .withColumn("ccos", cosine_sim(col("qv"), col("center")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "qv", "cell")
+  }
+
+  /** Persist an IVF search's engine-specific structure — the
+    * (vec_id, cell) assignments and the per-query (q_id, cell) probe
+    * list — at the fixed gate path `op`: the KMeans cells stay
+    * engine-specific, but given these two relations the DuckDB oracle
+    * re-derives the ENTIRE search (exact cosine over probed cells,
+    * rank by cos desc / n_id) from the corpus parquet, flipping the
+    * gate from rows-only to hash-exact.
+    */
+  private def ivfGateWrite(spark: SparkSession, op: String, dir: String,
+                           assigned: DataFrame, centersDf: DataFrame,
+                           nQueries: Int, nprobe: Int): Unit = {
+    Gate.once(spark, op, dir) { g =>
+      assigned.select("vec_id", "cell")
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/assigned")
+      probesOf(assigned, centersDf, nQueries, nprobe).select("q_id", "cell")
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/probes")
+    }
+    ()
+  }
+
+  /** [[ivfTopK]] + the `ann_ivf` gate artifact (assignments + probe
+    * lists persisted once per session; same memoized quantiser, so
+    * the search output is exactly what the oracle re-derives).
+    */
+  def ivfTopKGate(spark: SparkSession, dir: String,
+                  nQueries: Int = 5, k: Int = 10,
+                  cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (assigned, centersDf) = ivfAssign(spark, dir, cells)
+    ivfGateWrite(spark, "ann_ivf", dir, assigned, centersDf, nQueries, nprobe)
+    ivfProbePlan(assigned, centersDf, nQueries, k, nprobe)
+  }
+
+  /** [[ivfTopKIndexed]] + the shared `ann_ivf` gate artifact (output
+    * is identical to [[ivfTopK]] — same centers, same probe order,
+    * AnnSpec-asserted — so the indexed gate row shares ann_ivf's
+    * oracle).
+    */
+  def ivfTopKIndexedGate(spark: SparkSession, dir: String,
+                         nQueries: Int = 5, k: Int = 10,
+                         cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    annIvfGateArtifact(spark, dir, nQueries, cells, nprobe)
+    ivfTopKIndexed(spark, dir, nQueries, k, cells, nprobe)
+  }
+
+  /** Write the shared `ann_ivf` gate artifact without running the
+    * search — for gate rows (`ann_ivf_indexed`, `ann_stream`) whose
+    * output is row-identical to `ann_ivf` (spec-asserted) and which
+    * therefore share its oracle.
+    */
+  private[graft] def annIvfGateArtifact(spark: SparkSession, dir: String,
+                                        nQueries: Int = 5, cells: Int = 16,
+                                        nprobe: Int = 4): Unit = {
+    val (assigned, centersDf) = ivfAssign(spark, dir, cells)
+    ivfGateWrite(spark, "ann_ivf", dir, assigned, centersDf, nQueries, nprobe)
+  }
+
   /** The IVF search plan over any (assignments, centers) pair — shared
     * by the in-memory [[ivfTopK]] and the persisted-index
     * [[ivfTopKIndexed]], so the two are the same plan over different
@@ -765,15 +939,7 @@ object Ann {
     */
   private def ivfProbePlan(assigned: DataFrame, centersDf: DataFrame,
                            nQueries: Int, k: Int, nprobe: Int): DataFrame = {
-    val queries = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val wProbe = Window.partitionBy("q_id")
-      .orderBy(col("ccos").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(centersDf))
-      .withColumn("ccos", cosine_sim(col("qv"), col("center")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select("q_id", "qv", "cell")
+    val probes = probesOf(assigned, centersDf, nQueries, nprobe)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -927,15 +1093,46 @@ object Ann {
     */
   private[graft] def knnJoinExactCand(spark: SparkSession, dir: String,
                                       k: Int = 5, cellsMin: Int = 16,
-                                      nprobe: Int = 2): DataFrame = {
+                                      nprobe: Int = 2): DataFrame =
+    knnExactFromProbed(knnProbed(spark, dir, cellsMin, nprobe), k)
+
+  /** The symmetric multi-probe (vec_id, v, cell) relation behind the
+    * exact-candidates kNN arm — its (vec_id, cell) projection is the
+    * gate artifact: persisted, the oracle re-derives candidates
+    * (same-cell pairs), exact cosine and the final per-query ranking.
+    */
+  private def knnProbed(spark: SparkSession, dir: String,
+                        cellsMin: Int, nprobe: Int): DataFrame = {
     val n = graft.sources.StorageStats.parquetRowCount(
       spark, s"$dir/embeddings.parquet")
     val cells = math.max(cellsMin, (n / 256L).toInt)
     val (assigned, centersDf) = ivfAssign(spark, dir, cells)
     val router = routerFromCenters(centersDf)
     val (rframe, rcol) = attachRouter(assigned.drop("cell"), router)
-    val probed = rframe.select(col("vec_id"), col("v"),
+    rframe.select(col("vec_id"), col("v"),
       explode(routeProbeExpr(rcol, router, nprobe)).as("cell"))
+  }
+
+  /** [[knnJoin]] + the `knn_join` gate artifact. Only the
+    * exact-candidates arm persists (every gate/bench scale selects it
+    * — the PQ arm starts at [[KnnPqThresholdVectors]] vectors, where
+    * no oracle runs); the footer-derived arm selection is unchanged.
+    */
+  def knnJoinGate(spark: SparkSession, dir: String,
+                  k: Int = 5, cellsMin: Int = 16, nprobe: Int = 2,
+                  pqThreshold: Long = KnnPqThresholdVectors): DataFrame = {
+    val nVecs = graft.sources.StorageStats.parquetRowCount(
+      spark, s"$dir/embeddings.parquet")
+    if (nVecs < pqThreshold) {
+      val probed = knnProbed(spark, dir, cellsMin, nprobe)
+      Gate.once(spark, "knn_join", dir)(g =>
+        probed.select("vec_id", "cell")
+          .coalesce(1).write.mode("overwrite").parquet(s"$g/probed"))
+      knnExactFromProbed(probed, k)
+    } else knnJoinPq(spark, dir, k, cellsMin, nprobe)
+  }
+
+  private def knnExactFromProbed(probed: DataFrame, k: Int): DataFrame = {
     val cand = probed.as("a")
       .join(probed.as("b"), col("a.cell") === col("b.cell") &&
         col("a.vec_id") =!= col("b.vec_id"))
@@ -1065,6 +1262,24 @@ object Ann {
       spark.read.parquet(s"$idx/centers"), nQueries, k, nprobe)
   }
 
+  /** [[ivfTopKAppended]] + its gate artifact: the APPENDED index's
+    * assignments and probe lists persist at the fixed gate path, and
+    * the oracle reconstructs the appended vector set itself (the
+    * fixture batch is `vec_id % 11 = 0` shifted by 1e6 with identical
+    * vectors — derivable from the corpus parquet), then re-derives the
+    * search exactly like `ann_ivf`'s gate.
+    */
+  def ivfTopKAppendedGate(spark: SparkSession, dir: String,
+                          nQueries: Int = 5, k: Int = 10,
+                          cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val idx = appendedIndexFor(spark, dir, cells)
+    val assigned = spark.read.parquet(s"$idx/assigned")
+    val centersDf = spark.read.parquet(s"$idx/centers")
+    ivfGateWrite(spark, "ann_index_append", dir, assigned, centersDf,
+      nQueries, nprobe)
+    ivfProbePlan(assigned, centersDf, nQueries, k, nprobe)
+  }
+
   private[graft] def appendedIndexFor(spark: SparkSession, dir: String,
                                       cells: Int): String = {
     val src = ivfIndexFor(spark, dir, cells)
@@ -1151,6 +1366,22 @@ object Ann {
     ivfProbePlan(
       spark.read.parquet(s"$idx/assigned"),
       spark.read.parquet(s"$idx/centers"), nQueries, k, nprobe)
+  }
+
+  /** [[ivfTopKRebuilt]] + its gate artifact — same discipline as the
+    * append gate: the REBUILT index's (retrained) assignments and
+    * probe lists persist, the oracle re-derives the search over the
+    * same appended vector set.
+    */
+  def ivfTopKRebuiltGate(spark: SparkSession, dir: String,
+                         nQueries: Int = 5, k: Int = 10,
+                         cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val idx = rebuiltIndexFor(spark, dir, cells)
+    val assigned = spark.read.parquet(s"$idx/assigned")
+    val centersDf = spark.read.parquet(s"$idx/centers")
+    ivfGateWrite(spark, "ann_index_rebuild", dir, assigned, centersDf,
+      nQueries, nprobe)
+    ivfProbePlan(assigned, centersDf, nQueries, k, nprobe)
   }
 
   private[graft] def rebuiltIndexFor(spark: SparkSession, dir: String,

@@ -772,7 +772,12 @@ object Dedup {
     */
   def embeddingPairsIvf(spark: SparkSession, dir: String,
                         threshold: Double = 0.8, cells: Int = 16,
-                        nprobe: Int = 2): DataFrame = {
+                        nprobe: Int = 2): DataFrame =
+    embeddingPairsFromProbed(embeddingProbed(spark, dir, cells, nprobe),
+      threshold)
+
+  private def embeddingProbed(spark: SparkSession, dir: String,
+                              cells: Int, nprobe: Int): DataFrame = {
     val (assigned, centersDf) = graft.pipeline.Ann.ivfAssign(spark, dir, cells)
     // probe routing goes through the shared two-level router
     // ([[Ann.routeProbeExpr]] — O(√cells) loops per vector once the
@@ -781,9 +786,29 @@ object Dedup {
     val router = graft.pipeline.Ann.routerFromCenters(centersDf)
     val (rframe, rcol) =
       graft.pipeline.Ann.attachRouter(assigned.drop("cell"), router)
-    val probed = rframe.select(col("vec_id"), col("v"),
+    rframe.select(col("vec_id"), col("v"),
       explode(graft.pipeline.Ann.routeProbeExpr(rcol, router, nprobe))
         .as("cell"))
+  }
+
+  /** [[embeddingPairsIvf]] with the multi-probe (vec_id, cell) keys
+    * PERSISTED at the fixed gate path — the KMeans cells stay
+    * engine-specific; the candidate join, the exact-cosine threshold
+    * and the pair set are re-derived by the oracle from the same
+    * parquet plus the corpus embeddings.
+    */
+  def embeddingPairsIvfGate(spark: SparkSession, dir: String,
+                            threshold: Double = 0.8, cells: Int = 16,
+                            nprobe: Int = 2): DataFrame = {
+    val probed = embeddingProbed(spark, dir, cells, nprobe)
+    Gate.once(spark, "dedup_embedding_ivf", dir)(g =>
+      probed.select("vec_id", "cell")
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/probed"))
+    embeddingPairsFromProbed(probed, threshold)
+  }
+
+  private def embeddingPairsFromProbed(probed: DataFrame,
+                                       threshold: Double): DataFrame = {
     val a = probed.as("a")
     val b = probed.as("b")
     a.join(b, col("a.cell") === col("b.cell") &&
@@ -815,7 +840,25 @@ object Dedup {
     */
   def embeddingIncremental(spark: SparkSession, dir: String,
                            threshold: Double = 0.8, cells: Int = 16,
-                           nprobe: Int = 4): DataFrame = {
+                           nprobe: Int = 4): DataFrame =
+    embeddingIncrementalPlan(spark, dir, threshold, cells, nprobe, None)
+
+  /** [[embeddingIncremental]] with the batch probe keys and the
+    * corpus-side inverted-list keys PERSISTED at the fixed gate path
+    * — given those two (id, cell) relations the oracle re-derives the
+    * candidate join, the exact-cosine threshold and the pair set from
+    * the corpus embeddings.
+    */
+  def embeddingIncrementalGate(spark: SparkSession, dir: String,
+                               threshold: Double = 0.8, cells: Int = 16,
+                               nprobe: Int = 4): DataFrame =
+    embeddingIncrementalPlan(spark, dir, threshold, cells, nprobe,
+      Some("dedup_embedding_incremental"))
+
+  private def embeddingIncrementalPlan(spark: SparkSession, dir: String,
+                                       threshold: Double, cells: Int,
+                                       nprobe: Int,
+                                       gateOp: Option[String]): DataFrame = {
     val idx = graft.pipeline.Ann.ivfIndexFor(spark, dir, cells)
     val router = graft.pipeline.Ann.routerFromCenters(
       spark.read.parquet(s"$idx/centers"))
@@ -826,7 +869,14 @@ object Dedup {
       .select(col("vec_id").as("new_id"), col("v").as("bv"),
         explode(graft.pipeline.Ann.routeProbeExpr(bcol, router, nprobe))
           .as("cell"))
-    spark.read.parquet(s"$idx/probed").filter(!isNew)
+    val corpus = spark.read.parquet(s"$idx/probed").filter(!isNew)
+    gateOp.foreach(op => Gate.once(spark, op, dir) { g =>
+      batch.select("new_id", "cell")
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/batch")
+      corpus.select("vec_id", "cell")
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/corpus")
+    })
+    corpus
       .join(broadcast(batch), Seq("cell"))
       .select(col("new_id"), col("vec_id").as("dup_of"),
         cosine_sim(col("bv"), col("v")).as("cos"))
