@@ -765,9 +765,17 @@ object Curation {
         import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
         val path = graft.sources.TmpDir.scoped("qclsmodel",
           spark.sparkContext.applicationId, dir)
+        // pin the train split to a FIXED deterministic partition
+        // layout before fit: L-BFGS's per-iteration treeAggregate
+        // sums gradients in partition order, so a layout that varies
+        // with cluster shape would make the coefficients (and the
+        // gated p1_bp column) drift across runs at the last float
+        // bit. Fixed count + hash-on-key + in-partition sort makes
+        // the float reduction order a function of the DATA only.
         new LogisticRegression()
           .setMaxIter(100).setRegParam(1e-3).setStandardization(false)
-          .fit(feat.filter(col("is_train") === 1L))
+          .fit(feat.filter(col("is_train") === 1L)
+            .repartition(8, col("doc_id")).sortWithinPartitions("doc_id"))
           .write.overwrite().save(path)
         LogisticRegressionModel.load(path)
       })

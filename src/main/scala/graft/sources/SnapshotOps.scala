@@ -162,7 +162,7 @@ object SnapshotOps {
     * conflicting commit between pin and commit to prove both
     * mutations' effects land.
     */
-  private def retryConflicts(attempts: Int)(body: => MutationStats): MutationStats = {
+  private[sources] def retryConflicts[T](attempts: Int)(body: => T): T = {
     var left = attempts
     while (true) {
       try return body

@@ -347,13 +347,17 @@ object SnapshotStats {
         }
         statsify(spark, tmp, Seq("user_id"))
         // blooms on event_id (high-cardinality, unclustered in this
-        // layout — exactly where zone maps prune nothing); sized to
-        // ~10 bits per expected per-file key so the false-positive
-        // rate stays low at any gate sf. The 4th append's blooms come
-        // from the MAINTENANCE path like its zone maps.
+        // layout — exactly where zone maps prune nothing); the filter
+        // is PER FILE, so size to ~10+ bits per expected PER-FILE key
+        // count (n spread over ~20 files here), not per total rows —
+        // bits = highestOneBit(n) ≈ 10·(n/20)·2 keeps the per-key
+        // budget ≥ 10 bits at any gate sf (sizing per TOTAL rows / 8
+        // gave ~1-2 bits/key at sf ≥ 1: ~90% FP rate, every file kept,
+        // pruning silently degraded to a full scan). The 4th append's
+        // blooms come from the MAINTENANCE path like its zone maps.
         val n = events.count()
         val bits = math.max(65536L,
-          java.lang.Long.highestOneBit(n / 8)).toInt
+          java.lang.Long.highestOneBit(n)).toInt
         bloomify(spark, tmp, Seq(BloomSpec("event_id", bits, 5)))
         SnapshotOps.append(spark, tmp, batch(3), "wk", Some("skipseed-3"))
         tmp
@@ -555,6 +559,11 @@ object SnapshotStats {
                  keys: Seq[Any]): DataFrame = {
     val (kept, _) = lookupPlan(spark, dir, colName, keys)
     val p = Snapshot.pin(spark, dir)
+    // loud on a zero-file table: files.head would otherwise throw a
+    // bare NoSuchElementException from deep inside the scan setup
+    if (p.files.isEmpty) throw new IllegalStateException(
+      s"$dir has no data files at v${p.version} — cannot derive a " +
+        "lookup schema from an empty snapshot table")
     val sch = spark.read.parquet(s"$dir/${p.files.head}").schema
     val base =
       if (kept.isEmpty) spark.createDataFrame(

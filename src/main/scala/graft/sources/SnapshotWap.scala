@@ -59,6 +59,21 @@ object SnapshotWap {
             partCol: String, auditId: String): Long = {
     require(auditId.nonEmpty && !auditId.exists(c => c == '\n' || c == '\r'),
       "audit id must be a non-empty single-line token")
+    // one stage at a time: a second stage on top of an unaudited one
+    // would carry BOTH #wap= tags forward, and publishing either
+    // would expose the other's unaudited files — the exact leak this
+    // module exists to prevent. Finalize (publish/reject) the pending
+    // stage first.
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Snapshot.currentVersion(fs, root).foreach { cur =>
+      val pending = Snapshot.tagsOf(fs, root, cur)
+        .filter(t => t.startsWith(WapTag) && t != WapTag + auditId)
+      require(pending.isEmpty,
+        s"$dir already carries an unaudited stage " +
+          s"(${pending.map(_.stripPrefix(WapTag)).mkString(", ")}) — " +
+          "publish or reject it before staging another")
+    }
     SnapshotOps.append(spark, dir, batch, partCol,
       idempotencyKey = Some(s"wap-$auditId"),
       extraTags = Seq(WapTag + auditId)).version
@@ -101,23 +116,45 @@ object SnapshotWap {
                           auditId: String, keepStaged: Boolean): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val cur = Snapshot.currentVersion(fs, root).getOrElse(
-      throw new IllegalStateException(s"$dir has no committed versions"))
-    val tags = Snapshot.tagsOf(fs, root, cur)
-    val staged = wapIdOf(tags)
-    require(staged.contains(auditId),
-      s"current v$cur of $dir is not staged under audit id '$auditId' " +
-        s"(found: ${staged.getOrElse("none — already published?")})")
-    val (files, newTags) =
-      if (keepStaged)
-        (Snapshot.filesOf(fs, root, cur),
-          tags.filterNot(_.startsWith(WapTag)))
-      else {
-        val pub = publishedVersion(spark, dir)
-        (Snapshot.filesOf(fs, root, pub), Snapshot.tagsOf(fs, root, pub))
-      }
-    val v = Snapshot.commit(fs, root, files, cur, newTags,
-      baseFiles = Some(Snapshot.filesOf(fs, root, cur)))
+    // re-pin and re-validate inside the same conflict-retry wrapper
+    // every other mutation uses: a racing commit between our pin and
+    // our rename surfaces as CommitConflict, and the require() checks
+    // re-run against the new current version
+    val v = SnapshotOps.retryConflicts(3) {
+      val cur = Snapshot.currentVersion(fs, root).getOrElse(
+        throw new IllegalStateException(s"$dir has no committed versions"))
+      val tags = Snapshot.tagsOf(fs, root, cur)
+      // exact-tag membership, not collectFirst: with several #wap=
+      // tags present the answer must not depend on tag order
+      require(tags.contains(WapTag + auditId),
+        s"current v$cur of $dir is not staged under audit id '$auditId' " +
+          s"(found: ${wapIdOf(tags).getOrElse("none — already published?")})")
+      val (files, newTags) =
+        if (keepStaged) {
+          // strip ONLY the matching stage tag; any OTHER #wap= tag
+          // still on the manifest means a second unaudited stage is
+          // stacked here, and committing without it would publish
+          // that stage's files too — fail loudly instead (stage()
+          // rejects stacking, so this guards legacy/external tables)
+          val kept = tags.filterNot(_ == WapTag + auditId)
+          val stacked = kept.filter(_.startsWith(WapTag))
+          require(stacked.isEmpty,
+            s"cannot publish '$auditId': v$cur also carries unaudited " +
+              s"stage(s) ${stacked.map(_.stripPrefix(WapTag)).mkString(", ")} " +
+              "— publishing would leak their files; reject or audit them first")
+          (Snapshot.filesOf(fs, root, cur), kept)
+        } else {
+          val pub = publishedVersion(spark, dir)
+          // the published tags are COPIED onto a new version — run
+          // them through the same expiry every mutation applies, so
+          // stale idempotency tags cannot be resurrected past their
+          // retention window
+          (Snapshot.filesOf(fs, root, pub),
+            SnapshotOps.expireTags(Snapshot.tagsOf(fs, root, pub), cur + 1))
+        }
+      Snapshot.commit(fs, root, files, cur, newTags,
+        baseFiles = Some(Snapshot.filesOf(fs, root, cur)))
+    }
     Snapshot.vacuum(fs, root)
     v
   }

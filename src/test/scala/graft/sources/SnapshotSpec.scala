@@ -818,6 +818,47 @@ class SnapshotSpec extends SparkSpec {
       good.select("event_id").collect().map(_.getLong(0)))
   }
 
+  test("WAP: a second stage on top of an unaudited one is rejected, and " +
+       "publish refuses a manifest carrying another stage's #wap= tag") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapwapstack")
+      .toString
+    val events = graft.Tables.events(spark, sf)
+      .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+    SnapshotOps.append(spark, dir, events, "date", Some("wapstack-base"))
+    val w1 = events.filter(col("event_id") < 20)
+      .withColumn("event_id", col("event_id") + lit(7100000L))
+    SnapshotWap.stage(spark, dir, w1, "date", "s1")
+    // stacking: staging s2 while s1 is unaudited must fail loudly —
+    // publishing either would expose the other's unaudited files
+    intercept[IllegalArgumentException] {
+      SnapshotWap.stage(spark, dir, w1
+        .withColumn("event_id", col("event_id") + lit(1000L)),
+        "date", "s2")
+    }
+    // re-staging the SAME audit id stays idempotent-friendly (no
+    // self-block); finalize normally
+    SnapshotWap.reject(spark, dir, "s1")
+    // legacy/external stacking (two #wap= tags hand-committed onto
+    // one manifest): publish must refuse rather than leak the other
+    // stage, whatever the tag order
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = Snapshot.currentVersion(fs, root).get
+    Snapshot.commit(fs, root, Snapshot.filesOf(fs, root, cur), cur,
+      Snapshot.tagsOf(fs, root, cur) ++ Seq("#wap=sA", "#wap=sB"),
+      baseFiles = Some(Snapshot.filesOf(fs, root, cur)))
+    intercept[IllegalArgumentException] {
+      SnapshotWap.publish(spark, dir, "sA")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotWap.publish(spark, dir, "sB")
+    }
+    // reject still works (reverts to the published file set) and the
+    // published read never saw any staged state
+    SnapshotWap.reject(spark, dir, "sA")
+    assert(SnapshotWap.readPublished(spark, dir).count() == events.count())
+  }
+
   test("metadata-only aggregates come from the manifest alone: exact " +
        "per-partition count/min/max, proven zero-data-IO by corrupting " +
        "every data file, and loud on a table without row counts") {
