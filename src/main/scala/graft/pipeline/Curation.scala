@@ -702,11 +702,19 @@ object Curation {
         explode(split(TextAnalysis.normText(col("text")), " ")).as("term"))
       .groupBy("doc_id", "lang", "term")
       .agg(count(lit(1)).cast("long").as("tf"))
+    // the vocab-sized term relation PERSISTS before the scalar
+    // head(): without it the scalar job tokenizes the corpus once and
+    // the final plan tokenizes it AGAIN to rebuild termStats (exchange
+    // reuse only saves the intra-plan twin, not the scalar job) — one
+    // avoidable full-corpus pass at 100 TB. The cache is vocab-sized
+    // (|terms| rows), the memoized-artifact discipline of this file;
+    // the scalar aggregate below is also what materializes it.
     val termStats = docTf
       .groupBy("term")
       .agg(sum("tf").as("fc"),
         sum(when(col("lang") === targetLang, col("tf")).otherwise(0L))
           .as("ft"))
+      .cache()
     val s = termStats
       .agg(sum("fc").cast("long"), sum("ft").cast("long"),
         count(lit(1)).cast("long")).head()

@@ -51,6 +51,20 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 corpus scan, saw $scans:\n$p")
   }
 
+  test("dsir_weights' final plan tokenizes the corpus exactly once " +
+       "(termStats served from the persisted vocab-sized cache)") {
+    val df = graft.pipeline.Curation.dsirWeights(spark, sf01)
+    val p = plan(df)
+    // the ratio side must come from the cache, not a second explode
+    // lineage: exactly one Generate ABOVE the InMemoryRelation
+    // boundary (the relation prints its own build plan below it)
+    val live = p.split("InMemoryRelation").head
+    val gens = "Generate explode".r.findAllIn(live).size
+    assert(gens == 1, s"expected 1 live corpus explode, saw $gens:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"termStats not served from cache:\n$p")
+  }
+
   test("q5 broadcasts the small dims (region/nation)") {
     val p = plan(Analytics.q5Join(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
