@@ -479,6 +479,32 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM pub GROUP BY 1, 2 ORDER BY 1, 2")),
+    // schema evolution ON the snapshot layer: add-column as one
+    // metadata-only commit (schema tag in the manifest root, every
+    // shard pointer reused), merged reads NULL-fill from the declared
+    // schema with no footer IO, the tag carries forward through
+    // evolution-unaware mutations — the hash gate rolls up all three
+    // writer generations with the null counts in the output
+    ("snapshot_schema_evolution",
+      (s: SparkSession, d: String) =>
+        graft.sources.SnapshotSchema.snapshotSchemaEvolution(s, d),
+      Some("WITH e AS (SELECT event_id, CAST(ts AS DATE) AS date, " +
+        "user_id, event_type FROM events), " +
+        "b AS (SELECT event_type, date, event_id, " +
+        "CAST(NULL AS BIGINT) AS quality_bp FROM e), " +
+        "w AS (SELECT event_type, date, event_id + 4000000000 AS event_id, " +
+        "((event_id + 4000000000) % 97) * 100 AS quality_bp FROM e " +
+        "WHERE user_id % 13 = 5), " +
+        "p AS (SELECT event_type, date, event_id + 5000000000 AS event_id, " +
+        "CAST(NULL AS BIGINT) AS quality_bp FROM e WHERE user_id % 17 = 3), " +
+        "u AS (SELECT * FROM b UNION ALL SELECT * FROM w " +
+        "UNION ALL SELECT * FROM p) " +
+        "SELECT event_type, CAST(date AS VARCHAR) AS date, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "CAST(sum(CASE WHEN quality_bp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_q, " +
+        "CAST(sum(coalesce(quality_bp, 0)) AS BIGINT) AS sum_q " +
+        "FROM u GROUP BY 1, 2 ORDER BY 1, 2")),
     // the change feed consumed as a STREAM (the batch poll loop's
     // Structured Streaming sibling): partitioned file source over the
     // follower's version= delta dirs, streaming rollup, AvailableNow
@@ -2444,7 +2470,7 @@ object SparkEntry {
     "snapshot_upsert", "snapshot_time_travel", "snapshot_changes",
     "snapshot_compact", "snapshot_ingest_stream",
     "snapshot_changes_follow", "snapshot_cdc_stream", "snapshot_wap",
-    "snapshot_restore",
+    "snapshot_restore", "snapshot_schema_evolution",
     "corpus_nightly_build", "quality_classifier",
     "snapshot_skipping", "snapshot_cluster", "snapshot_agg_pushdown",
     "snapshot_point_lookup",
