@@ -294,20 +294,22 @@ object Dedup {
     * ride the bucket shuffle). The two rehydration exchanges are
     * identical, so the second is a ReusedExchange.
     *
-    * `bucketCap` (production knob, default off — the gate stays the
-    * exact pair set): buckets whose occupancy exceeds the cap emit a
-    * STAR (every member paired with the bucket's min doc_id) instead
-    * of the full clique — n−1 candidates instead of n(n−1)/2. The
-    * r11 decade metrics (tools.DedupMetrics) showed candidate volume
-    * growing 22× for 10× data once duplicate clusters densify (a
-    * cluster of n near-identical docs is n²/2 pairs by definition);
-    * the cap bounds LISTING cost per hot bucket while preserving
-    * what dedup actually consumes — CONNECTIVITY (components via the
-    * hub; spec-asserted label equality on the gate corpus). Recall
-    * shape: a true pair suppressed in one over-cap bucket is still
-    * listed by any of its other `bands−1` band buckets that stay
-    * under cap, and near-identical docs collide on most bands. Size
-    * the cap from the `dedup_band_stats` histogram.
+    * `bucketCap` (default off here — the `dedup_lsh_verify` gate row
+    * stays the exact pair set; the CLUSTERING consumers select it via
+    * [[autoBucketCap]]): buckets whose occupancy exceeds the cap emit
+    * a STAR (every member paired with the bucket's min doc_id)
+    * instead of the full clique — n−1 candidates instead of n(n−1)/2.
+    * The r11 decade metrics (tools.DedupMetrics) showed candidate
+    * volume growing 22× for 10× data once duplicate clusters densify
+    * (a cluster of n near-identical docs is n²/2 pairs by
+    * definition); the cap bounds LISTING cost per hot bucket while
+    * preserving what dedup actually consumes — CONNECTIVITY
+    * (components via the hub; spec-asserted label equality at a
+    * forced tiny cap). Recall shape: a true pair suppressed in one
+    * over-cap bucket is still listed by any of its other `bands−1`
+    * band buckets that stay under cap, and near-identical docs
+    * collide on most bands. [[autoBucketCap]] sizes the arm from the
+    * persisted `dedup_band_stats` histogram.
     */
   def lshJaccardPairs(spark: SparkSession, dir: String,
                       minBp: Long = 6500, numPerm: Int = 64,
@@ -324,17 +326,11 @@ object Dedup {
     require(missAtThreshold < 1e-6,
       f"banding $bands×$rows misses J=${minBp / 10000.0}%.2f pairs with " +
         f"p=$missAtThreshold%.2e — use more bands (rows=1 for low thresholds)")
-    val g = normed(spark, dir)
-      .withColumn("sh", array_sort(shingles("txt")))
-      .select(col("doc_id"), col("lang"), col("source"), col("sh"),
-        size(col("sh")).as("nsh"),
-        minhash_signature(col("sh"), numPerm).as("sig"))
-    val bandKeys = (0 until bands).map { bnd =>
-      val slice = (0 until rows)
-        .map(r => s"sig[${bnd * rows + r}]").mkString(", ")
-      expr(s"xxhash64(lang, source, $bnd, $slice)")
-    }
-    val keyed = g.select(col("doc_id"), explode(array(bandKeys: _*)).as("bh"))
+    // same signing + band keys as the persisted dedup_band_stats
+    // index ([[bandKeyExprs]]) — which is what lets [[autoBucketCap]]
+    // select this join's arm from that artifact's histogram
+    val g = signedDocs(normed(spark, dir), numPerm)
+    val keyed = bandKeyed(g, numPerm, bands)
     val cand0 = bucketCap match {
       case None =>
         keyed.as("ka")
@@ -534,17 +530,68 @@ object Dedup {
     * (the `storage_stats` discipline).
     */
   def dedupBandStats(spark: SparkSession, dir: String,
-                     numPerm: Int = 64, bands: Int = 32): DataFrame = {
-    if (bandStatsBuilt.add((spark.sparkContext.applicationId, dir)))
-      bandKeyed(signedDocs(normed(spark, dir), numPerm), numPerm, bands)
-        .write.mode("overwrite").parquet(s"$BandStatsGatePath/index")
-    spark.read.parquet(s"$BandStatsGatePath/index")
+                     numPerm: Int = 64, bands: Int = 32): DataFrame =
+    spark.read.parquet(bandStatsIndex(spark, dir, numPerm, bands))
       .groupBy("bh").agg(count(lit(1)).as("occ"))
       .groupBy("occ")
       .agg(count(lit(1)).as("n_buckets"),
         expr("count(*) * occ * (occ - 1) div 2").as("cand_pairs"))
       .orderBy("occ")
+
+  /** The persisted full-corpus band-key index behind
+    * [[dedupBandStats]] (built once per session at the fixed gate
+    * path; written at corpus layout time in production) — ALSO the
+    * selection surface [[autoBucketCap]] probes, because these keys
+    * are byte-identical to [[lshJaccardPairs]]' bucket keys (same
+    * [[bandKeyExprs]], same defaults).
+    */
+  private[pipeline] def bandStatsIndex(spark: SparkSession, dir: String,
+                                       numPerm: Int = 64,
+                                       bands: Int = 32): String = {
+    if (bandStatsBuilt.add((spark.sparkContext.applicationId, dir)))
+      bandKeyed(signedDocs(normed(spark, dir), numPerm), numPerm, bands)
+        .write.mode("overwrite").parquet(s"$BandStatsGatePath/index")
+    s"$BandStatsGatePath/index"
   }
+
+  /** Hot-bucket occupancy above which [[lshJaccardPairs]]' candidate
+    * join switches the OVER-CAP buckets to star listing (and the cap
+    * value itself): a bucket of occupancy k costs C(k,2) candidate
+    * pairs as a clique but k−1 as a star, and past ~64 the clique's
+    * quadratic term dominates the whole join (measured at sf10: max
+    * occupancy ~300, listing wall 334 s → 125 s with the cap).
+    */
+  val BucketCapThreshold: Int = 64
+
+  private val capCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Option[Int]]
+
+  /** Cap ARM SELECTION — the knn_join footer-derived-choice template
+    * applied to LSH density: probe the persisted band-occupancy
+    * artifact ([[bandStatsIndex]] — what `dedup_band_stats` maintains
+    * at corpus layout time) with one tiny parquet aggregate, and turn
+    * the star cap on only when some bucket exceeds
+    * [[BucketCapThreshold]]. Low-density corpora (every gate sf) keep
+    * the exact clique join — the cap binds exactly where the measured
+    * quadratic blow-up lives. Memoized per (session, dir): the answer
+    * changes only when the corpus does.
+    *
+    * Why capped labels stay correct (PipelineSpec asserts equality at
+    * a forced tiny cap): a star keeps every over-cap bucket CONNECTED
+    * through its hub when the bucket is a true near-dup clique, and a
+    * true pair listed only as a dropped clique edge still surfaces
+    * through its other band buckets — at J ≥ 0.65 with 32 one-row...
+    * 32 bands × 2 rows, the chance a true pair collides in NO other
+    * band is (1 − J²)^(bands−1) ≈ 4e−8 — while false-collision edges
+    * were never going to survive the exact verify anyway.
+    */
+  def autoBucketCap(spark: SparkSession, dir: String): Option[Int] =
+    capCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val maxOcc = spark.read.parquet(bandStatsIndex(spark, dir))
+        .groupBy("bh").agg(count(lit(1)).as("occ"))
+        .agg(max("occ")).head().getLong(0)
+      if (maxOcc > BucketCapThreshold) Some(BucketCapThreshold) else None
+    })
 
   /** The exploded full-corpus band keys — instrumentation surface for
     * [[graft.tools.DedupMetrics]] (candidate-volume accounting per
@@ -937,8 +984,18 @@ object Dedup {
   }
 
   private def computeClusterLabels(spark: SparkSession, dir: String,
-                                   minBp: Long): DataFrame = {
-    val pairs = lshJaccardPairs(spark, dir, minBp)
+                                   minBp: Long): DataFrame =
+    clusterLabelsWithCap(spark, dir, minBp, autoBucketCap(spark, dir))
+
+  /** [[computeClusterLabels]] at an EXPLICIT cap — the spec surface
+    * that proves star-listing preserves component labels (capped vs
+    * uncapped equality), and the path the auto selection routes
+    * through.
+    */
+  private[pipeline] def clusterLabelsWithCap(spark: SparkSession,
+                                             dir: String, minBp: Long,
+                                             cap: Option[Int]): DataFrame = {
+    val pairs = lshJaccardPairs(spark, dir, minBp, bucketCap = cap)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val nodes = Tables.documents(spark, dir)
       .select(col("doc_id").as("node"))
@@ -985,7 +1042,11 @@ object Dedup {
   def unionEdges(spark: SparkSession, dir: String,
                  includeCdc: Boolean = true,
                  embIvf: Boolean = true): DataFrame = {
-    val ngram = lshJaccardPairs(spark, dir, minBp = 6500)
+    // the production edge source runs at the AUTO-SELECTED cap: exact
+    // clique join at gate densities, hot-bucket star listing once the
+    // band histogram shows over-threshold occupancy (sf10+)
+    val ngram = lshJaccardPairs(spark, dir, minBp = 6500,
+        bucketCap = autoBucketCap(spark, dir))
       .select(col("doc_a"), col("doc_b"), lit(NgramBit).as("m"))
     val winnow = winnowPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), lit(WinnowBit).as("m"))

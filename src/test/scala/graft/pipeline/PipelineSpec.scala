@@ -37,6 +37,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("autoBucketCap selects the exact arm at gate density and the " +
+       "production cluster path yields identical labels at a forced cap") {
+    // selection: the band-occupancy probe answers (memoized) and at
+    // gate density must keep the exact clique join — the hash gates
+    // depend on the registered path staying the exact pair set here
+    val cap = Dedup.autoBucketCap(spark, sf01)
+    cap.foreach(c => assert(c == Dedup.BucketCapThreshold))
+    // the production path (clusterLabelsWithCap is what clusters()
+    // routes through) yields the SAME component labels whether the
+    // star cap is forced tiny or off — connectivity is what dedup
+    // consumes, and the hub preserves it
+    val auto = Dedup.clusterLabelsWithCap(spark, sf01, 6500, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val forced = Dedup.clusterLabelsWithCap(spark, sf01, 6500, Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == forced,
+      s"capped labels diverge: ${(auto -- forced).take(5)} vs ${(forced -- auto).take(5)}")
+  }
+
   test("occupancy-capped LSH bounds hot-bucket listing and preserves " +
        "dedup components (the production knob for densifying clusters)") {
     val exact = Dedup.lshJaccardPairs(spark, sf01, minBp = 6500).collect()
