@@ -421,6 +421,22 @@ object Snapshot {
           fs.delete(st.getPath, false)
       }
     }
+    // bloom SIDECARS referenced by no kept shard line are expired (or
+    // never-committed) filter files — same modtime grace as shards,
+    // for the same live-writer reason. Content addressing makes the
+    // name test exact: a name appears in a shard line iff that
+    // version references those bytes.
+    val bdir = new Path(metaPath(root), "blooms")
+    if (fs.exists(bdir)) {
+      val keptNames: Set[String] = kept.flatMap(v =>
+        linesOf(fs, root, v).flatMap(l =>
+          SnapshotStats.SidecarRe.findAllMatchIn(l).map(_.group(1)))).toSet
+      fs.listStatus(bdir).filter(_.isFile).foreach { st =>
+        if (!keptNames(st.getPath.getName) &&
+            now - st.getModificationTime > stageGraceMs)
+          fs.delete(st.getPath, false)
+      }
+    }
   }
 
   /** One-time migration of a `partitionBy` layout into snapshot

@@ -88,6 +88,63 @@ object SnapshotStats {
     */
   private def bloomKey(c: String): String = c + "#bloom"
 
+  /** Filter bytes at or under this stay base64-INLINE in the shard
+    * line; larger ones spill to content-addressed SIDECAR files under
+    * `_graft_snapshots/blooms/`, with the shard line carrying only a
+    * `@<name>` reference — the continuation SURVEY §4 names past the
+    * embedded bound (~10⁵ files × 8 KB ≈ gigabytes of base64 in the
+    * shards): shard size stays bounded at any bits/file, the probe
+    * pays one extra read per REFERENCED file it actually touches, and
+    * the content address (md5 of the bytes) makes rewrites idempotent
+    * and carry-forward free. The default keeps gate-scale filters
+    * (8 KB at the 65536-bit floor) inline.
+    */
+  val BloomInlineMaxBytes: Int = 65536
+
+  private def bloomsDir(root: Path) =
+    new Path(new Path(root, Snapshot.MetaDir), "blooms")
+
+  /** Matchable name of a sidecar reference inside an encoded suffix
+    * field (base64 never contains '@'). [[Snapshot.vacuum]] greps kept
+    * shard text for these names when reaping unreferenced sidecars.
+    */
+  private[sources] val SidecarRe = "(?:@|%40)([0-9a-f]{32}\\.bloom)".r
+
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                           bytes: Array[Byte]): String = {
+    val name = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString + ".bloom"
+    val dir = bloomsDir(root)
+    fs.mkdirs(dir)
+    val p = new Path(dir, name)
+    if (!fs.exists(p)) {
+      // content-addressed: a concurrent writer producing the same
+      // bytes writes the same content — create-no-overwrite races
+      // are benign, the loser's content is already there
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+      } catch { case _: java.io.IOException if fs.exists(p) => () }
+    }
+    s"@$name"
+  }
+
+  /** Resolve a bloom suffix value to filter bytes: inline base64 or a
+    * `@name` sidecar reference.
+    */
+  private def bloomBytesOf(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                           value: String): Array[Byte] =
+    if (value.startsWith("@")) {
+      val in = fs.open(new Path(bloomsDir(root), value.stripPrefix("@")))
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    } else java.util.Base64.getDecoder.decode(value)
+
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
@@ -153,7 +210,8 @@ object SnapshotStats {
     */
   def collectStats(spark: SparkSession, dir: String, files: Seq[String],
                    cols: Seq[String],
-                   blooms: Seq[BloomSpec] = Nil): Map[String, String] = {
+                   blooms: Seq[BloomSpec] = Nil,
+                   bloomInlineMax: Int = BloomInlineMaxBytes): Map[String, String] = {
     if (files.isEmpty || (cols.isEmpty && blooms.isEmpty)) return Map.empty
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -189,10 +247,14 @@ object SnapshotStats {
         blooms.zipWithIndex.map { case (b, i) =>
           // bytes → base64 driver-side (the no-linebreak JDK encoder;
           // Spark SQL's base64 is MIME-chunked, which would embed
-          // newlines in a one-line shard format)
+          // newlines in a one-line shard format); filters over the
+          // inline budget spill to content-addressed sidecar files
           bloomKey(b.col) -> ColStats("B",
-            Option(r.getAs[Array[Byte]](bloomBase + i))
-              .map(java.util.Base64.getEncoder.encodeToString), None)
+            Option(r.getAs[Array[Byte]](bloomBase + i)).map { bytes =>
+              if (bytes.length <= bloomInlineMax)
+                java.util.Base64.getEncoder.encodeToString(bytes)
+              else writeSidecar(fs, root, bytes)
+            }, None)
         })
       rel -> suffix
     }.toMap
@@ -219,9 +281,11 @@ object SnapshotStats {
     * the whole shard line); returns the committed version.
     */
   def bloomify(spark: SparkSession, dir: String,
-               specs: Seq[BloomSpec]): Long = {
+               specs: Seq[BloomSpec],
+               bloomInlineMax: Int = BloomInlineMaxBytes): Long = {
     require(specs.nonEmpty, "bloomify needs at least one column spec")
-    refreshMeta(spark, dir, newStatCols = None, newBlooms = Some(specs))
+    refreshMeta(spark, dir, newStatCols = None, newBlooms = Some(specs),
+      bloomInlineMax = bloomInlineMax)
   }
 
   /** Shared [[statsify]]/[[bloomify]] core: recollect BOTH metadata
@@ -233,7 +297,8 @@ object SnapshotStats {
     */
   private def refreshMeta(spark: SparkSession, dir: String,
                           newStatCols: Option[Seq[String]],
-                          newBlooms: Option[Seq[BloomSpec]]): Long = {
+                          newBlooms: Option[Seq[BloomSpec]],
+                          bloomInlineMax: Int = BloomInlineMaxBytes): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     Snapshot.recoverMeta(fs, root)
@@ -241,7 +306,8 @@ object SnapshotStats {
     val oldTags = Snapshot.tagsOf(fs, root, p.version)
     val cols = newStatCols.getOrElse(statsColsOf(oldTags))
     val blooms = newBlooms.getOrElse(bloomColsOf(oldTags))
-    val stats = collectStats(spark, dir, p.files, cols, blooms)
+    val stats = collectStats(spark, dir, p.files, cols, blooms,
+      bloomInlineMax)
     val kept = oldTags.filterNot(t =>
       t.startsWith(StatsColsTag) || t.startsWith(BloomColsTag))
     val tags = kept ++
@@ -536,8 +602,10 @@ object SnapshotStats {
     val lines = Snapshot.linesOf(fs, root, v)
     val kept = lines.map(parseLine).collect {
       case (path, stats) if spec.isEmpty ||
-        stats.get(bloomKey(colName)).flatMap(_.min).forall { b64 =>
-          val bytes = java.util.Base64.getDecoder.decode(b64)
+        stats.get(bloomKey(colName)).flatMap(_.min).forall { value =>
+          // inline base64 or a @sidecar reference — same probe either
+          // way; sidecar reads are per-file the probe actually touches
+          val bytes = bloomBytesOf(fs, root, value)
           keys.exists {
             case l: Long =>
               graft.functions.BloomAgg.mayContain(bytes, l, spec.get.hashes)

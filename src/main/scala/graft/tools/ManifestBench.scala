@@ -73,7 +73,35 @@ object ManifestBench {
     val rootBytes = fs.getFileStatus(new Path(
       new Path(root, Snapshot.MetaDir), f"v$v2%08d.manifest")).getLen
 
-    println(s"""{"metric":"manifest_bench","n_files":$nFiles,"n_parts":$nParts,"bootstrap_commit_sec":${f2(bootSec)},"full_read_sec":${f2(readSec)},"churn_commit_sec":${f2(churnSec)},"pruned_read_sec":${f2(pruneSec)},"shards_rewritten_on_churn":$rewritten,"root_bytes":$rootBytes,"flat_manifest_bytes":$flatBytes,"flat_write_sec":${f2(flatWriteSec)}}""")
+    // bloom-weight bound (SURVEY §4): the same partition's shard with
+    // per-file 65536-bit filters carried INLINE (base64 in the shard
+    // line) vs as content-addressed SIDECAR references — the r12
+    // continuation past the documented ~10⁵-file embedded bound. One
+    // partition stands in for all (shards are per-partition).
+    def bloomSuffix(value: String) = s"event_id%23bloom:B:$value:"
+    val partFiles = files2.filter(_.startsWith(touched + "/"))
+    val inlineB64 = java.util.Base64.getEncoder
+      .encodeToString(new Array[Byte](8192))
+    val (v3, inlineShardBytes) = {
+      val v = Snapshot.commit(fs, root, files2, v2,
+        baseFiles = Some(files2),
+        stats = partFiles.map(f => f -> bloomSuffix(inlineB64)).toMap)
+      val shard = Snapshot.shardRefsOf(fs, root, v).toMap.apply(touched)
+      (v, fs.getFileStatus(new Path(
+        new Path(new Path(root, Snapshot.MetaDir), "shards"), shard)).getLen)
+    }
+    val (_, sidecarShardBytes) = {
+      val ref = "@" + "ab12cd34" * 4 + ".bloom"
+      val v = Snapshot.commit(fs, root, files2, v3,
+        baseFiles = Some(files2),
+        stats = partFiles.map(f =>
+          f -> bloomSuffix(java.net.URLEncoder.encode(ref, "UTF-8"))).toMap)
+      val shard = Snapshot.shardRefsOf(fs, root, v).toMap.apply(touched)
+      (v, fs.getFileStatus(new Path(
+        new Path(new Path(root, Snapshot.MetaDir), "shards"), shard)).getLen)
+    }
+
+    println(s"""{"metric":"manifest_bench","n_files":$nFiles,"n_parts":$nParts,"bootstrap_commit_sec":${f2(bootSec)},"full_read_sec":${f2(readSec)},"churn_commit_sec":${f2(churnSec)},"pruned_read_sec":${f2(pruneSec)},"shards_rewritten_on_churn":$rewritten,"root_bytes":$rootBytes,"flat_manifest_bytes":$flatBytes,"flat_write_sec":${f2(flatWriteSec)},"bloom_part_files":${partFiles.size},"inline_bloom_shard_bytes":$inlineShardBytes,"sidecar_bloom_shard_bytes":$sidecarShardBytes}""")
 
     // scratch cleanup
     fs.delete(root, true)

@@ -818,6 +818,71 @@ class SnapshotSpec extends SparkSpec {
       good.select("event_id").collect().map(_.getLong(0)))
   }
 
+  test("bloom sidecars: past the inline budget the filters live in " +
+       "content-addressed sidecar files, the probe prunes identically, " +
+       "and vacuum reaps only unreferenced sidecars") {
+    import org.apache.hadoop.fs.Path
+    def build(inlineMax: Int): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snapbloomside").toString
+      val events = graft.Tables.events(spark, sf)
+        .withColumn("date", expr("date(timestamp_micros(ts div 1000))"))
+        .withColumn("wk", expr("concat(date_format(date, 'yyyy-MM'), " +
+          "'-w', cast((day(date) - 1) div 7 as string))"))
+      // three range batches → multiple files with disjoint id ranges
+      val m = events.agg(max("event_id")).head().getLong(0)
+      (0 until 3).foreach { i =>
+        SnapshotOps.append(spark, dir,
+          events.filter(col("event_id") % 3 === i), "wk", Some(s"bs-$i"))
+      }
+      SnapshotStats.bloomify(spark, dir,
+        Seq(SnapshotStats.BloomSpec("event_id", 65536, 5)),
+        bloomInlineMax = inlineMax)
+      dir
+    }
+    val inlineDir = build(Int.MaxValue)
+    val sideDir = build(0) // every filter forced to a sidecar
+    val root = new Path(sideDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = Snapshot.currentVersion(fs, root).get
+    // shard lines carry @refs, not base64 — and are BOUNDED (a ref is
+    // ~40 B where the 65536-bit filter's base64 is ~11 KB)
+    val lines = Snapshot.linesOf(fs, root, v)
+    assert(lines.forall(l => SnapshotStats.SidecarRe.findFirstIn(l).isDefined),
+      s"no sidecar ref in: ${lines.head.take(200)}")
+    assert(lines.forall(_.length < 1024),
+      s"sidecar shard line not bounded: ${lines.map(_.length).max} chars")
+    val blooms = new Path(new Path(root, Snapshot.MetaDir), "blooms")
+    assert(fs.listStatus(blooms).count(_.isFile) > 0)
+    // the probe prunes EXACTLY like the inline twin and reads right
+    val keys: Seq[Any] = Seq(1L, 5L, 11L)
+    val (keptS, totS) = SnapshotStats.lookupPlan(spark, sideDir, "event_id", keys)
+    val (keptI, totI) = SnapshotStats.lookupPlan(spark, inlineDir, "event_id", keys)
+    assert(totS == totI)
+    // identical filter bytes either side (content only moved), so the
+    // kept-set CARDINALITY matches exactly
+    assert(keptS.size == keptI.size,
+      s"sidecar kept ${keptS.size}, inline kept ${keptI.size}")
+    assert(keptS.size < totS, "sidecar blooms pruned nothing")
+    val got = SnapshotStats.readLookup(spark, sideDir, "event_id", keys)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = graft.Tables.events(spark, sf)
+      .filter(col("event_id").isin(keys: _*))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // vacuum: referenced sidecars survive a zero-grace sweep; an
+    // orphan (planted) is reaped
+    val orphan = new Path(blooms, "0" * 32 + ".bloom")
+    val out = fs.create(orphan, false); out.write(Array[Byte](1)); out.close()
+    Snapshot.vacuum(fs, root, stageGraceMs = 0L)
+    assert(!fs.exists(orphan), "unreferenced sidecar survived vacuum")
+    assert(fs.listStatus(blooms).count(_.isFile) > 0,
+      "referenced sidecars reaped")
+    // and the probe still works post-vacuum
+    assert(SnapshotStats.readLookup(spark, sideDir, "event_id", keys)
+      .count() == want.size)
+  }
+
   test("WAP: a second stage on top of an unaudited one is rejected, and " +
        "publish refuses a manifest carrying another stage's #wap= tag") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snapwapstack")
