@@ -84,11 +84,14 @@ object Components {
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO)).as("s"))
         .head().getDecimal(0)
+    val debug = sys.props.get("graft.cc.debug").contains("true") ||
+      sys.env.get("GRAFT_CC_DEBUG").contains("true")
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
+      val rt0 = System.nanoTime()
       val nbrMin = sym.join(labels, sym("b") === labels("node"))
         .groupBy(sym("a").as("n")).agg(min("label").as("nbr_label"))
       val stepped = labels.join(nbrMin, labels("node") === nbrMin("n"), "left")
@@ -107,6 +110,9 @@ object Components {
       prevSum = newSum
       drop(labels)
       labels = jumped
+      if (debug)
+        System.err.println(
+          f"[cc] round $round ${(System.nanoTime() - rt0) / 1e9}%.2f s converged=$converged")
     }
     drop(sym)
     labels

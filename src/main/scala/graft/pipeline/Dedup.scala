@@ -26,6 +26,25 @@ object Dedup {
   private def normed(spark: SparkSession, dir: String): DataFrame =
     normedOf(Tables.documents(spark, dir))
 
+  /** Materialize a per-invocation intermediate ONCE (eager
+    * localCheckpoint behind a fresh-leaf frame, the
+    * [[graft.operators.Components]] `cut` discipline) so a frame
+    * consumed by several plan branches is computed a single time.
+    * The detectors' signature/fingerprint frames are each read by
+    * 2–4 branches (bucket self-join sides + rehydration sides);
+    * without the cut, each branch re-runs the scan + shingle + sign
+    * pass — at 100 TB that is 2–4 full corpus passes where one is
+    * enough (guide §1.2 step 1: don't compute things twice). Blocks
+    * are MEMORY_AND_DISK and freed by the ContextCleaner once the
+    * invocation's result is unreachable; nothing persists across
+    * invocations, so every bench/oracle sample still computes from
+    * the parquet inputs.
+    */
+  private[pipeline] def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(df.rdd, df.schema).localCheckpoint(true)
+  }
+
   /** The shared normalization projection, usable on a batch table or
     * an arriving stream alike.
     */
@@ -216,10 +235,10 @@ object Dedup {
                         docSlice: Option[String] = None): DataFrame = {
     val base = docSlice.foldLeft(normed(spark, dir))((df, h) =>
       df.filter(substring(md5(col("doc_id").cast("string")), 1, 1) < lit(h)))
-    val g = base
+    val g = materialize(base
       .withColumn("sh", array_sort(shingles("txt")))
       .select(col("doc_id"), col("lang"), col("source"), col("sh"),
-        size(col("sh")).as("nsh"))
+        size(col("sh")).as("nsh")))
     val a = g.as("a")
     val b = g.as("b")
     // pin a shuffle-hash join on the block key: the build side per
@@ -329,7 +348,7 @@ object Dedup {
     // same signing + band keys as the persisted dedup_band_stats
     // index ([[bandKeyExprs]]) — which is what lets [[autoBucketCap]]
     // select this join's arm from that artifact's histogram
-    val g = signedDocs(normed(spark, dir), numPerm)
+    val g = materialize(signedDocs(normed(spark, dir), numPerm))
     val keyed = bandKeyed(g, numPerm, bands)
     val cand0 = bucketCap match {
       case None =>
@@ -416,7 +435,7 @@ object Dedup {
                        minBp: Long = 6500, numPerm: Int = 64,
                        bands: Int = 32): DataFrame = {
     requireBanding(minBp, numPerm, bands)
-    val g = signedDocs(normed(spark, dir), numPerm)
+    val g = materialize(signedDocs(normed(spark, dir), numPerm))
     val isNew = col("doc_id") % 7 === 0
     incrementalCore(g.filter(isNew),
       bandKeyed(g.filter(!isNew), numPerm, bands),
@@ -1104,7 +1123,7 @@ object Dedup {
     */
   def winnowPairs(spark: SparkSession, dir: String,
                   minShared: Long = 20, maxDf: Long = 50): DataFrame = {
-    val fps = graft.pipeline.TextAnalysis.winnowFps(spark, dir)
+    val fps = materialize(graft.pipeline.TextAnalysis.winnowFps(spark, dir))
     val rare = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

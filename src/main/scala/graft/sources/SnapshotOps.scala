@@ -49,6 +49,21 @@ object SnapshotOps {
   case class MutationStats(version: Long, partitions: Seq[String],
                            retiredFiles: Long, newFiles: Long)
 
+  /** Optimization-round observability (GRAFT_SNAP_DEBUG=true): phase
+    * wall timings of the mutation core to stderr, so bench seconds
+    * attribute to plan-scan vs staged-write vs stats vs commit.
+    */
+  private val snapDebug = sys.env.get("GRAFT_SNAP_DEBUG").contains("true")
+  @inline private def phase[T](name: String)(f: => T): T =
+    if (!snapDebug) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[snap] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** Test seam: invoked immediately before each commit attempt.
     * SnapshotSpec injects a conflicting winner here to force the
     * optimistic-retry path deterministically.
@@ -125,9 +140,16 @@ object SnapshotOps {
              keyCol: String, partCol: String): MutationStats = {
     val b = batch.withColumn(partCol, col(partCol).cast("string")).cache()
     try {
-      val nBatch = b.count()
-      require(b.select(keyCol).distinct().count() == nBatch,
-        s"upsert batch carries duplicate $keyCol values")
+      // one aggregate answers both the batch size and the duplicate
+      // guard — the two separate count jobs this replaces were each a
+      // full pass over the (cached) batch
+      val nBatch = phase("upsert:batch-prep") {
+        val r = b.agg(count(lit(1)), count_distinct(col(keyCol))).head()
+        val n = r.getLong(0)
+        require(r.getLong(1) == n,
+          s"upsert batch carries duplicate $keyCol values")
+        n
+      }
       if (nBatch == 0) {
         val root = new Path(dir)
         val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -138,7 +160,7 @@ object SnapshotOps {
       mutate(spark, dir, keys, keyCol,
         incomingParts = b.select(partCol).distinct()
           .collect().map(_.getString(0)).toSeq,
-        incomingOf = part => Some(b.filter(col(partCol) === part)))
+        incoming = Some(b), partCol = partCol)
     } finally b.unpersist()
   }
 
@@ -149,7 +171,7 @@ object SnapshotOps {
   def delete(spark: SparkSession, dir: String, keys: DataFrame,
              keyCol: String): MutationStats =
     mutate(spark, dir, keys.distinct(), keyCol,
-      incomingParts = Nil, incomingOf = _ => None)
+      incomingParts = Nil, incoming = None)
 
   /** Optimistic concurrency: a mutation that loses the commit race
     * ([[Snapshot.CommitConflict]] — another writer landed the next
@@ -182,14 +204,16 @@ object SnapshotOps {
     */
   private def mutate(spark: SparkSession, dir: String, keys: DataFrame,
                      keyCol: String, incomingParts: Seq[String],
-                     incomingOf: String => Option[DataFrame]): MutationStats =
+                     incoming: Option[DataFrame], partCol: String = ""): MutationStats =
     retryConflicts(3) {
-      attemptMutate(spark, dir, keys, keyCol, incomingParts, incomingOf)
+      attemptMutate(spark, dir, keys, keyCol, incomingParts, incoming,
+        partCol)
     }
 
   private def attemptMutate(spark: SparkSession, dir: String, keys: DataFrame,
                      keyCol: String, incomingParts: Seq[String],
-                     incomingOf: String => Option[DataFrame]): MutationStats = {
+                     incoming: Option[DataFrame],
+                     partCol: String): MutationStats = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     Snapshot.recoverMeta(fs, root)
@@ -202,51 +226,69 @@ object SnapshotOps {
     val rootUri = fs.makeQualified(root).toUri.getPath
     def relOf(f: String): String = new Path(f).toUri.getPath
       .stripPrefix(rootUri).stripPrefix("/")
-    val hitRels = Snapshot.readPin(spark, dir, p)
+    val hitRels = phase("mutate:plan-scan")(Snapshot.readPin(spark, dir, p)
       .withColumn("f", input_file_name())
       .join(bkeys, Seq(keyCol), "left_semi")
       .select("f").distinct()
-      .collect().map(r => relOf(r.getString(0))).toSet
+      .collect().map(r => relOf(r.getString(0))).toSet)
     def partOf(rel: String): String = rel.substring(0, rel.indexOf('/'))
     val affected = (hitRels.map(partOf) ++
       incomingParts.map(v => partDirOf(p, v))).toSeq.distinct.sorted
     if (affected.isEmpty)
       return MutationStats(p.version, Nil, 0L, 0L)
 
-    // one subplan per affected partition (kept rows ∪ incoming),
-    // tagged with its destination dir; schema resolved once
+    // ONE kept-rows subplan for ALL affected partitions (per-partition
+    // scan branches carry only a literal destination tag — no join),
+    // anti-joined against the broadcast keys ONCE, then unioned with
+    // the ONE destination-tagged incoming frame. The previous shape
+    // ran the anti-join per partition: O(affected partitions) join
+    // operators in a single plan, which at a thousand-partition
+    // correction feed is a planning-time problem (guide §7.3) and
+    // locally re-optimized/codegen'd N identical joins.
     val sch = spark.read.parquet(s"$dir/${p.files.head}").schema
-    val parts: Seq[(String, Option[DataFrame])] = affected.map { part =>
+    val keepBranches = affected.flatMap { part =>
       val partHits = p.files.filter(f => f.startsWith(s"$part/") && hitRels(f))
-      val keep =
-        if (partHits.isEmpty) None
-        else Some(spark.read.schema(sch)
-          .parquet(partHits.map(f => s"$dir/$f"): _*)
-          .join(bkeys, Seq(keyCol), "left_anti"))
-      val partValue = unescapePart(part.substring(part.indexOf('=') + 1))
-      val out = (keep, incomingOf(partValue)) match {
-        case (Some(k), Some(in)) => Some(k.unionByName(in))
-        case (Some(k), None) => Some(k)
-        case (None, Some(in)) => Some(in)
-        case (None, None) => None
-      }
-      (part, out)
+      if (partHits.isEmpty) None
+      else Some(spark.read.schema(sch)
+        .parquet(partHits.map(f => s"$dir/$f"): _*)
+        .withColumn(StageTag, lit(part)))
+    }
+    val keep =
+      if (keepBranches.isEmpty) None
+      else Some(keepBranches.reduce(_ unionByName _)
+        .join(bkeys, Seq(keyCol), "left_anti"))
+    // incoming rows route to their destination dir via a broadcast
+    // (value → dir) map — O(1) plan size however many partitions the
+    // batch lands in (a when-chain would grow the expression tree
+    // linearly). Rows with NULL/unknown part values drop, exactly as
+    // the previous per-partition equality filters dropped them.
+    val incomingTagged = incoming.map { b =>
+      import spark.implicits._
+      val dirByValue = incomingParts.filter(_ != null)
+        .map(v => v -> partDirOf(p, v)).distinct
+      val routes = dirByValue.toDF("__pv", StageTag)
+      b.join(broadcast(routes), b(partCol).cast("string") === col("__pv"))
+        .drop("__pv")
+    }
+    val out = (keep, incomingTagged) match {
+      case (Some(k), Some(in)) => Some(k.unionByName(in))
+      case (Some(k), None) => Some(k)
+      case (None, Some(in)) => Some(in)
+      case (None, None) => None
     }
     val newVersion = p.version + 1
-    val newFiles = stageAndPlace(spark, fs, root, dir,
-      parts.collect { case (part, Some(df)) =>
-        (part, df.withColumn(StageTag, lit(part)))
-      }, newVersion)
+    val newFiles = phase("mutate:stage+place")(stageAndPlace(spark, fs, root, dir,
+      affected, out, newVersion))
     val manifest = p.files.filterNot(hitRels) ++ newFiles
     val baseTags = Snapshot.tagsOf(fs, root, p.version)
-    val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
+    val newStats = phase("mutate:collectStats")(SnapshotStats.collectStats(spark, dir, newFiles,
       SnapshotStats.statsColsOf(baseTags),
-      SnapshotStats.bloomColsOf(baseTags))
+      SnapshotStats.bloomColsOf(baseTags)))
     beforeCommit()
-    val v = Snapshot.commit(fs, root, manifest, p.version,
+    val v = phase("mutate:commit+vacuum"){ val c = Snapshot.commit(fs, root, manifest, p.version,
       expireTags(baseTags, newVersion),
       baseFiles = Some(p.files), stats = newStats)
-    Snapshot.vacuum(fs, root)
+    Snapshot.vacuum(fs, root); c }
     MutationStats(v, affected, hitRels.size.toLong, newFiles.size.toLong)
   }
 
@@ -270,19 +312,20 @@ object SnapshotOps {
     */
   private def stageAndPlace(spark: SparkSession, fs: FileSystem,
                             root: Path, dir: String,
-                            tagged: Seq[(String, DataFrame)],
+                            parts: Seq[String],
+                            taggedUnion: Option[DataFrame],
                             newVersion: Long,
                             layout: DataFrame => DataFrame = identity)
       : Seq[String] = {
     val newFiles = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (tagged.isEmpty) return newFiles.toSeq
+    val union = taggedUnion.getOrElse(return newFiles.toSeq)
+    if (parts.isEmpty) return newFiles.toSeq
     val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val stage = f".snap_stage_v$newVersion%08d_$token"
-    val union = tagged.map(_._2).reduce(_ unionByName _)
     val staged = layout(union)
     staged.write.mode("overwrite").partitionBy(StageTag)
       .parquet(s"$dir/$stage")
-    tagged.foreach { case (part, _) =>
+    parts.foreach { part =>
       val src = new Path(root, s"$stage/$StageTag=${escapePart(part)}")
       if (fs.exists(src)) {
         val sub = s"$part/u${newVersion}_$token"
@@ -336,12 +379,12 @@ object SnapshotOps {
     val newVersion = p.version + 1
     val sch = spark.read.parquet(s"$dir/${p.files.head}").schema
     val tagged = affected.map { part =>
-      (part, spark.read.schema(sch)
+      spark.read.schema(sch)
         .parquet(byPart(part).map(f => s"$dir/$f"): _*)
-        .withColumn(StageTag, lit(part)))
+        .withColumn(StageTag, lit(part))
     }
-    val newFiles = stageAndPlace(spark, fs, root, dir, tagged,
-      newVersion,
+    val newFiles = stageAndPlace(spark, fs, root, dir, affected,
+      Some(tagged.reduce(_ unionByName _)), newVersion,
       layout = df => df.repartition(tagged.size, col(StageTag)))
     val retired = affected.flatMap(byPart).toSet
     val manifest = p.files.filterNot(retired) ++ newFiles
@@ -398,13 +441,14 @@ object SnapshotOps {
     val newVersion = p.version + 1
     val sch = spark.read.parquet(s"$dir/${p.files.head}").schema
     val tagged = affected.map { part =>
-      (part, spark.read.schema(sch)
+      spark.read.schema(sch)
         .parquet(byPart(part).map(f => s"$dir/$f"): _*)
-        .withColumn(StageTag, lit(part)))
+        .withColumn(StageTag, lit(part))
     }
     val z = ZOrder.interleave(col(zCols._1), col(zCols._2), bits)
     val nRanges = math.max(1, affected.size * filesPerPartition)
-    val newFiles = stageAndPlace(spark, fs, root, dir, tagged, newVersion,
+    val newFiles = stageAndPlace(spark, fs, root, dir, affected,
+      Some(tagged.reduce(_ unionByName _)), newVersion,
       layout = df => df.withColumn("__z", z)
         .repartitionByRange(nRanges, col(StageTag), col("__z"))
         .sortWithinPartitions(col(StageTag), col("__z"))
@@ -546,15 +590,22 @@ object SnapshotOps {
     val parts = b.select(partCol).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (parts.isEmpty) return MutationStats(p.version, Nil, 0L, 0L)
-    val tagged = parts.map { v =>
-      val part =
-        if (p.files.isEmpty) s"$partCol=${escapePart(v)}"
-        else partDirOf(p, v)
-      (part, b.filter(col(partCol) === v).withColumn(StageTag, lit(part)))
+    // destination routing via a broadcast (value → dir) map joined
+    // once — one staged subplan regardless of how many partitions the
+    // batch lands in (the per-partition filter branches this replaces
+    // made the plan O(partitions))
+    val dirByValue = parts.filter(_ != null).map { v =>
+      v -> (if (p.files.isEmpty) s"$partCol=${escapePart(v)}"
+            else partDirOf(p, v))
     }
+    val destParts = dirByValue.map(_._2).distinct.sorted
+    import spark.implicits._
+    val routes = dirByValue.toDF("__pv", StageTag)
+    val taggedUnion = b.join(broadcast(routes),
+      b(partCol) === col("__pv")).drop("__pv")
     val newVersion = p.version + 1
-    val newFiles = stageAndPlace(spark, fs, root, dir, tagged,
-      newVersion)
+    val newFiles = stageAndPlace(spark, fs, root, dir, destParts,
+      Some(taggedUnion), newVersion)
     val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
       SnapshotStats.statsColsOf(tags),
       SnapshotStats.bloomColsOf(tags))
@@ -564,7 +615,7 @@ object SnapshotOps {
       expireTags(tags, newVersion) ++ newTag ++ extraTags,
       baseFiles = Some(p.files), stats = newStats)
     Snapshot.vacuum(fs, root)
-    MutationStats(v, tagged.map(_._1), 0L, newFiles.size.toLong)
+    MutationStats(v, destParts, 0L, newFiles.size.toLong)
   }
 
   /** The gate query: the SAME correction feed as `corpus_upsert`
