@@ -33,6 +33,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // v2 commit: files move to their final location at TASK commit
+      // (parallel, executor-side) instead of one serial driver-side
+      // rename pass at job commit — the standard setting for rename-
+      // atomic filesystems; the engine's own staging protocols
+      // (PartitionSwap _SUCCESS markers, snapshot staged dirs) never
+      // rely on job-commit atomicity. Cuts the many-small-file commit
+      // tail of every fixture/mutation write.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
 

@@ -24,7 +24,7 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
-    if (factTables(name)) spread(spark, df) else df
+    if (factTables(name)) spread(spark, df, Some(s"$sfDir/$name")) else df
   }
 
   /** Engine-internal column contract for `events.ts`: BIGINT
@@ -78,9 +78,29 @@ object Tables {
     * explicit count is exempt from AQE coalescing, so the parallelism
     * actually sticks.)
     */
-  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+  def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    spread(spark, df, cacheKey = None)
+
+  /** The under-parallel check costs a full physical-planning pass
+    * (`df.rdd`), and [[load]] runs it on EVERY fact-table reference of
+    * every query invocation — pure repeated driver work for an answer
+    * that only changes when the table or core count does. Memoized
+    * per (session, table path).
+    */
+  private val spreadNeeded =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
+  private def spread(spark: SparkSession, df: DataFrame,
+                     cacheKey: Option[String]): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    def check = df.rdd.getNumPartitions < target
+    val need = cacheKey match {
+      case Some(k) =>
+        spreadNeeded.getOrElseUpdate(
+          (spark.sparkContext.applicationId, k), check)
+      case None => check
+    }
+    if (need) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

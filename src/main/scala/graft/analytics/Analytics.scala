@@ -382,15 +382,20 @@ object Analytics {
     * graph-sized shuffles, corpus scanned once.
     */
   def linkRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val edges = graft.logs.LogView(spark, dir)
-      .filter(col("referer").isNotNull)
-      .select(regexp_extract(col("referer"), "://([^/]+)", 1).as("src"),
-        col("host").as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      .withColumn("outw", sum("w").over(Window.partitionBy("src")))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
+    // edges/nodes are consumed by every iteration of the loop below —
+    // materialized ONCE (fresh-leaf localCheckpoint) instead of
+    // re-deriving the scan + aggregate + window per iteration
+    val edges = graft.operators.Frames.materialize(
+      graft.logs.LogView(spark, dir)
+        .filter(col("referer").isNotNull)
+        .select(regexp_extract(col("referer"), "://([^/]+)", 1).as("src"),
+          col("host").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .withColumn("outw", sum("w").over(Window.partitionBy("src"))))
+    val nodes = graft.operators.Frames.materialize(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct())
     var rank = nodes.withColumn("rank_mu", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = edges.join(rank, col("src") === col("node"))

@@ -71,10 +71,31 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxRounds: Int = 25): DataFrame = {
-    val sym = cut(edges.select(col("a"), col("b"))
+    // The iteration runs over EDGE-TOUCHED vertices only: in a dedup
+    // corpus the overwhelming majority of documents are singletons,
+    // and carrying them through every round's joins multiplies each
+    // round by |V| instead of |V(E)| — at 100 TB that is the
+    // difference between iterating on billions of rows and on the
+    // (much smaller) near-duplicate population. Singletons attach at
+    // the end, labelled by themselves, via one anti-join.
+    //
+    // Self-loops on every touched vertex fold the old "least(own
+    // label, neighbour min)" step into the neighbour aggregation
+    // itself (min over self ∪ neighbours), removing one join per
+    // round: a round is now neighbour-min (join + aggregate) +
+    // pointer-jump (join), each on |V(E)|-sized frames.
+    val sym0 = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
+      // endpoints outside `nodes` drop, as the labels join dropped
+      // them in the pre-r12 shape (edges may only connect known nodes)
+      .join(nodes.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(nodes.select(col("node").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
+    val touched = sym0.select(col("a").as("node")).distinct()
+    val sym = cut(sym0
+      .union(touched.select(col("node").as("a"), col("node").as("b")))
       .distinct())
-    var labels = cut(nodes
+    var labels = cut(sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
     // the sum accumulates in DECIMAL(38,0): int64 would overflow (and,
     // under the session's pinned ANSI mode, raise) once node ids are
@@ -88,16 +109,14 @@ object Components {
       sys.env.get("GRAFT_CC_DEBUG").contains("true")
     var prevSum = labelSum(labels)
     var round = 0
-    var converged = false
+    var converged = prevSum.signum == 0 && labels.isEmpty
     while (!converged && round < maxRounds) {
       round += 1
       val rt0 = System.nanoTime()
-      val nbrMin = sym.join(labels, sym("b") === labels("node"))
-        .groupBy(sym("a").as("n")).agg(min("label").as("nbr_label"))
-      val stepped = labels.join(nbrMin, labels("node") === nbrMin("n"), "left")
-        .select(labels("node").as("node"),
-          least(labels("label"),
-            coalesce(col("nbr_label"), labels("label"))).as("label"))
+      // neighbour step: min over self ∪ neighbours (self-loops make
+      // the own label part of the aggregation)
+      val stepped = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("node")).agg(min("label").as("label"))
       // pointer jumping: every label IS a node id (min over a set
       // containing ids), so the self-join is total
       val jumped = cut(stepped.as("x")
@@ -115,6 +134,10 @@ object Components {
           f"[cc] round $round ${(System.nanoTime() - rt0) / 1e9}%.2f s converged=$converged")
     }
     drop(sym)
-    labels
+    // singletons (nodes never touched by an edge) label themselves
+    val singles = nodes
+      .join(labels.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
+    labels.unionByName(singles)
   }
 }

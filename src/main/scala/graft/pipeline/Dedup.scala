@@ -40,10 +40,8 @@ object Dedup {
     * invocations, so every bench/oracle sample still computes from
     * the parquet inputs.
     */
-  private[pipeline] def materialize(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    spark.createDataFrame(df.rdd, df.schema).localCheckpoint(true)
-  }
+  private[pipeline] def materialize(df: DataFrame): DataFrame =
+    graft.operators.Frames.materialize(df)
 
   /** The shared normalization projection, usable on a batch table or
     * an arriving stream alike.

@@ -182,10 +182,13 @@ object ComplianceDelete {
       rel.substring(0, rel.lastIndexOf('/'))
     }.distinct.sorted.toSeq
     if (affected.isEmpty) return DeleteStats(Nil, 0L)
-    // partitions are independent — rewrite from a bounded pool (the
-    // [[Compaction]] discipline: serial job SUBMISSION would be the
-    // bottleneck, not the per-partition work; FileSystem is
-    // thread-safe and each thread touches only its own paths)
+    // partitions are independent — rewrite from a bounded pool
+    // (measured faster than one union-of-branches staged job, whose
+    // per-partition AQE stages serialize on the driver; 8 concurrent
+    // jobs overlap planning and I/O). Schema resolved ONCE so the
+    // pool does not re-read footers per partition.
+    val sch = spark.read.parquet(
+      new Path(root, affected.head).toString).schema
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, affected.size))
     try {
@@ -197,7 +200,7 @@ object ComplianceDelete {
             // rewrite THIS partition's rows minus matches; reading
             // the partition directory keeps the read set disjoint
             // from the write set (no overwrite-while-reading hazard)
-            spark.read.parquet(live.toString)
+            spark.read.schema(sch).parquet(live.toString)
               .filter(!pred)
               .write.mode("overwrite").parquet(stage.toString)
             PartitionSwap.commit(fs, root, part, StageRoot, TrashRoot)

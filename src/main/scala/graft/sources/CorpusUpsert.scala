@@ -51,9 +51,12 @@ object CorpusUpsert {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     PartitionSwap.recover(fs, root, StageRoot, TrashRoot)
     val b = batch.cache()
-    val nBatch = b.count()
+    // one aggregate answers both the batch size and the duplicate
+    // guard (two separate count jobs before)
+    val agg = b.agg(count(lit(1)), count_distinct(col(keyCol))).head()
+    val nBatch = agg.getLong(0)
     val keys = b.select(keyCol)
-    require(keys.distinct().count() == nBatch,
+    require(agg.getLong(1) == nBatch,
       s"upsert batch carries duplicate $keyCol values")
     if (nBatch == 0) return UpsertStats(Nil, 0L, 0L)
 
@@ -84,71 +87,35 @@ object CorpusUpsert {
       .collect().map(r => s"$partCol=${escapePart(r.getString(0))}")
     val affected = (oldParts ++ newParts).distinct.sorted.toSeq
 
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, affected.size))
-    var futures = Seq.empty[java.util.concurrent.Future[Unit]]
-    var primary: Throwable = null
+    // ONE staged write job covering every affected partition: kept
+    // rows (existing partitions minus batch keys — a single anti-join
+    // over the union of per-partition scans) plus the incoming batch,
+    // routed to its destination dir via a broadcast (value -> dir)
+    // map. Then the per-partition swap protocol; partitions that do
+    // not exist yet promote directly. One cluster job however many
+    // partitions the batch touches (the previous shape submitted one
+    // job per partition from a driver pool).
     try {
-      futures = affected.map { part =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          override def call(): Unit = {
-            val live = new Path(root, part)
-            val stage = new Path(root, s"$StageRoot/$part")
-            val partValue = unescapePart(
-              part.substring(part.indexOf('=') + 1))
-            // batch rows of THIS partition, minus the partition
-            // column (the directory name carries it, as in any
-            // partitionBy layout)
-            val incoming = b
-              .filter(col(partCol).cast("string") === partValue)
-              .drop(partCol)
-            val out =
-              if (fs.exists(live))
-                spark.read.parquet(live.toString)
-                  .join(broadcast(keys), Seq(keyCol), "left_anti")
-                  .unionByName(incoming)
-              else incoming
-            out.write.mode("overwrite").parquet(stage.toString)
-            if (fs.exists(live))
-              PartitionSwap.commit(fs, root, part, StageRoot, TrashRoot)
-            else if (!fs.rename(stage, live))
-              throw new java.io.IOException(s"promote failed for $live")
-          }
-        })
-      }
-      futures.foreach { f =>
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      }
-      // success-only cleanup: after a failed task, stage/trash must
-      // survive for the next run's PartitionSwap.recover
-      fs.delete(new Path(root, StageRoot), true)
-      fs.delete(new Path(root, TrashRoot), true)
-    } catch {
-      case t: Throwable => primary = t; throw t
-    } finally {
-      // error path: no further commits may land after the failure
-      // surfaces to the caller — cancel queued work, interrupt
-      // running tasks, and BLOCK until the pool is quiet before
-      // returning (a late swap against a caller already in recovery
-      // would be a torn write)
-      futures.foreach(_.cancel(true))
-      pool.shutdownNow()
-      // a false return means an interrupted swap task is STILL running
-      // after the grace window — returning normally would let a late
-      // PartitionSwap land while the caller is already in recovery
-      // (the torn write this drain exists to prevent). Fail loudly:
-      // throw on the success path; on the failure path attach to the
-      // in-flight exception as suppressed rather than replacing it.
-      if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)) {
-        val quiesce = new java.io.IOException(
-          "corpus_upsert: swap pool failed to quiesce within 10 min; " +
-            "recovery must not start while swap tasks may be live")
-        if (primary != null) primary.addSuppressed(quiesce)
-        else { b.unpersist(); throw quiesce }
-      }
-      b.unpersist()
-    }
+      val existing = affected.filter(part => fs.exists(new Path(root, part)))
+      val sch = existing.headOption.map(part =>
+        spark.read.parquet(new Path(root, part).toString).schema)
+      val keep = existing.map { part =>
+        spark.read.schema(sch.get)
+          .parquet(new Path(root, part).toString)
+          .withColumn(PartitionSwap.BulkTag, lit(part))
+      }.reduceOption(_ unionByName _)
+        .map(_.join(broadcast(keys), Seq(keyCol), "left_anti"))
+      import spark.implicits._
+      val routes = affected
+        .map(part => unescapePart(part.substring(part.indexOf('=') + 1)) -> part)
+      val routesDf = routes.toDF("__pv", PartitionSwap.BulkTag)
+      val incoming = b.join(broadcast(routesDf),
+        b(partCol).cast("string") === col("__pv"))
+        .drop("__pv").drop(partCol)
+      val staged = keep.map(_.unionByName(incoming)).getOrElse(incoming)
+      PartitionSwap.stageAllAndSwap(fs, root, affected, staged,
+        StageRoot, TrashRoot)
+    } finally b.unpersist()
     UpsertStats(affected, replaced, nBatch - replaced)
   }
 

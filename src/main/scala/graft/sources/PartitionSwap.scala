@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
 
 /** The shared partition rewrite-and-swap commit protocol, used by
   * [[Compaction]] (rewrite for file-count health) and
@@ -61,5 +62,57 @@ private[graft] object PartitionSwap {
       throw new java.io.IOException(s"partition swap failed for $live")
     fs.delete(trash, true)
     fs.delete(new Path(live, "_SUCCESS"), false)
+  }
+
+  /** Destination-tag column for [[stageAllAndSwap]]'s bulk write. */
+  private[sources] val BulkTag = "__swap_part"
+
+  /** Stage EVERY affected partition in ONE distributed
+    * `partitionBy(BulkTag)` write under the stage root, then run the
+    * per-partition swap protocol over the staged dirs. Replaces the
+    * one-Spark-job-per-partition rewrite pools: a mutation touching a
+    * thousand partitions is one cluster job plus a thousand metadata
+    * renames, instead of a thousand serially-submitted driver jobs
+    * (guide §2.6 — the pool was a workaround for exactly this).
+    *
+    * `staged` carries `BulkTag` = the destination partition dir name
+    * (e.g. `date=2024-01-01`). Every entry of `parts` commits: a part
+    * with no staged output commits as an EMPTY partition (all rows
+    * removed); a part whose live dir does not exist is promoted
+    * directly (insert-only partition — same crash window as the
+    * (2)→(3) gap, already covered by [[recover]]).
+    *
+    * Crash windows: the bulk write's tag dirs carry no per-dir
+    * `_SUCCESS`, so [[recover]] drops them; once a dir is renamed to
+    * its partition name and marked, the existing windows apply
+    * unchanged.
+    */
+  def stageAllAndSwap(fs: FileSystem, root: Path, parts: Seq[String],
+                      staged: DataFrame, stageName: String,
+                      trashName: String): Unit = {
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val stageRoot = new Path(root, stageName)
+    staged.write.mode("overwrite").partitionBy(BulkTag)
+      .parquet(stageRoot.toString)
+    fs.mkdirs(new Path(root, trashName))
+    parts.foreach { part =>
+      val tagDir = new Path(stageRoot,
+        s"$BulkTag=${esc.escapePathName(part)}")
+      val partStage = new Path(stageRoot, part)
+      if (fs.exists(tagDir)) {
+        if (!fs.rename(tagDir, partStage))
+          throw new java.io.IOException(s"stage rename failed for $part")
+      } else fs.mkdirs(partStage)
+      fs.create(new Path(partStage, "_SUCCESS"), true).close()
+      val live = new Path(root, part)
+      if (fs.exists(live)) commit(fs, root, part, stageName, trashName)
+      else {
+        if (!fs.rename(partStage, live))
+          throw new java.io.IOException(s"promote failed for $live")
+        fs.delete(new Path(live, "_SUCCESS"), false)
+      }
+    }
+    fs.delete(stageRoot, true)
+    fs.delete(new Path(root, trashName), true)
   }
 }
