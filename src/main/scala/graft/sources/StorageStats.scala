@@ -56,11 +56,14 @@ object StorageStats {
     * + footers only.
     */
   def storageStats(spark: SparkSession, dir: String): DataFrame = {
-    val rollup = LogView(spark, dir)
+    // materialized once: the two parity writes below each consume this
+    // rollup — without the cut, each write job re-runs the full scan +
+    // aggregate lineage
+    val rollup = graft.operators.Frames.materialize(LogView(spark, dir)
       .withColumn("date", expr("date(timestamp_micros(timestamp))"))
       .groupBy(col("date"), col("site"))
       .agg(count(lit(1)).as("n"), sum("traffic_sent").as("bytes_sent"))
-      .withColumn("b", pmod(xxhash64(col("site")), lit(2L)))
+      .withColumn("b", pmod(xxhash64(col("site")), lit(2L))))
     // one write per site-hash parity, each repartitioned on the
     // partition column (one task per date per pass → exactly one file
     // per date per parity PRESENT): a deterministic multi-file layout,
