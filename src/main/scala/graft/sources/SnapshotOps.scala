@@ -277,8 +277,15 @@ object SnapshotOps {
       case (None, None) => None
     }
     val newVersion = p.version + 1
+    // cluster the staged write by destination dir (AQE rebalance:
+    // coalesces small partitions, splits skewed ones at advisory
+    // size). Without it every input task holding rows of k
+    // destinations writes k files — the cached batch alone staged
+    // O(tasks × partitions) small files per commit, and every later
+    // plan scan and rollup read paid the file-count tax.
     val newFiles = phase("mutate:stage+place")(stageAndPlace(spark, fs, root, dir,
-      affected, out, newVersion))
+      affected, out, newVersion,
+      layout = df => df.hint("rebalance", StageTag)))
     val manifest = p.files.filterNot(hitRels) ++ newFiles
     val baseTags = Snapshot.tagsOf(fs, root, p.version)
     val newStats = phase("mutate:collectStats")(SnapshotStats.collectStats(spark, dir, newFiles,
@@ -604,8 +611,12 @@ object SnapshotOps {
     val taggedUnion = b.join(broadcast(routes),
       b(partCol) === col("__pv")).drop("__pv")
     val newVersion = p.version + 1
+    // same destination-clustered staging as the mutation core: one
+    // file-set per partition at advisory size, not one per (input
+    // task × partition)
     val newFiles = stageAndPlace(spark, fs, root, dir, destParts,
-      Some(taggedUnion), newVersion)
+      Some(taggedUnion), newVersion,
+      layout = df => df.hint("rebalance", StageTag))
     val newStats = SnapshotStats.collectStats(spark, dir, newFiles,
       SnapshotStats.statsColsOf(tags),
       SnapshotStats.bloomColsOf(tags))
