@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, BpeEncodeExpr, CdcChunks, CosineSimilarity, HyperplaneBuckets, MinHashSignature, MisraGriesAgg, RollingHash, SimHashAgg, SortedIntersectCount, WinnowFps}
+import graft.functions.{BloomAgg, BpeEncodeExpr, CdcChunks, CosineSimilarity, HyperplaneBuckets, MinHashSignature, MisraGriesAgg, RollingHash, SimHashAgg, SortedIntersectAtLeast, SortedIntersectCount, WinnowFps}
 
 /** SparkSessionExtensions hook registering graft's native expressions
   * as SQL functions, so `spark.sql("SELECT rolling_hash(text) ...")`
@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_atleast"),
+      new ExpressionInfo(classOf[SortedIntersectAtLeast].getName,
+        "sorted_intersect_atleast"),
+      (children: Seq[Expression]) => SortedIntersectAtLeast(
+        children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),

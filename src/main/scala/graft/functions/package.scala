@@ -22,6 +22,10 @@ package object functions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
 
+  /** [[graft.functions.SortedIntersectAtLeast]] as a Column function. */
+  def sorted_intersect_atleast(a: Column, b: Column, needed: Column): Column =
+    call_function("sorted_intersect_atleast", a, b, needed)
+
   /** [[graft.functions.HyperplaneBuckets]] as a Column function. */
   def hyperplane_buckets(v: Column, tables: Int, bits: Int): Column =
     call_function("hyperplane_buckets", v,

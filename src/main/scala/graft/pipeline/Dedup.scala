@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{cosine_sim, minhash_signature, simhash_agg, sorted_intersect_count}
+import graft.functions.{cosine_sim, minhash_signature, simhash_agg, sorted_intersect_atleast, sorted_intersect_count}
 
 /** Near-duplicate detection (SURVEY §2E). Every variant follows the
   * same scale discipline: CANDIDATE GENERATION BY BUCKETING (shuffle
@@ -377,14 +377,21 @@ object Dedup {
     val b = slim.as("b")
     val sizes = col("a.nsh") + col("b.nsh")
     // same cheap-first conjunct order as ngramJaccardPairs: the
-    // two-int length prune short-circuits ahead of the O(|A|+|B|)
-    // merge (block equality re-checked exactly — the bucket key only
-    // makes cross-block candidates hash-collision-unlikely)
+    // two-int length prune short-circuits ahead of the merge (block
+    // equality re-checked exactly — the bucket key only makes
+    // cross-block candidates hash-collision-unlikely). The exact test
+    // is the EARLY-EXIT threshold form: |A∩B| ≥ ceil(t·S/(1e4+t)) ⟺
+    // floor(1e4·J) ≥ t — bit-identical to the count inequality, but
+    // the merge stops at `needed` matches (near-identical pairs) or
+    // at the first impossibility bound (false candidates) instead of
+    // always walking O(|A|+|B|); survivors still compute the exact
+    // count once for jac_bp.
     val lengthPrune =
       least(col("a.nsh"), col("b.nsh")) * (10000L + minBp) >= lit(minBp) * sizes
-    val exactTest =
-      sorted_intersect_count(col("a.sh"), col("b.sh")) * (10000L + minBp) >=
-        lit(minBp) * sizes
+    val exactTest = sorted_intersect_atleast(col("a.sh"), col("b.sh"),
+      org.apache.spark.sql.functions.call_function("div",
+        (lit(minBp) * sizes + lit(10000L + minBp - 1)).cast("long"),
+        lit(10000L + minBp)).cast("int"))
     cand
       .join(a.hint("shuffle_hash"), col("doc_a") === col("a.doc_id"))
       .join(b.hint("shuffle_hash"), col("doc_b") === col("b.doc_id"))

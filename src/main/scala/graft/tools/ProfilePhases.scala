@@ -40,6 +40,32 @@ object ProfilePhases {
           t(s"$i:dedup_keep full")(noop(SparkEntry.queries("dedup_keep")(spark, dir)))
           t(s"$i:dedup_clusters full")(noop(SparkEntry.queries("dedup_clusters")(spark, dir)))
         }
+      case "lsh2" =>
+        import org.apache.spark.sql.functions._
+        import graft.functions._
+        val normed = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("source"),
+          graft.pipeline.TextAnalysis.normText(col("text")).as("txt"))
+        (1 to 2).foreach { i =>
+          val g = graft.operators.Frames.materialize(
+            normed.withColumn("sh", array_sort(graft.pipeline.Dedup.shingles("txt")))
+              .select(col("doc_id"), col("lang"), col("source"), col("sh"),
+                size(col("sh")).as("nsh"),
+                minhash_signature(col("sh"), 64).as("sig")))
+          println(f"[phase] $i:materialize-g done")
+          val rows = 2
+          val bandCols = (0 until 32).map { bnd =>
+            val slice = (0 until rows).map(r => expr(s"element_at(sig, ${bnd * rows + r + 1})"))
+            xxhash64((Seq(col("lang"), col("source"), lit(bnd)) ++ slice): _*)
+          }
+          val keyed = g.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+          val cand = keyed.as("ka")
+            .join(keyed.as("kb").hint("shuffle_hash"),
+              col("ka.bh") === col("kb.bh") && col("ka.doc_id") < col("kb.doc_id"))
+            .select(col("ka.doc_id").as("doc_a"), col("kb.doc_id").as("doc_b"))
+          t(s"$i:cand join (pre-distinct)")(noop(cand))
+          t(s"$i:cand distinct")(noop(cand.distinct()))
+          t(s"$i:full lshJaccardPairs")(noop(graft.pipeline.Dedup.lshJaccardPairs(spark, dir, 6500)))
+        }
       case "lsh" =>
         import org.apache.spark.sql.functions._
         import graft.functions._
