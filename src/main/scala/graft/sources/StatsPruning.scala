@@ -52,19 +52,23 @@ object StatsPruning {
     * between opening every file to plan a query and opening none.
     */
   def layoutByTime(spark: SparkSession, sfDir: String, outDir: String,
-                   nFiles: Int = 8): Unit = {
+                   nFiles: Int = 8): Array[FileStat] = {
     LogView(spark, sfDir)
       .repartitionByRange(nFiles, col("timestamp"))
       .sortWithinPartitions("timestamp")
       .write.mode("overwrite").parquet(outDir)
     // one aggregation pass over the just-written layout (a writer
     // integrated with the sink would emit these rows from its own
-    // buffers, or read them back from parquet footers — same rows)
+    // buffers, or read them back from parquet footers — same rows);
+    // returned so the gate's drift check compares the persisted
+    // manifest against this recount without a second data pass
     import spark.implicits._
-    manifestRecomputed(spark, outDir).toSeq
+    val recount = manifestRecomputed(spark, outDir)
+    recount.toSeq
       .toDF("path", "min_ts", "max_ts")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/$StatsDir")
+    recount
   }
 
   /** Per-file min/max manifest of a layout directory: the persisted
@@ -122,11 +126,13 @@ object StatsPruning {
                  loUs: Long, hiUs: Long): DataFrame = {
     val dir = TmpDir.scoped("statsprune",
       spark.sparkContext.applicationId, sfDir)
-    layoutByTime(spark, sfDir, dir)
+    val recount = layoutByTime(spark, sfDir, dir)
     val m = manifest(spark, dir)
-    // gate: the persisted manifest must equal a fresh recount — the
-    // fast metadata path can never silently drift from the data
-    require(m.toSeq == manifestRecomputed(spark, dir).toSeq,
+    // gate: the persisted manifest must equal the layout recount — the
+    // fast metadata path can never silently drift from the data (the
+    // recount comes back from layoutByTime's own aggregation pass, so
+    // the check no longer re-reads the data a second time)
+    require(m.toSeq == recount.toSeq,
       "persisted stats manifest drifted from the layout")
     prunedRead(spark, dir, m, loUs, hiUs)
       .orderBy("timestamp", "event_id")

@@ -103,7 +103,7 @@ object ZOrder {
     * to avoid.
     */
   def layoutZ(spark: SparkSession, sfDir: String, outDir: String,
-              nFiles: Int = 16): Unit = {
+              nFiles: Int = 16): Array[FileRect] = {
     val z = interleave(siteBucket(col("site")), hourBucket(col("timestamp")))
     LogView(spark, sfDir)
       .withColumn("zval", z)
@@ -113,12 +113,16 @@ object ZOrder {
       .write.mode("overwrite").parquet(outDir)
     // one aggregation pass over the just-written layout (a writer
     // integrated with the sink would fold these rows from its own
-    // buffers, or read them back from parquet footers — same rows)
+    // buffers, or read them back from parquet footers — same rows);
+    // returned so the gate's drift check can compare the PERSISTED
+    // manifest against this recount without a second data pass
     import spark.implicits._
-    manifestRecomputed(spark, outDir).toSeq
+    val recount = manifestRecomputed(spark, outDir)
+    recount.toSeq
       .toDF("path", "min_sb", "max_sb", "min_ts", "max_ts")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/$StatsDir")
+    recount
   }
 
   /** Per-file 2D min/max manifest of a z layout: the persisted
@@ -183,11 +187,13 @@ object ZOrder {
                  loUs: Long, hiUs: Long): DataFrame = {
     val dir = TmpDir.scoped("zorder",
       spark.sparkContext.applicationId, sfDir)
-    layoutZ(spark, sfDir, dir)
+    val recount = layoutZ(spark, sfDir, dir)
     val m = manifest(spark, dir)
-    // gate: the persisted manifest must equal a fresh recount — the
-    // fast metadata path can never silently drift from the data
-    require(m.toSeq == manifestRecomputed(spark, dir).toSeq,
+    // gate: the persisted manifest must equal the layout recount — the
+    // fast metadata path can never silently drift from the data (the
+    // recount comes back from layoutZ's own aggregation pass, so the
+    // check no longer re-reads the data a second time)
+    require(m.toSeq == recount.toSeq,
       "persisted z-order manifest drifted from the layout")
     prunedRead(spark, dir, m, site, loUs, hiUs)
       .orderBy("timestamp", "event_id")

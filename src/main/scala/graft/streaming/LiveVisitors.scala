@@ -74,7 +74,8 @@ object LiveVisitors {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateHost)
     val name = "graft_live_visitors"
-    StreamOps.sizedForState(spark) {
+    StreamOps.sizedForState(spark, derived = Some(
+      StreamOps.statePartitionsFor(StreamOps.tableRows(spark, dir, "events")))) {
       val q = tracked.toDF().writeStream
         .format("memory")
         .queryName(name)

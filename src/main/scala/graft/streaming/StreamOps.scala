@@ -26,7 +26,8 @@ object StreamOps {
                     name: String, mode: String)(
       transform: DataFrame => DataFrame): DataFrame = {
     val stream = Tables.stream(spark, dir, table)
-    sizedForState(spark) {
+    sizedForState(spark,
+      derived = Some(statePartitionsFor(tableRows(spark, dir, table)))) {
       val q = transform(stream)
         .writeStream
         .format("memory")
@@ -38,6 +39,23 @@ object StreamOps {
     }
     spark.table(name)
   }
+
+  /** Footer-derived row count of the drained table, memoized per
+    * (session, path) — the arrival-rate input for
+    * [[statePartitionsFor]], so state partitioning is derived from
+    * the ACTUAL source size (scale-adaptive, guide §2) instead of a
+    * constant tuned for one scale factor. Metadata-only (parquet
+    * footers), no job.
+    */
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  private[streaming] def tableRows(spark: SparkSession, dir: String,
+                                   table: String): Long =
+    rowCountCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, s"$dir/$table"),
+      try graft.sources.StorageStats.parquetRowCount(spark, s"$dir/$table.parquet")
+      catch { case _: Throwable => 400000L })
 
   /** Session conf key overriding the streaming state partition count
     * for every drain in this module — the deploy-time tuning knob
@@ -52,7 +70,7 @@ object StreamOps {
     * slice stays comfortably in memory, no more.
     */
   def statePartitionsFor(rowsPerBatch: Long,
-                         targetRowsPerPartition: Long = 50000L): Int = {
+                         targetRowsPerPartition: Long = 12500L): Int = {
     // overflow-safe ceil division (rowsPerBatch may be Long.MaxValue)
     val ceilDiv = rowsPerBatch / targetRowsPerPartition +
       (if (rowsPerBatch % targetRowsPerPartition > 0) 1L else 0L)
@@ -78,9 +96,11 @@ object StreamOps {
     * `n` and skip the mutation).
     */
   private[streaming] def sizedForState[T](spark: SparkSession,
-                                          n: Option[Int] = None)(body: => T): T = {
+                                          n: Option[Int] = None,
+                                          derived: Option[Int] = None)(body: => T): T = {
     val target = n
       .orElse(spark.conf.getOption(StatePartitionsConf).map(_.toInt))
+      .orElse(derived)
       .getOrElse(statePartitionsFor(400000L))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", target.toString)
@@ -277,7 +297,8 @@ object StreamOps {
       .add("length", "long").add("content", "binary")
     val stream = spark.readStream.format("binaryFile")
       .schema(schema).load(tmp)
-    sizedForState(spark) {
+    sizedForState(spark, derived = Some(
+      statePartitionsFor(tableRows(spark, dir, "events")))) {
       val q = stream.select(col("content")).as[Array[Byte]]
         .map(graft.sources.DatagramCodec.parseStats(_))
         .agg(

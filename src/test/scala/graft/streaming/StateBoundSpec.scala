@@ -59,8 +59,9 @@ class StateBoundSpec extends SparkSpec {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def inside(): Int =
       spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // formula default (AvailableNow drain, ~4e5-row batch → 8)
-    assert(StreamOps.sizedForState(spark)(inside()) == 8)
+    // formula fallback (no explicit/conf/derived: the assumed
+    // ~4e5-row batch at 12.5k rows/partition → 32)
+    assert(StreamOps.sizedForState(spark)(inside()) == 32)
     // session conf override — the deploy-time knob
     spark.conf.set(StreamOps.StatePartitionsConf, "4")
     try {
@@ -70,8 +71,13 @@ class StateBoundSpec extends SparkSpec {
     } finally spark.conf.unset(StreamOps.StatePartitionsConf)
     // batch queries never see the drain sizing
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
-    // the formula itself: ceil(rows/target), clamped
-    assert(StreamOps.statePartitionsFor(400000L) == 8)
+    // the formula itself: ceil(rows/target), clamped. Target is
+    // 12.5k rows/partition — the measured local optimum (8 partitions
+    // at the 100k-row sf0.1 drain; 2 was compute-bound, 32 paid
+    // store-setup overhead), applied scale-adaptively from the
+    // source's footer row count.
+    assert(StreamOps.statePartitionsFor(100000L) == 8)
+    assert(StreamOps.statePartitionsFor(400000L) == 32)
     assert(StreamOps.statePartitionsFor(1L) == 1)
     assert(StreamOps.statePartitionsFor(0L) == 1)
     assert(StreamOps.statePartitionsFor(Long.MaxValue) == 2048)
