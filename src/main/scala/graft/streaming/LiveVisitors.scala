@@ -75,7 +75,7 @@ object LiveVisitors {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateHost)
     val name = "graft_live_visitors"
     StreamOps.sizedForState(spark, derived = Some(
-      StreamOps.statePartitionsFor(StreamOps.tableRows(spark, dir, "events")))) {
+      StreamOps.derivedStateFor(spark, dir, "events"))) {
       val q = tracked.toDF().writeStream
         .format("memory")
         .queryName(name)

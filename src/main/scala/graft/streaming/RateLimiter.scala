@@ -97,7 +97,7 @@ object RateLimiter {
       .map(r => Accepted(r._1, r._2, r._3))
     val name = "graft_rate_limit"
     StreamOps.sizedForState(spark, derived = Some(
-      StreamOps.statePartitionsFor(StreamOps.tableRows(spark, dir, "events")))) {
+      StreamOps.derivedStateFor(spark, dir, "events"))) {
       val q = limited.union(passthrough).toDF().writeStream
         .format("memory")
         .queryName(name)

@@ -27,7 +27,7 @@ object StreamOps {
       transform: DataFrame => DataFrame): DataFrame = {
     val stream = Tables.stream(spark, dir, table)
     sizedForState(spark,
-      derived = Some(statePartitionsFor(tableRows(spark, dir, table)))) {
+      derived = Some(derivedStateFor(spark, dir, table))) {
       val q = transform(stream)
         .writeStream
         .format("memory")
@@ -56,6 +56,19 @@ object StreamOps {
       (spark.sparkContext.applicationId, s"$dir/$table"),
       try graft.sources.StorageStats.parquetRowCount(spark, s"$dir/$table.parquet")
       catch { case _: Throwable => 400000L })
+
+  /** The drain-site derived partition count: the arrival-rate formula
+    * bounded BELOW by a small compute floor — a tiny batch still
+    * parallelizes its per-batch join/probe work (the incremental-dedup
+    * drain at 1 state partition serialized its candidate join:
+    * measured 2x). The floor stays well under the core count so the
+    * per-store setup overhead the formula exists to avoid stays
+    * bounded.
+    */
+  private[streaming] def derivedStateFor(spark: SparkSession, dir: String,
+                                         table: String): Int =
+    math.max(statePartitionsFor(tableRows(spark, dir, table)),
+      math.min(8, spark.sparkContext.defaultParallelism))
 
   /** Session conf key overriding the streaming state partition count
     * for every drain in this module — the deploy-time tuning knob
@@ -298,7 +311,7 @@ object StreamOps {
     val stream = spark.readStream.format("binaryFile")
       .schema(schema).load(tmp)
     sizedForState(spark, derived = Some(
-      statePartitionsFor(tableRows(spark, dir, "events")))) {
+      derivedStateFor(spark, dir, "events"))) {
       val q = stream.select(col("content")).as[Array[Byte]]
         .map(graft.sources.DatagramCodec.parseStats(_))
         .agg(
