@@ -96,7 +96,7 @@ object Tables {
     def check = df.rdd.getNumPartitions < target
     val need = cacheKey match {
       case Some(k) =>
-        spreadNeeded.getOrElseUpdate(
+        Memo.once(spreadNeeded,
           (spark.sparkContext.applicationId, k), check)
       case None => check
     }

@@ -768,7 +768,7 @@ object Curation {
     // the gate, not a dead code path. Warm invocations price SCORING
     // — the pure-map pass a new ingest batch pays — never
     // teacher + L-BFGS.
-    val model = classifierCache.getOrElseUpdate(
+    val model = graft.Memo.once(classifierCache,
       (spark.sparkContext.applicationId, dir), {
         import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
         val path = graft.sources.TmpDir.scoped("qclsmodel",

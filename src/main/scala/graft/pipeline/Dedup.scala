@@ -23,6 +23,22 @@ object Dedup {
       s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
         s"i -> substring($textCol, i, $n))"))
 
+  /** The early-exit exact-verify predicate shared by every detector's
+    * verify filter: `|A∩B| ≥ ceil(t·S/(1e4+t))` ⟺
+    * `|A∩B|·(1e4+t) ≥ t·S` ⟺ `floor(1e4·J) ≥ t` (the count is an
+    * integer, so the ceil-division threshold is bit-identical to the
+    * product inequality), but the sorted merge stops at `needed`
+    * matches (near-identical pairs) or at the first impossibility
+    * bound (false candidates) instead of always walking O(|A|+|B|).
+    * Survivors still compute the exact count once for `jac_bp`.
+    */
+  private def exactAtLeast(aSh: Column, bSh: Column, sizes: Column,
+                           minBp: Long): Column =
+    sorted_intersect_atleast(aSh, bSh,
+      call_function("div",
+        (lit(minBp) * sizes + lit(10000L + minBp - 1)).cast("long"),
+        lit(10000L + minBp)).cast("int"))
+
   private def normed(spark: SparkSession, dir: String): DataFrame =
     normedOf(Tables.documents(spark, dir))
 
@@ -208,9 +224,9 @@ object Dedup {
     *
     * Perf shape: shingle sets are sorted ONCE per document
     * (projection, before the join); each CANDIDATE pair costs one
-    * allocation-free [[graft.functions.SortedIntersectCount]] merge
-    * in the join condition, on the exact integer inequality
-    * `inter * (10000 + t) >= t * (|A| + |B|)` (⇔ floor(1e4·J) >= t).
+    * allocation-free early-exit merge ([[exactAtLeast]] — the
+    * threshold form of `inter * (10000 + t) >= t * (|A| + |B|)`,
+    * ⇔ floor(1e4·J) >= t) in the join condition.
     * SURVIVING pairs re-run the merge once more in the projection to
     * produce `jac_bp` — a deliberate trade: survivors are a tiny
     * fraction of candidates, and keeping the exact test inside the
@@ -255,9 +271,7 @@ object Dedup {
     val sizes = col("a.nsh") + col("b.nsh")
     val lengthPrune =
       least(col("a.nsh"), col("b.nsh")) * (10000L + minBp) >= lit(minBp) * sizes
-    val exactTest =
-      sorted_intersect_count(col("a.sh"), col("b.sh")) * (10000L + minBp) >=
-        lit(minBp) * sizes
+    val exactTest = exactAtLeast(col("a.sh"), col("b.sh"), sizes, minBp)
     a.join(b.hint("shuffle_hash"), col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -388,10 +402,7 @@ object Dedup {
     // count once for jac_bp.
     val lengthPrune =
       least(col("a.nsh"), col("b.nsh")) * (10000L + minBp) >= lit(minBp) * sizes
-    val exactTest = sorted_intersect_atleast(col("a.sh"), col("b.sh"),
-      org.apache.spark.sql.functions.call_function("div",
-        (lit(minBp) * sizes + lit(10000L + minBp - 1)).cast("long"),
-        lit(10000L + minBp)).cast("int"))
+    val exactTest = exactAtLeast(col("a.sh"), col("b.sh"), sizes, minBp)
     cand
       .join(a.hint("shuffle_hash"), col("doc_a") === col("a.doc_id"))
       .join(b.hint("shuffle_hash"), col("doc_b") === col("b.doc_id"))
@@ -504,9 +515,7 @@ object Dedup {
     val sizes = col("a.nsh") + col("b.nsh")
     val lengthPrune =
       least(col("a.nsh"), col("b.nsh")) * (10000L + minBp) >= lit(minBp) * sizes
-    val exactTest =
-      sorted_intersect_count(col("a.sh"), col("b.sh")) * (10000L + minBp) >=
-        lit(minBp) * sizes
+    val exactTest = exactAtLeast(col("a.sh"), col("b.sh"), sizes, minBp)
     cand
       .join(broadcast(b), col("new_id") === col("b.doc_id"))
       .join(a.hint("shuffle_hash"), col("dup_of") === col("a.doc_id"))
@@ -533,8 +542,12 @@ object Dedup {
       sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_.-]", "_")
   ).getPath
 
+  // TrieMap + Memo.once (not a check-then-act keyset): concurrent
+  // first callers — the warmup pool runs dedup_band_stats and the
+  // clusterLabels consumers side by side — must BLOCK on the build,
+  // not race past a flag into a half-written artifact
   private val bandStatsBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
 
   /** Band-bucket occupancy telemetry over the full-corpus MinHash band
     * index — the observability SURVEY §4's pair-cost bound needs: LSH
@@ -572,9 +585,9 @@ object Dedup {
   private[pipeline] def bandStatsIndex(spark: SparkSession, dir: String,
                                        numPerm: Int = 64,
                                        bands: Int = 32): String = {
-    if (bandStatsBuilt.add((spark.sparkContext.applicationId, dir)))
+    graft.Memo.once(bandStatsBuilt, (spark.sparkContext.applicationId, dir),
       bandKeyed(signedDocs(normed(spark, dir), numPerm), numPerm, bands)
-        .write.mode("overwrite").parquet(s"$BandStatsGatePath/index")
+        .write.mode("overwrite").parquet(s"$BandStatsGatePath/index"))
     s"$BandStatsGatePath/index"
   }
 
@@ -610,7 +623,7 @@ object Dedup {
     * were never going to survive the exact verify anyway.
     */
   def autoBucketCap(spark: SparkSession, dir: String): Option[Int] =
-    capCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+    graft.Memo.once(capCache, (spark.sparkContext.applicationId, dir), {
       val maxOcc = spark.read.parquet(bandStatsIndex(spark, dir))
         .groupBy("bh").agg(count(lit(1)).as("occ"))
         .agg(max("occ")).head().getLong(0)
@@ -661,8 +674,10 @@ object Dedup {
       spark.read.parquet(s"$indexDir/slim"), minBp, numPerm, bands)
   }
 
+  // blocking memo (see bandStatsBuilt): dedup_incremental_indexed and
+  // dedup_incremental_stream share this index and may warm concurrently
   private val builtIndexes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   /** The `doc_id % 7` corpus/batch split's band index, built once per
     * session (the production artifact is written once at corpus
@@ -672,9 +687,9 @@ object Dedup {
                                   numPerm: Int, bands: Int): String = {
     val idx = graft.sources.TmpDir.scoped("bandindex",
       spark.sparkContext.applicationId, s"$dir:$numPerm:$bands")
-    if (builtIndexes.add(idx))
+    graft.Memo.once(builtIndexes, idx,
       bandIndexWriteOf(normed(spark, dir).filter(!(col("doc_id") % 7 === 0)),
-        idx, numPerm, bands)
+        idx, numPerm, bands))
     idx
   }
 
@@ -725,9 +740,7 @@ object Dedup {
     val sizes = col("a.nsh") + col("b_nsh")
     val lengthPrune =
       least(col("a.nsh"), col("b_nsh")) * (10000L + minBp) >= lit(minBp) * sizes
-    val exactTest =
-      sorted_intersect_count(col("a.sh"), col("b_sh")) * (10000L + minBp) >=
-        lit(minBp) * sizes
+    val exactTest = exactAtLeast(col("a.sh"), col("b_sh"), sizes, minBp)
     cand
       .join(a.hint("shuffle_hash"), col("dup_of") === col("a.doc_id"))
       .filter(col("a.lang") === col("b_lang") &&
@@ -971,7 +984,11 @@ object Dedup {
                minBp: Long = 6500): DataFrame = {
     // compute-and-PUBLISH: the clusters pass is its own gate and bench
     // row, so it always runs in full — and each run refreshes the
-    // shared labels artifact downstream consumers read
+    // shared labels artifact downstream consumers read. The replaced
+    // generation's blocks are left to the ContextCleaner: an explicit
+    // drop could kill a CONCURRENTLY-warming consumer mid-execution
+    // (split_assign reads the memoized labels; a checkpointed frame
+    // cannot recompute once its blocks are gone).
     evictStoppedComponents()
     val labels = computeClusterLabels(spark, dir, minBp)
     componentCache.put(
@@ -1002,7 +1019,7 @@ object Dedup {
   private[graft] def clusterLabels(spark: SparkSession, dir: String,
                                    minBp: Long = 6500): DataFrame = {
     evictStoppedComponents()
-    componentCache.getOrElseUpdate(
+    graft.Memo.once(componentCache,
       (spark.sparkContext.applicationId, dir, s"lsh:$minBp"),
       computeClusterLabels(spark, dir, minBp))
   }

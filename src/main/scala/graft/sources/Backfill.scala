@@ -188,6 +188,10 @@ object Backfill {
     }
     val pending = d.filter(!_.isNullAt(1)).map(_.getString(0)).sorted.take(maxDays)
     if (pending.isEmpty) return 0
+    // session-conf mutation window: serialized against other conf
+    // mutators (see GraftSession.confMutex) so a concurrently-warming
+    // drain's set/restore can't interleave with this one
+    graft.GraftSession.confMutex.synchronized {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -214,6 +218,7 @@ object Backfill {
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
     }
     pending.length
   }

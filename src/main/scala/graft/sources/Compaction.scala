@@ -101,15 +101,6 @@ object Compaction {
     recover(fs, root)
     val fragmented = plan(spark, dir, targetBytes).filter(_.fragmented)
     if (fragmented.isEmpty) return Nil
-    // ONE staged write job covering every fragmented partition, then
-    // the per-partition swap protocol. Each branch reads only its own
-    // partition dir (read set disjoint from write set) and is sized to
-    // its exact target file count: COALESCE when the scan already has
-    // at least that many splits — concatenating files needs no
-    // redistribution, so the rewrite is SHUFFLE-FREE (guide §2.4) —
-    // and a repartition only in the degenerate many-bytes-few-splits
-    // case. One cluster job however large the backlog; the previous
-    // shape submitted one job per partition from a driver pool.
     fs.mkdirs(new Path(root, TrashRoot))
     // partitions are independent, so their (small) rewrite jobs run
     // from a bounded pool — measured FASTER here than one union-of-

@@ -52,11 +52,15 @@ object CorpusUpsert {
     PartitionSwap.recover(fs, root, StageRoot, TrashRoot)
     val b = batch.cache()
     // one aggregate answers both the batch size and the duplicate
-    // guard (two separate count jobs before)
-    val agg = b.agg(count(lit(1)), count_distinct(col(keyCol))).head()
+    // guard (two separate count jobs before); the distinct count is
+    // NULL-inclusive (count_distinct ignores the null group, which
+    // would misreport a single-NULL-key batch as "duplicates") —
+    // same semantics as the keys.distinct().count() it replaced
+    val agg = b.agg(count(lit(1)), count_distinct(col(keyCol)) +
+      max(when(col(keyCol).isNull, 1L).otherwise(0L))).head()
     val nBatch = agg.getLong(0)
     val keys = b.select(keyCol)
-    require(agg.getLong(1) == nBatch,
+    require(nBatch == 0 || agg.getLong(1) == nBatch,
       s"upsert batch carries duplicate $keyCol values")
     if (nBatch == 0) return UpsertStats(Nil, 0L, 0L)
 
@@ -112,7 +116,14 @@ object CorpusUpsert {
       val incoming = b.join(broadcast(routesDf),
         b(partCol).cast("string") === col("__pv"))
         .drop("__pv").drop(partCol)
+      // destination clustering: without it every input task holding
+      // rows of k partitions writes k files — the same
+      // O(tasks × partitions) small-file tax the SnapshotOps mutation
+      // core kills with hint("rebalance", StageTag); AQE coalesces
+      // small destinations locally and splits skewed ones at advisory
+      // size on a cluster
       val staged = keep.map(_.unionByName(incoming)).getOrElse(incoming)
+        .hint("rebalance", PartitionSwap.BulkTag)
       PartitionSwap.stageAllAndSwap(fs, root, affected, staged,
         StageRoot, TrashRoot)
     } finally b.unpersist()

@@ -135,7 +135,7 @@ object SnapshotFollow {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private[graft] def followFixture(spark: SparkSession, dir: String): String =
-    fixtureCache.getOrElseUpdate(
+    graft.Memo.once(fixtureCache,
       (spark.sparkContext.applicationId, dir), {
         val appId = spark.sparkContext.applicationId
         val tmp = TmpDir.scoped("snapfollow", appId, dir)

@@ -144,9 +144,13 @@ object SnapshotOps {
       // guard — the two separate count jobs this replaces were each a
       // full pass over the (cached) batch
       val nBatch = phase("upsert:batch-prep") {
-        val r = b.agg(count(lit(1)), count_distinct(col(keyCol))).head()
+        // NULL-inclusive distinct (count_distinct ignores the null
+        // group — a single-NULL-key batch must not misreport as
+        // "duplicates"); same semantics as keys.distinct().count()
+        val r = b.agg(count(lit(1)), count_distinct(col(keyCol)) +
+          max(when(col(keyCol).isNull, 1L).otherwise(0L))).head()
         val n = r.getLong(0)
-        require(r.getLong(1) == n,
+        require(n == 0 || r.getLong(1) == n,
           s"upsert batch carries duplicate $keyCol values")
         n
       }
@@ -531,7 +535,7 @@ object SnapshotOps {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def restoreFixture(spark: SparkSession, dir: String): String =
-    restoreCache.getOrElseUpdate(
+    graft.Memo.once(restoreCache,
       (spark.sparkContext.applicationId, dir), {
         val tmp = TmpDir.scoped("snaprestore",
           spark.sparkContext.applicationId, dir)
@@ -687,7 +691,7 @@ object SnapshotOps {
     * `snapshot_upsert` invocation, with vacuum bounding the storage.
     */
   private def upsertBaseFixture(spark: SparkSession, dir: String): String =
-    upsertBaseCache.getOrElseUpdate(
+    graft.Memo.once(upsertBaseCache,
       (spark.sparkContext.applicationId, dir), {
         val tmp = TmpDir.scoped("snapupsert",
           spark.sparkContext.applicationId, dir)
@@ -737,7 +741,7 @@ object SnapshotOps {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def versionedFixture(spark: SparkSession, dir: String): String =
-    fixtureCache.getOrElseUpdate(
+    graft.Memo.once(fixtureCache,
       (spark.sparkContext.applicationId, dir), {
         val tmp = TmpDir.scoped("snapvers",
           spark.sparkContext.applicationId, dir)

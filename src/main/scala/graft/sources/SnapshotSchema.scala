@@ -139,7 +139,7 @@ object SnapshotSchema {
     */
   private[graft] def evolutionFixture(spark: SparkSession,
                                       dir: String): String =
-    fixtureCache.getOrElseUpdate(
+    graft.Memo.once(fixtureCache,
       (spark.sparkContext.applicationId, dir), {
         val tmp = TmpDir.scoped("snapschema",
           spark.sparkContext.applicationId, dir)

@@ -392,7 +392,7 @@ object SnapshotStats {
     * numbering.
     */
   private def skippingFixture(spark: SparkSession, dir: String): String =
-    skipFixtureCache.getOrElseUpdate(
+    graft.Memo.once(skipFixtureCache,
       (spark.sparkContext.applicationId, dir), {
         val tmp = TmpDir.scoped("snapskip",
           spark.sparkContext.applicationId, dir)
@@ -536,7 +536,7 @@ object SnapshotStats {
     * final row set = `events` exactly once.
     */
   private def clusteredFixture(spark: SparkSession, dir: String): String =
-    clusterFixtureCache.getOrElseUpdate(
+    graft.Memo.once(clusterFixtureCache,
       (spark.sparkContext.applicationId, dir), {
         val tmp = TmpDir.scoped("snapcluster",
           spark.sparkContext.applicationId, dir)

@@ -185,7 +185,7 @@ object SnapshotWap {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def wapFixture(spark: SparkSession, dir: String): String =
-    fixtureCache.getOrElseUpdate(
+    graft.Memo.once(fixtureCache,
       (spark.sparkContext.applicationId, dir), {
         val appId = spark.sparkContext.applicationId
         val tmp = TmpDir.scoped("snapwap", appId, dir)

@@ -128,10 +128,16 @@ object StatsPruning {
       spark.sparkContext.applicationId, sfDir)
     val recount = layoutByTime(spark, sfDir, dir)
     val m = manifest(spark, dir)
-    // gate: the persisted manifest must equal the layout recount — the
-    // fast metadata path can never silently drift from the data (the
-    // recount comes back from layoutByTime's own aggregation pass, so
-    // the check no longer re-reads the data a second time)
+    // gate: the persisted manifest must equal the layout's
+    // data-derived recount. Deliberately ONE data pass: the recount is
+    // itself computed FROM the written data (manifestRecomputed's
+    // groupBy over the files), so this require verifies the
+    // manifest's write/read round-trip against a data-derived truth —
+    // what it no longer does is re-derive that truth a second,
+    // independent time. The independent end-to-end check is the HASH
+    // GATE itself: prunedRead(manifest) must byte-equal the oracle's
+    // full-scan filter, so a manifest that drifted from the data in
+    // any row-affecting way still fails the round.
     require(m.toSeq == recount.toSeq,
       "persisted stats manifest drifted from the layout")
     prunedRead(spark, dir, m, loUs, hiUs)

@@ -189,10 +189,15 @@ object ZOrder {
       spark.sparkContext.applicationId, sfDir)
     val recount = layoutZ(spark, sfDir, dir)
     val m = manifest(spark, dir)
-    // gate: the persisted manifest must equal the layout recount — the
-    // fast metadata path can never silently drift from the data (the
-    // recount comes back from layoutZ's own aggregation pass, so the
-    // check no longer re-reads the data a second time)
+    // gate: the persisted manifest must equal the layout's
+    // data-derived recount. Deliberately ONE data pass: the recount is
+    // computed FROM the written data (layoutZ's own aggregation), so
+    // this require verifies the manifest's write/read round-trip
+    // against a data-derived truth — not a second, independent
+    // re-derivation. The independent end-to-end check is the HASH
+    // GATE: prunedRead(manifest) must byte-equal the oracle's
+    // full-scan filter, so any row-affecting manifest drift still
+    // fails the round.
     require(m.toSeq == recount.toSeq,
       "persisted z-order manifest drifted from the layout")
     prunedRead(spark, dir, m, site, loUs, hiUs)

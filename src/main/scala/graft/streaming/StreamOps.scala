@@ -52,7 +52,7 @@ object StreamOps {
 
   private[streaming] def tableRows(spark: SparkSession, dir: String,
                                    table: String): Long =
-    rowCountCache.getOrElseUpdate(
+    graft.Memo.once(rowCountCache,
       (spark.sparkContext.applicationId, s"$dir/$table"),
       try graft.sources.StorageStats.parquetRowCount(spark, s"$dir/$table.parquet")
       catch { case _: Throwable => 400000L })
@@ -103,23 +103,27 @@ object StreamOps {
     * delivers the whole table as ~one batch; 4e5 rows at sf0.1 → 8
     * partitions). Batch queries are unaffected — the conf is restored
     * after the drain completes. The set/restore mutates the SESSION
-    * conf, so drains must not run concurrently with other queries on
-    * the same session (true of the bench/verify harness; a concurrent
+    * conf, so it runs under [[graft.GraftSession.confMutex]]: drains
+    * serialize among themselves (two interleaved set/restore windows
+    * would race the restore and leave the session misconfigured),
+    * while concurrently-warming batch queries — whose RESULTS never
+    * depend on the shuffle partition count — proceed unblocked. A
     * deployment would set [[StatePartitionsConf]] per session or pass
-    * `n` and skip the mutation).
+    * `n` and skip the mutation.
     */
   private[streaming] def sizedForState[T](spark: SparkSession,
                                           n: Option[Int] = None,
-                                          derived: Option[Int] = None)(body: => T): T = {
-    val target = n
-      .orElse(spark.conf.getOption(StatePartitionsConf).map(_.toInt))
-      .orElse(derived)
-      .getOrElse(statePartitionsFor(400000L))
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", target.toString)
-    try body
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+                                          derived: Option[Int] = None)(body: => T): T =
+    graft.GraftSession.confMutex.synchronized {
+      val target = n
+        .orElse(spark.conf.getOption(StatePartitionsConf).map(_.toInt))
+        .orElse(derived)
+        .getOrElse(statePartitionsFor(400000L))
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+      try body
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
   /** The [[graft.logs.Shaping.timeseries]] rollup as an incremental
     * windowed aggregation: watermarked event-time 1-hour windows over
